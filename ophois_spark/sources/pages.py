@@ -1,0 +1,103 @@
+"""Deterministic synthetic pages table (Common-Crawl-style).
+
+Schema per BASELINE.json input_hint:
+``pages(url: string, warc_ts: timestamp, html: binary, text: string,
+lang: string)``.
+
+Each map page embeds an OSM-XML street grid for one tile of a global
+super-grid. Tiles OVERLAP by one row/column of intersections, so
+adjacent pages re-emit the same node ids with the same coordinates —
+the workload that makes cross-page node dedup (and the same-cell join)
+non-trivial, mirroring how the same OSM node appears in many
+Common-Crawl page snapshots. Every 7th page is non-map noise (different
+lang) so lang filtering + parquet pushdown are exercised.
+
+Generation is distributed (``mapInPandas`` over ``spark.range``) and
+deterministic in (n_pages, grid): no RNG, jitter is a hash of the
+global intersection coordinates. Replaces the reference's network
+download stage (src/overpass.rs:4-19), which is unavailable in-sandbox.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+_NOISE_EVERY = 7
+
+
+def _jitter(gx: int, gy: int, salt: int) -> int:
+    """Deterministic pseudo-jitter in [-10, 10] (no RNG — reproducible)."""
+    h = (gx * 2654435761 + gy * 40503 + salt * 97) & 0xFFFFFFFF
+    return (h % 21) - 10
+
+
+def _coord_str(base_nano: int, g: int, jit: int) -> str:
+    """Exact decimal coordinate string from integer nano-degrees."""
+    nano = base_nano + g * 100_000 + jit * 1_000
+    s = f"{nano // 10**9}.{nano % 10**9:09d}".rstrip("0")
+    return s + "0" if s.endswith(".") else s
+
+
+def _node_id(gx: int, gy: int) -> str:
+    return str(1_000_000_000 + gx * 100_000 + gy)
+
+
+def page_xml(tile_x: int, tile_y: int, grid: int) -> str:
+    """OSM XML for one tile: grid×grid intersections, row+column ways.
+
+    The last row/column of tile (tx, ty) carries the same global ids and
+    coordinates as the first row/column of tiles (tx+1, ty) / (tx, ty+1).
+    Ways are emitted multi-line to exercise the format stage; nodes are
+    self-closing single lines.
+    """
+    step = grid - 1
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6">']
+    for cx in range(grid):
+        for cy in range(grid):
+            gx, gy = tile_x * step + cx, tile_y * step + cy
+            lat = _coord_str(45_000_000_000, gy, _jitter(gx, gy, 1))
+            lon = _coord_str(5_000_000_000, gx, _jitter(gx, gy, 2))
+            lines.append(f'  <node id="{_node_id(gx, gy)}" lat="{lat}" lon="{lon}"/>')
+    way_id = (tile_x * 1_000_003 + tile_y) * 100
+    for cy in range(grid):  # horizontal ways
+        lines.append(f'  <way id="{way_id + cy}">')
+        for cx in range(grid):
+            lines.append(f'    <nd ref="{_node_id(tile_x * step + cx, tile_y * step + cy)}"/>')
+        lines.append('    <tag k="highway" v="residential"/>')
+        lines.append("  </way>")
+    for cx in range(grid):  # vertical ways
+        lines.append(f'  <way id="{way_id + grid + cx}">')
+        for cy in range(grid):
+            lines.append(f'    <nd ref="{_node_id(tile_x * step + cx, tile_y * step + cy)}"/>')
+        lines.append('    <tag k="highway" v="residential"/>')
+        lines.append("  </way>")
+    lines.append("</osm>")
+    return "\n".join(lines)
+
+
+def synth_pages(spark: SparkSession, n_pages: int, grid: int = 12) -> DataFrame:
+    """Distributed deterministic pages DataFrame."""
+    side = max(1, int(n_pages**0.5))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                url = f"https://maps.example.org/page/{i:09d}"
+                ts = pd.Timestamp("2024-01-01") + pd.Timedelta(days=i % 365, minutes=i % 1440)
+                if i % _NOISE_EVERY == _NOISE_EVERY - 1:
+                    text = f"Lorem ipsum page {i} — no map content here. " * 8
+                    lang = "de" if i % 2 else "fr"
+                else:
+                    text = page_xml(i % side, i // side, grid)
+                    lang = "en"
+                rows.append((url, ts, text[:64].encode(), text, lang))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return spark.range(n_pages).mapInPandas(gen, PAGES_SCHEMA)
