@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship street-graph pipeline on sf0.001 —
+  derived graph → largest component → degree-2 chain contraction →
+  discretize(50 m) → length distribution.
+- ``queries()``/``oracle_sql()``: operator registry with DuckDB parity
+  oracles (see ophois_spark/queries.py).
 """
 
 from __future__ import annotations
@@ -13,26 +13,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from ophois_spark.operators.components import largest_component
+    from ophois_spark.operators.contraction import remove_degree_two_nodes
+    from ophois_spark.operators.discretize import discretize
+    from ophois_spark.operators.metrics import length_distribution
+    from ophois_spark.queries import derived_graph
+
+    g = derived_graph(spark, SF0001)
+    g = largest_component(g)
+    g = remove_degree_two_nodes(g)
+    g = discretize(g, 50.0)
+    return length_distribution(g)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from ophois_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each queries() entry (parity gate)."""
+    from ophois_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,87 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``:
+
+- ``pages_pipeline``: synthetic Common-Crawl-style pages (scaled to the
+  SF's lineitem volume) → fused XML extract → cross-page dedup'd graph
+  → degree metrics. Reports pages/sec and edges/sec (BASELINE.json
+  ``metric``).
+- the registered operator queries at the SF dir (each fully executed
+  via count()).
+
+Output: ``{"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {...}, "sf": ..., "pages_per_sec": ..., "edges_per_sec": ...}``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from ophois_spark.operators.extract import graph_from_pages
+    from ophois_spark.queries import QUERIES
+    from ophois_spark.session import get_spark
+    from ophois_spark.sources.pages import synth_pages
+
+    spark = get_spark("ophois-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # warm up the Python UDF workers once (fork+import is a fixed per-
+    # session cost — ~0 amortized on a long-lived cluster, ~18 s here)
+    from pyspark.sql import functions as F
+
+    warm = spark.range(cpus * 4).repartition(cpus)
+    warm.select(F.pandas_udf(lambda s: s, "long")(warm["id"])).count()
+
+    # -- pages pipeline (graph-construction throughput) --------------------
+    n_pages = max(64, int(20000 * sf))  # sf0.1 → 2000 pages ≈ 12 MB XML
+    pages = synth_pages(spark, n_pages, grid=12)
+    pages = pages.localCheckpoint(eager=True)  # isolate generation cost
+    t0 = time.perf_counter()
+    g = graph_from_pages(pages.filter(pages["lang"] == "en"), persist_records=True)
+    n_nodes, n_edges = g.counts()
+    t_pipeline = time.perf_counter() - t0
+    timings["pages_pipeline"] = round(t_pipeline, 3)
+    pages_per_sec = n_pages / t_pipeline
+    edges_per_sec = n_edges / t_pipeline
+
+    # -- operator queries ---------------------------------------------------
+    for name, fn in sorted(QUERIES.items()):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "graph-construction throughput + operator suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_pages": n_pages,
+                "graph_nodes": n_nodes,
+                "graph_edges": n_edges,
+                "pages_per_sec": round(pages_per_sec, 1),
+                "edges_per_sec": round(edges_per_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,11 +14,11 @@ Byte parity per url is guaranteed by the kernel
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
 
 from ophois_spark import SEPARATOR
 from ophois_spark.kernels.osmxml import extract_records
@@ -26,28 +26,51 @@ from ophois_spark.operators.graph import StreetGraph
 from ophois_spark.sources.graph_io import parse_records
 
 
-def records_udf(separator: str = SEPARATOR):
-    @pandas_udf(ArrayType(StringType()))
-    def _extract(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: extract_records(t.splitlines(), separator))
-
-    return _extract
-
-
 def extract_page_records(
     pages: DataFrame, separator: str = SEPARATOR, text_col: str = "text", url_col: str = "url"
 ) -> DataFrame:
-    """pages(url, text, …) → records(url, pos, line)."""
-    recs = pages.select(
-        F.col(url_col).alias("url"), records_udf(separator)(F.col(text_col)).alias("recs")
-    )
-    return recs.select("url", F.posexplode("recs").alias("pos", "line"))
+    """pages(url, text, …) → records(url, pos, line).
+
+    One ``mapInPandas`` stage emitting the exploded records directly —
+    a pandas-UDF + posexplode formulation makes Catalyst insert a
+    non-empty-array filter that evaluates the UDF TWICE per page
+    (observed via .explain), so the fused generator is both the
+    simplest and the fastest shape.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls: list[str] = []
+            poss: list[int] = []
+            lines: list[str] = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                recs = extract_records(text.splitlines(), separator)
+                urls.extend([url] * len(recs))
+                poss.extend(range(len(recs)))
+                lines.extend(recs)
+            yield pd.DataFrame({"url": urls, "pos": poss, "line": lines})
+
+    cols = pages.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
+    return cols.mapInPandas(gen, "url string, pos int, line string")
 
 
 def graph_from_pages(
-    pages: DataFrame, separator: str = SEPARATOR, strict: bool = False
+    pages: DataFrame,
+    separator: str = SEPARATOR,
+    strict: bool = False,
+    persist_records: bool = False,
 ) -> StreetGraph:
-    """Full ingest: pages table → deduplicated StreetGraph."""
+    """Full ingest: pages table → deduplicated StreetGraph.
+
+    ``persist_records=True`` materializes the extracted records once
+    (MEMORY_AND_DISK) so the nodes and edges branches don't re-run the
+    extraction UDF — locally the analogue of the snapshot commit a
+    cluster job would make between ingest and graph build.
+    """
     records = extract_page_records(pages, separator)
+    if persist_records:
+        from pyspark import StorageLevel
+
+        records = records.persist(StorageLevel.MEMORY_AND_DISK)
     g, _ = parse_records(records, ["url", "pos"], separator=separator, strict=strict)
     return g

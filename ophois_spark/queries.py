@@ -1,0 +1,340 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle pairs.
+
+Each query exercises one engine operator (SURVEY.md §2) over the
+driver-provided testdata tables. The graph is derived deterministically
+from relational data with arithmetic both engines compute bit-identically
+(int ops + exact double conversions):
+
+    nodes:  id  = CAST(c_custkey AS string)
+            lat = 45.0 + (c_custkey % 200) * 1e-4
+            lon = 5.0  + ((c_custkey * 7) % 200) * 1e-4
+    edges:  (o_custkey, (o_orderkey * 13 + 7) % n_customers)
+            canonicalized lexicographically, self-loops dropped, distinct
+
+Cross-engine float policy: returned doubles come only from +,-,*,/ on
+exact inputs (bit-stable across engines); trig-derived values are
+floored/rounded far above the ~1-ulp libm noise before comparison.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ophois_spark.functions import canonical_edge, cell_expr, haversine_m
+from ophois_spark.kernels.geo import EARTH_RADIUS_M
+from ophois_spark.operators.graph import StreetGraph
+
+CELL_RES = 18
+DISC_DELTA = 25.0
+
+# ---------------------------------------------------------------------------
+# shared derivation
+# ---------------------------------------------------------------------------
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derived_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    lat = F.lit(45.0) + (F.col("c_custkey") % 200).cast("double") * F.lit(0.0001)
+    lon = F.lit(5.0) + ((F.col("c_custkey") * 7) % 200).cast("double") * F.lit(0.0001)
+    return c.select(
+        F.col("c_custkey").cast("string").alias("id"),
+        lat.alias("lat_d"),
+        lon.alias("lon_d"),
+    )
+
+
+def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "customer").select(F.count(F.lit(1)).alias("n_cust"))
+    u = F.col("o_custkey").cast("string")
+    v = ((F.col("o_orderkey") * 13 + 7) % F.col("n_cust")).cast("string")
+    lo, hi = canonical_edge(u, v)
+    return (
+        o.crossJoin(F.broadcast(n))
+        .select(lo.alias("src"), hi.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def derived_graph(spark: SparkSession, sf_dir: str) -> StreetGraph:
+    nodes = derived_nodes(spark, sf_dir).select(
+        "id",
+        F.col("lat_d").cast("string").alias("lat"),
+        F.col("lon_d").cast("string").alias("lon"),
+        "lat_d",
+        "lon_d",
+    )
+    return StreetGraph(nodes, derived_edges(spark, sf_dir))
+
+
+_NODES_SQL = """
+  SELECT CAST(c_custkey AS VARCHAR) AS id,
+         45.0 + (c_custkey % 200) * 0.0001 AS lat_d,
+         5.0  + ((c_custkey * 7) % 200) * 0.0001 AS lon_d
+  FROM customer
+"""
+
+_EDGES_SQL = """
+  SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst
+  FROM (
+    SELECT CAST(o_custkey AS VARCHAR) AS u,
+           CAST((o_orderkey * 13 + 7) % (SELECT COUNT(*) FROM customer) AS VARCHAR) AS v
+    FROM orders
+  )
+  WHERE u <> v
+"""
+
+
+def _hav_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Haversine in ANSI SQL, same formula shape/constant as the engine."""
+    return f"""({EARTH_RADIUS_M!r} * (2.0 * atan2(
+      sqrt(sin(radians(({lat2}) - ({lat1})) / 2.0) * sin(radians(({lat2}) - ({lat1})) / 2.0)
+        + sin(radians(({lon2}) - ({lon1})) / 2.0) * sin(radians(({lon2}) - ({lon1})) / 2.0)
+          * cos(radians({lat1})) * cos(radians({lat2}))),
+      sqrt(1.0 - (sin(radians(({lat2}) - ({lat1})) / 2.0) * sin(radians(({lat2}) - ({lat1})) / 2.0)
+        + sin(radians(({lon2}) - ({lon1})) / 2.0) * sin(radians(({lon2}) - ({lon1})) / 2.0)
+          * cos(radians({lat1})) * cos(radians({lat2})))))))"""
+
+
+def _cell_sql(lon: str, lat: str, res: int) -> str:
+    n = 1 << res
+    return (
+        f"({res} * 288230376151711744 "
+        f"+ ((CAST(floor((({lon}) + 180.0) / 360.0 * {float(n)!r}) AS BIGINT) % {n} + {n}) % {n}) * 536870912 "
+        f"+ greatest(0, least({n - 1}, CAST(floor((({lat}) + 90.0) / 180.0 * {float(n)!r}) AS BIGINT))))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_edge_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge canonicalization + dedup (S3/G4/M5 idioms)."""
+    return derived_edges(spark, sf_dir)
+
+
+SQL_EDGE_CANONICAL = f"SELECT src, dst FROM ({_EDGES_SQL})"
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — degree → node count, including isolated nodes (degree 0)."""
+    g = derived_graph(spark, sf_dir)
+    return (
+        g.degrees()
+        .groupBy(F.col("degree").cast("int").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+SQL_DEGREE_DISTRIBUTION = f"""
+WITH nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+deg AS (
+  SELECT n.id, CAST(COUNT(e.id) AS INT) AS degree
+  FROM nodes n LEFT JOIN ends e ON n.id = e.id GROUP BY n.id
+)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+def q_length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — floor(haversine metres) → link count."""
+    g = derived_graph(spark, sf_dir)
+    return (
+        g.edges_with_coords()
+        .select(F.floor("dist_m").cast("long").alias("length_m"))
+        .groupBy("length_m")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+SQL_LENGTH_DISTRIBUTION = f"""
+WITH nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+j AS (
+  SELECT {_hav_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")} AS dist_m
+  FROM edges e JOIN nodes a ON e.src = a.id JOIN nodes b ON e.dst = b.id
+)
+SELECT CAST(floor(dist_m) AS BIGINT) AS length_m, COUNT(*) AS n_links
+FROM j GROUP BY 1
+"""
+
+
+def q_coord_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate-hash node dedup on the cell index (north_star:
+    'node deduplication by coordinate hashing' / same-cell grouping)."""
+    nodes = derived_nodes(spark, sf_dir)
+    return (
+        nodes.withColumn("cell", cell_expr(F.col("lon_d"), F.col("lat_d"), CELL_RES))
+        .groupBy("cell", "lat_d", "lon_d")
+        .agg(F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("n_dup"))
+    )
+
+
+SQL_COORD_DEDUP = f"""
+WITH nodes AS ({_NODES_SQL})
+SELECT {_cell_sql("lon_d", "lat_d", CELL_RES)} AS cell, lat_d, lon_d,
+       min(id) AS rep_id, COUNT(*) AS n_dup
+FROM nodes GROUP BY 1, 2, 3
+"""
+
+
+def q_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — way splitting: consecutive-pair edges from ordered refs
+    (lineitem rows are the way's nd refs, ordered by linenumber)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+    return (
+        li.select(
+            F.col("l_orderkey").alias("way_id"),
+            F.col("l_partkey").cast("string").alias("src_ref"),
+            F.lead(F.col("l_partkey").cast("string")).over(w).alias("dst_ref"),
+        )
+        .filter(F.col("dst_ref").isNotNull())
+    )
+
+
+SQL_WAY_SPLIT = """
+SELECT way_id, src_ref, dst_ref FROM (
+  SELECT l_orderkey AS way_id,
+         CAST(l_partkey AS VARCHAR) AS src_ref,
+         lead(CAST(l_partkey AS VARCHAR)) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS dst_ref
+  FROM lineitem
+) WHERE dst_ref IS NOT NULL
+"""
+
+
+def q_discretize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 core — per-link part count floor(dist/delta) for split links."""
+    g = derived_graph(spark, sf_dir)
+    return (
+        g.edges_with_coords()
+        .select("src", "dst", F.floor(F.col("dist_m") / F.lit(DISC_DELTA)).alias("part"))
+        .filter(F.col("part") > 1)
+    )
+
+
+SQL_DISCRETIZE_PARTS = f"""
+WITH nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+j AS (
+  SELECT e.src, e.dst,
+         {_hav_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")} AS dist_m
+  FROM edges e JOIN nodes a ON e.src = a.id JOIN nodes b ON e.dst = b.id
+)
+SELECT src, dst, CAST(floor(dist_m / {DISC_DELTA!r}) AS BIGINT) AS part
+FROM j WHERE floor(dist_m / {DISC_DELTA!r}) > 1
+"""
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via md5 hash-groupBy over documents."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) over documents."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("int")
+        .alias("n_tokens"),
+    )
+
+
+SQL_DOC_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tokens
+FROM documents
+"""
+
+
+def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) — window functions over the events
+    stream table, the batch equivalent of a session window."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("timestamp").cast("long")) - F.min(F.col("ts").cast("timestamp").cast("long"))).alias(
+                "dur_seconds"
+            ),
+        )
+    )
+
+
+SQL_EVENT_SESSIONIZATION = """
+WITH g AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, tsec,
+         CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY tsec, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       max(tsec) - min(tsec) AS dur_seconds
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "edge_canonical_dedup": q_edge_canonical_dedup,
+    "degree_distribution": q_degree_distribution,
+    "length_distribution": q_length_distribution,
+    "coord_dedup": q_coord_dedup,
+    "way_split": q_way_split,
+    "discretize_parts": q_discretize_parts,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_token_count": q_doc_token_count,
+    "event_sessionization": q_event_sessionization,
+}
+
+ORACLES: dict[str, str] = {
+    "edge_canonical_dedup": SQL_EDGE_CANONICAL,
+    "degree_distribution": SQL_DEGREE_DISTRIBUTION,
+    "length_distribution": SQL_LENGTH_DISTRIBUTION,
+    "coord_dedup": SQL_COORD_DEDUP,
+    "way_split": SQL_WAY_SPLIT,
+    "discretize_parts": SQL_DISCRETIZE_PARTS,
+    "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+    "doc_token_count": SQL_DOC_TOKEN_COUNT,
+    "event_sessionization": SQL_EVENT_SESSIONIZATION,
+}

@@ -71,8 +71,12 @@ def parse_records(
         .dropDuplicates(["src", "dst"])
     )
 
-    # drop links whose endpoints are absent (reference panics instead)
-    node_ids = nodes.select("id")
+    # drop links whose endpoints are absent (reference panics instead).
+    # Existence only needs the DISTINCT id set — cheaper than re-running
+    # the first-wins window dedup once per join branch.
+    node_ids = (
+        parsed.filter(F.col("n") == 3).select(F.col("f")[0].alias("id")).distinct()
+    )
     edges = raw_edges.join(
         node_ids.withColumnRenamed("id", "src"), "src", "left_semi"
     ).join(node_ids.withColumnRenamed("id", "dst"), "dst", "left_semi").select("src", "dst")
