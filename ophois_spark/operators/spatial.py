@@ -1,0 +1,368 @@
+"""Spatial layer: cell joins, point-in-polygon, kNN, raster tiles.
+
+Graft-mandated operators (BASELINE.json north_star/north_rule) built
+from scratch on the engine's hierarchical cell index
+(kernels/cells.py — no h3/shapely in the sandbox, and the rule mandates
+from-scratch anyway):
+
+- ``with_cells``          cell id + integer grid coords as Column math
+- ``coord_dedup_salted``  same-cell coordinate-hash dedup with explicit
+                          two-phase salting for dense urban cells
+- ``same_cell_pairs``     intersection detection: same-cell node join
+- ``point_in_polygon``    bbox/cell prefilter + exact ray casting as
+                          pure Column expressions (no UDF)
+- ``knn_join``            nearest-node snapping via cell-ring expansion
+                          with a distance lower-bound guarantee, exact
+                          brute-force fallback for unresolved queries
+- ``tile_assignment``     edge → covering raster tiles at a zoom level
+- ``render_tiles``        per-tile uint8 rasterization (numpy Bresenham
+                          inside applyInPandas)
+
+Scale notes: every join here is an equi hash join on a cell key; dense
+cells (urban skew) are handled by AQE skew-join plus explicit salting in
+the aggregation paths; the kNN loop doubles the ring radius per round so
+the number of driver iterations is logarithmic.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ophois_spark.functions import cell_expr, haversine_m
+from ophois_spark.kernels.cells import MAX_RES, RES_BITS, X_BITS
+from ophois_spark.kernels.geo import EARTH_RADIUS_M
+
+M_PER_DEG = EARTH_RADIUS_M * math.pi / 180.0
+
+
+def grid_coords(lon, lat, res: int):
+    """(ix, iy) integer grid Columns at ``res`` (same math as cell_expr)."""
+    n = 1 << res
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    ix = ((ix % n) + n) % n
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    iy = F.greatest(F.lit(0), F.least(F.lit(n - 1), iy))
+    return ix, iy
+
+
+def cell_from_xy(ix, iy, res: int):
+    return (F.lit(res) * F.lit(1 << RES_BITS)) + ix * F.lit(1 << X_BITS) + iy
+
+
+def with_cells(df: DataFrame, res: int, lon_col: str = "lon_d", lat_col: str = "lat_d") -> DataFrame:
+    return df.withColumn("cell", cell_expr(F.col(lon_col), F.col(lat_col), res))
+
+
+def coord_dedup_salted(
+    nodes: DataFrame, res: int, n_salt: int = 16, lon_col: str = "lon_d", lat_col: str = "lat_d"
+) -> DataFrame:
+    """Coordinate-hash dedup with explicit two-phase (salted) aggregation.
+
+    Phase 1 groups by (cell, coords, salt) — the salt spreads a dense
+    cell's rows over ``n_salt`` reducers; phase 2 merges the partials.
+    Equivalent to the plain groupBy (tested) but immune to single-reducer
+    hot cells at 10^12 scale.
+    """
+    cells = with_cells(nodes, res, lon_col, lat_col)
+    salt = F.pmod(F.hash("id"), F.lit(n_salt)).alias("salt")
+    partial = (
+        cells.select("cell", lat_col, lon_col, "id", salt)
+        .groupBy("cell", lat_col, lon_col, "salt")
+        .agg(F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        partial.groupBy("cell", lat_col, lon_col)
+        .agg(F.min("rep_id").alias("rep_id"), F.sum("n_dup").alias("n_dup"))
+    )
+
+
+def same_cell_pairs(nodes: DataFrame, res: int) -> DataFrame:
+    """Intersection detection: distinct node pairs sharing a cell.
+
+    Self equi-join on the cell key (bounded shuffle); AQE skew-join
+    splits dense cells at runtime.
+    """
+    cells = with_cells(nodes, res).select("cell", "id", "lat_d", "lon_d")
+    a = cells.alias("a")
+    b = cells.alias("b")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            "cell",
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            haversine_m(
+                F.col("a.lon_d"), F.col("a.lat_d"), F.col("b.lon_d"), F.col("b.lat_d")
+            ).alias("dist_m"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# point in polygon
+# ---------------------------------------------------------------------------
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygon: list[tuple[float, float]],
+    lon_col: str = "lon_d",
+    lat_col: str = "lat_d",
+) -> DataFrame:
+    """Filter points inside ``polygon`` [(lon, lat), …] — even-odd rule.
+
+    bbox prefilter (pushdown-friendly Column compare) then exact ray
+    cast: count edges crossing the horizontal ray; all pure Column
+    expressions folded by codegen — no UDF, no shuffle beyond the
+    broadcast of a tiny edge table.
+    """
+    if len(polygon) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    spark = points.sparkSession
+    edges = [
+        (float(x1), float(y1), float(x2), float(y2))
+        for (x1, y1), (x2, y2) in zip(polygon, polygon[1:] + polygon[:1])
+    ]
+    edf = spark.createDataFrame(edges, "x1 double, y1 double, x2 double, y2 double")
+    min_x = min(e[0] for e in edges)
+    max_x = max(e[0] for e in edges)
+    min_y = min(e[1] for e in edges)
+    max_y = max(e[1] for e in edges)
+
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    boxed = points.filter(
+        (lon >= F.lit(min_x)) & (lon <= F.lit(max_x)) & (lat >= F.lit(min_y)) & (lat <= F.lit(max_y))
+    )
+    crosses = (
+        ((F.col("y1") > lat) != (F.col("y2") > lat))
+        & (
+            lon
+            < (F.col("x2") - F.col("x1")) * (lat - F.col("y1")) / (F.col("y2") - F.col("y1"))
+            + F.col("x1")
+        )
+    )
+    return (
+        boxed.crossJoin(F.broadcast(edf))
+        .groupBy(*points.columns)
+        .agg(F.sum(crosses.cast("int")).alias("_crossings"))
+        .filter(F.col("_crossings") % 2 == 1)
+        .drop("_crossings")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN via cell-ring expansion
+# ---------------------------------------------------------------------------
+
+
+def knn_join(
+    nodes: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int,
+    max_ring: int = 8,
+    query_id: str = "qid",
+) -> DataFrame:
+    """k nearest nodes per query point, exact.
+
+    Round r joins each unresolved query to all node cells within
+    Chebyshev ring r (ring doubles per round). A query resolves when it
+    has ≥ k candidates whose k-th distance is ≤ the lower bound of any
+    cell beyond the ring (r × min cell extent in metres at the query's
+    latitude). Stragglers after ``max_ring`` fall back to an exact
+    brute-force join. Output: (qid, rank, id, dist_m) with rank 1..k by
+    (dist rounded to 1e-6 m, id) — rounding puts the ordering far above
+    cross-backend libm noise while keeping it total.
+
+    Reference analogue: none (graft-mandated, north_star "kNN
+    nearest-node snapping via cell-ring expansion").
+    """
+    n = 1 << res
+    m_y = (180.0 / n) * M_PER_DEG  # cell height in metres
+    nodes_c = with_cells(nodes, res).select(
+        "cell", F.col("id"), F.col("lat_d").alias("n_lat"), F.col("lon_d").alias("n_lon")
+    )
+
+    qix, qiy = grid_coords(F.col("q_lon"), F.col("q_lat"), res)
+    pending = queries.select(
+        F.col(query_id).alias("qid"), F.col("lat_d").alias("q_lat"), F.col("lon_d").alias("q_lon")
+    ).withColumns({"qix": qix.cast("long"), "qiy": qiy.cast("long")})
+
+    results = []
+    r = 1
+    while r <= max_ring:
+        ring = (
+            pending.withColumn("dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("nx", ((F.col("qix") + F.col("dx")) % n + n) % n)
+            .withColumn("ny", F.col("qiy") + F.col("dy"))
+            .filter((F.col("ny") >= 0) & (F.col("ny") < n))
+            .withColumn("cell", cell_from_xy(F.col("nx"), F.col("ny"), res))
+        )
+        cand = ring.join(nodes_c, "cell").withColumn(
+            "dist_m",
+            haversine_m(F.col("q_lon"), F.col("q_lat"), F.col("n_lon"), F.col("n_lat")),
+        )
+        w = Window.partitionBy("qid").orderBy(F.round("dist_m", 6), "id")
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "q_lat", "rank", "id", "dist_m")
+        )
+        # per-query lower bound for anything outside ring r (metres)
+        m_x = F.lit((360.0 / n) * M_PER_DEG) * F.greatest(
+            F.lit(0.0), F.cos(F.radians(F.abs(F.col("q_lat")) + F.lit(r * 180.0 / n)))
+        )
+        bound = F.lit(r) * F.least(F.lit(m_y), m_x)
+        stats = topk.groupBy("qid").agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.max("dist_m").alias("kth"),
+            F.first("q_lat").alias("q_lat"),
+        )
+        whole_grid = (2 * r + 1) >= n
+        resolved_q = stats.filter(
+            F.lit(whole_grid) | ((F.col("n_cand") >= k) & (F.col("kth") <= bound))
+        ).select("qid")
+        results.append(
+            topk.join(resolved_q, "qid", "left_semi").select("qid", "rank", "id", "dist_m")
+        )
+        pending = pending.join(resolved_q, "qid", "left_anti").localCheckpoint(eager=True)
+        if pending.isEmpty():
+            pending = None
+            break
+        r *= 2
+
+    if pending is not None and not pending.isEmpty():
+        # exact brute-force fallback for stragglers (sparse regions)
+        cand = pending.crossJoin(nodes_c.drop("cell")).withColumn(
+            "dist_m",
+            haversine_m(F.col("q_lon"), F.col("q_lat"), F.col("n_lon"), F.col("n_lat")),
+        )
+        w = Window.partitionBy("qid").orderBy(F.round("dist_m", 6), "id")
+        results.append(
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "id", "dist_m")
+        )
+
+    out = results[0]
+    for more in results[1:]:
+        out = out.unionByName(more)
+    return out
+
+
+def knn_bruteforce(nodes: DataFrame, queries: DataFrame, k: int, query_id: str = "qid") -> DataFrame:
+    """Exact O(Q×N) baseline (bench comparator + oracle twin)."""
+    nodes_c = nodes.select(
+        "id", F.col("lat_d").alias("n_lat"), F.col("lon_d").alias("n_lon")
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col("lat_d").alias("q_lat"), F.col("lon_d").alias("q_lon")
+    )
+    cand = q.crossJoin(nodes_c).withColumn(
+        "dist_m", haversine_m(F.col("q_lon"), F.col("q_lat"), F.col("n_lon"), F.col("n_lat"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.round("dist_m", 6), "id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "id", "dist_m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster tiles
+# ---------------------------------------------------------------------------
+
+
+def tile_assignment(edges_with_coords: DataFrame, zoom: int) -> DataFrame:
+    """Edge → covering tiles at ``zoom`` (equirectangular tiling).
+
+    A segment is assigned to every tile its bounding box overlaps —
+    the per-tile edge assignment the north_star pins for parity. Pure
+    Column math: floor-scale each endpoint, explode the tile range.
+    """
+    n = 1 << zoom
+    tx = lambda lon: F.greatest(  # noqa: E731
+        F.lit(0), F.least(F.lit(n - 1), F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n))
+    )
+    ty = lambda lat: F.greatest(  # noqa: E731
+        F.lit(0), F.least(F.lit(n - 1), F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n))
+    )
+    e = edges_with_coords.withColumns(
+        {
+            "tx0": tx(F.least("src_lon_d", "dst_lon_d")),
+            "tx1": tx(F.greatest("src_lon_d", "dst_lon_d")),
+            "ty0": ty(F.least("src_lat_d", "dst_lat_d")),
+            "ty1": ty(F.greatest("src_lat_d", "dst_lat_d")),
+        }
+    )
+    return e.select(
+        "src",
+        "dst",
+        "src_lon_d",
+        "src_lat_d",
+        "dst_lon_d",
+        "dst_lat_d",
+        F.explode(F.sequence("tx0", "tx1")).alias("tile_x"),
+        "ty0",
+        "ty1",
+    ).select(
+        "src",
+        "dst",
+        "src_lon_d",
+        "src_lat_d",
+        "dst_lon_d",
+        "dst_lat_d",
+        "tile_x",
+        F.explode(F.sequence("ty0", "ty1")).alias("tile_y"),
+    )
+
+
+def render_tiles(edges_with_coords: DataFrame, zoom: int, tile_px: int = 256) -> DataFrame:
+    """Rasterize edges per tile → (zoom, tile_x, tile_y, n_edges, pixels).
+
+    ``pixels`` is a tile_px×tile_px uint8 grid (PNG-less — no imaging
+    libs in the sandbox; the bytes are the raster). Bresenham runs
+    vectorized-ish in numpy inside ``applyInPandas`` — one task per
+    tile group, the engine's raster↔vector bridge.
+    """
+    n = 1 << zoom
+    tiles = tile_assignment(edges_with_coords, zoom)
+
+    def raster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        zx, zy = int(key[0]), int(key[1])
+        lon0 = zx / n * 360.0 - 180.0
+        lat0 = zy / n * 180.0 - 90.0
+        sx = tile_px / (360.0 / n)
+        sy = tile_px / (180.0 / n)
+        img = np.zeros((tile_px, tile_px), dtype=np.uint8)
+        x0 = ((pdf["src_lon_d"].to_numpy() - lon0) * sx).astype(np.int64)
+        y0 = ((pdf["src_lat_d"].to_numpy() - lat0) * sy).astype(np.int64)
+        x1 = ((pdf["dst_lon_d"].to_numpy() - lon0) * sx).astype(np.int64)
+        y1 = ((pdf["dst_lat_d"].to_numpy() - lat0) * sy).astype(np.int64)
+        for a, b, c, d in zip(x0, y0, x1, y1):
+            steps = int(max(abs(c - a), abs(d - b))) + 1
+            xs = np.linspace(a, c, steps).round().astype(np.int64)
+            ys = np.linspace(b, d, steps).round().astype(np.int64)
+            keep = (xs >= 0) & (xs < tile_px) & (ys >= 0) & (ys < tile_px)
+            img[ys[keep], xs[keep]] = 255
+        return pd.DataFrame(
+            {
+                "zoom": [zoom],
+                "tile_x": [zx],
+                "tile_y": [zy],
+                "n_edges": [len(pdf)],
+                "pixels": [img.tobytes()],
+            }
+        )
+
+    return tiles.groupBy("tile_x", "tile_y").applyInPandas(
+        raster, "zoom int, tile_x long, tile_y long, n_edges long, pixels binary"
+    )

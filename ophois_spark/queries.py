@@ -338,3 +338,135 @@ ORACLES: dict[str, str] = {
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
     "event_sessionization": SQL_EVENT_SESSIONIZATION,
 }
+
+
+# ---------------------------------------------------------------------------
+# spatial queries (appended registry below)
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+KNN_RES = 18
+TILE_ZOOM = 14
+
+# concave admin polygon over the derived-node area [(lon, lat), ...]
+PIP_POLYGON = [
+    (5.0001, 44.9999),
+    (5.0121, 44.9999),
+    (5.0121, 45.0061),
+    (5.0041, 45.0061),
+    (5.0041, 45.0161),
+    (5.0001, 45.0161),
+]
+
+
+def q_knn_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN nearest-node snapping via cell-ring expansion (north_star);
+    exact — verified against a brute-force oracle."""
+    from ophois_spark.operators.spatial import knn_join
+
+    nodes = derived_nodes(spark, sf_dir)
+    queries = nodes.filter((F.col("id").cast("long") % 29) == 0).select(
+        F.col("id").alias("qid"), "lat_d", "lon_d"
+    )
+    out = knn_join(nodes, queries, k=KNN_K, res=KNN_RES)
+    return out.select("qid", F.col("rank").cast("int").alias("rank"), "id")
+
+
+SQL_KNN_NODES = f"""
+WITH nodes AS ({_NODES_SQL}),
+q AS (SELECT id AS qid, lat_d AS q_lat, lon_d AS q_lon FROM nodes
+      WHERE CAST(id AS BIGINT) % 29 = 0),
+c AS (
+  SELECT q.qid, n.id,
+         round({_hav_sql("q.q_lat", "q.q_lon", "n.lat_d", "n.lon_d")}, 6) AS d
+  FROM q CROSS JOIN nodes n
+),
+r AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY d, id) AS INT) AS rank
+      FROM c)
+SELECT qid, rank, id FROM r WHERE rank <= {KNN_K}
+"""
+
+
+def q_pip_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon admin-boundary clipping (north_star) — exact
+    ray casting as Column expressions, bbox prefiltered."""
+    from ophois_spark.operators.spatial import point_in_polygon
+
+    nodes = derived_nodes(spark, sf_dir)
+    return point_in_polygon(nodes, PIP_POLYGON).select("id")
+
+
+def _pip_sql() -> str:
+    edges = list(zip(PIP_POLYGON, PIP_POLYGON[1:] + PIP_POLYGON[:1]))
+    vals = ", ".join(f"({x1!r}, {y1!r}, {x2!r}, {y2!r})" for (x1, y1), (x2, y2) in edges)
+    min_x = min(p[0] for p in PIP_POLYGON)
+    max_x = max(p[0] for p in PIP_POLYGON)
+    min_y = min(p[1] for p in PIP_POLYGON)
+    max_y = max(p[1] for p in PIP_POLYGON)
+    return f"""
+WITH nodes AS ({_NODES_SQL}),
+poly(x1, y1, x2, y2) AS (VALUES {vals}),
+boxed AS (
+  SELECT * FROM nodes
+  WHERE lon_d >= {min_x!r} AND lon_d <= {max_x!r}
+    AND lat_d >= {min_y!r} AND lat_d <= {max_y!r}
+),
+hits AS (
+  SELECT b.id,
+         SUM(CASE WHEN ((p.y1 > b.lat_d) <> (p.y2 > b.lat_d))
+                   AND (b.lon_d < (p.x2 - p.x1) * (b.lat_d - p.y1) / (p.y2 - p.y1) + p.x1)
+             THEN 1 ELSE 0 END) AS crossings
+  FROM boxed b CROSS JOIN poly p GROUP BY b.id
+)
+SELECT id FROM hits WHERE crossings % 2 = 1
+"""
+
+
+SQL_PIP_CLIP = _pip_sql()
+
+
+def q_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster tile assignment: every edge → the tiles its bbox overlaps
+    (the per-tile edge assignment the north_star pins for parity)."""
+    from ophois_spark.operators.spatial import tile_assignment
+
+    g = derived_graph(spark, sf_dir)
+    t = tile_assignment(g.edges_with_coords(), TILE_ZOOM)
+    return t.select("src", "dst", F.col("tile_x").cast("long"), F.col("tile_y").cast("long"))
+
+
+def _tile_sql() -> str:
+    n = 1 << TILE_ZOOM
+    def tx(c: str) -> str:
+        return f"greatest(0, least({n - 1}, CAST(floor(({c} + 180.0) / 360.0 * {n}) AS BIGINT)))"
+    def ty(c: str) -> str:
+        return f"greatest(0, least({n - 1}, CAST(floor(({c} + 90.0) / 180.0 * {n}) AS BIGINT)))"
+    return f"""
+WITH nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+j AS (
+  SELECT e.src, e.dst,
+         {tx("least(a.lon_d, b.lon_d)")} AS tx0, {tx("greatest(a.lon_d, b.lon_d)")} AS tx1,
+         {ty("least(a.lat_d, b.lat_d)")} AS ty0, {ty("greatest(a.lat_d, b.lat_d)")} AS ty1
+  FROM edges e JOIN nodes a ON e.src = a.id JOIN nodes b ON e.dst = b.id
+),
+xs AS (SELECT src, dst, ty0, ty1, unnest(generate_series(tx0, tx1)) AS tile_x FROM j)
+SELECT src, dst, tile_x, unnest(generate_series(ty0, ty1)) AS tile_y FROM xs
+"""
+
+
+SQL_TILE_ASSIGNMENT = _tile_sql()
+
+QUERIES.update(
+    {
+        "knn_nodes": q_knn_nodes,
+        "pip_clip": q_pip_clip,
+        "tile_assignment": q_tile_assignment,
+    }
+)
+ORACLES.update(
+    {
+        "knn_nodes": SQL_KNN_NODES,
+        "pip_clip": SQL_PIP_CLIP,
+        "tile_assignment": SQL_TILE_ASSIGNMENT,
+    }
+)

@@ -1,0 +1,117 @@
+"""Spatial layer tests: salted dedup, PIP, kNN, tiles."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ophois_spark.operators.spatial import (
+    coord_dedup_salted,
+    knn_bruteforce,
+    knn_join,
+    point_in_polygon,
+    render_tiles,
+    same_cell_pairs,
+    tile_assignment,
+)
+from ophois_spark.queries import derived_graph, derived_nodes
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_coord_dedup_salted_equals_plain(spark):
+    nodes = derived_nodes(spark, SF)
+    salted = coord_dedup_salted(nodes, 18, n_salt=8)
+    plain = (
+        nodes.withColumn("cell", F.lit(None))
+        .groupBy("lat_d", "lon_d")
+        .agg(F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("n_dup"))
+    )
+    a = sorted(
+        (r["lat_d"], r["lon_d"], r["rep_id"], r["n_dup"]) for r in salted.collect()
+    )
+    b = sorted((r["lat_d"], r["lon_d"], r["rep_id"], r["n_dup"]) for r in plain.collect())
+    assert a == b
+
+
+def test_same_cell_pairs(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("a", 48.00001, 2.00001),
+            ("b", 48.00002, 2.00002),  # same fine cell as a
+            ("c", 49.5, 3.5),  # far away
+        ],
+        "id string, lat_d double, lon_d double",
+    )
+    pairs = same_cell_pairs(nodes, 16).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [("a", "b")]
+    assert pairs[0]["dist_m"] < 5.0
+
+
+def _pip_oracle(polygon, x, y):
+    inside = False
+    for (x1, y1), (x2, y2) in zip(polygon, polygon[1:] + polygon[:1]):
+        if (y1 > y) != (y2 > y) and x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+def test_point_in_polygon_nonconvex(spark):
+    # concave "L" polygon
+    poly = [(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0)]
+    rng = np.random.default_rng(3)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(rng.uniform(-1, 5, 200), rng.uniform(-1, 4, 200)))]
+    df = spark.createDataFrame(pts, "pid long, lon_d double, lat_d double")
+    got = sorted(r["pid"] for r in point_in_polygon(df, poly).collect())
+    want = sorted(p[0] for p in pts if _pip_oracle(poly, p[1], p[2]))
+    assert got == want
+    assert len(want) > 10  # sanity: test actually covers inside points
+
+
+def test_knn_matches_bruteforce(spark):
+    g = derived_graph(spark, SF)
+    nodes = g.nodes.select("id", "lat_d", "lon_d")
+    queries = nodes.filter((F.col("id").cast("long") % 29) == 0).select(
+        F.col("id").alias("qid"), "lat_d", "lon_d"
+    )
+    fast = knn_join(nodes, queries, k=5, res=18).toPandas()
+    slow = knn_bruteforce(nodes, queries, k=5).toPandas()
+    key = ["qid", "rank"]
+    fast = fast.sort_values(key).reset_index(drop=True)
+    slow = slow.sort_values(key).reset_index(drop=True)
+    assert fast[["qid", "rank", "id"]].values.tolist() == slow[["qid", "rank", "id"]].values.tolist()
+
+
+def test_knn_fewer_nodes_than_k(spark):
+    nodes = spark.createDataFrame(
+        [("a", 48.0, 2.0), ("b", 48.001, 2.001)], "id string, lat_d double, lon_d double"
+    )
+    q = spark.createDataFrame([("q1", 48.0005, 2.0005)], "qid string, lat_d double, lon_d double")
+    out = knn_join(nodes, q, k=5, res=18).collect()
+    assert sorted(r["id"] for r in out) == ["a", "b"]
+
+
+def test_tile_assignment_spans(spark):
+    e = spark.createDataFrame(
+        [("u", "v", 0.05, 45.02, 0.41, 45.33)],
+        "src string, dst string, src_lon_d double, src_lat_d double, dst_lon_d double, dst_lat_d double",
+    )
+    zoom = 10  # tile = 0.3515625° x 0.17578125°
+    tiles = tile_assignment(e, zoom).collect()
+    txs = sorted({t["tile_x"] for t in tiles})
+    tys = sorted({t["tile_y"] for t in tiles})
+    assert len(tiles) == len(txs) * len(tys)  # full bbox coverage
+    assert len(txs) >= 2 and len(tys) >= 2
+
+
+def test_render_tiles_pixels(spark):
+    e = spark.createDataFrame(
+        [("u", "v", 0.01, 45.01, 0.02, 45.02), ("v", "w", 0.02, 45.02, 0.03, 45.01)],
+        "src string, dst string, src_lon_d double, src_lat_d double, dst_lon_d double, dst_lat_d double",
+    )
+    out = render_tiles(e, zoom=8, tile_px=64).collect()
+    assert len(out) >= 1
+    total_on = 0
+    for t in out:
+        img = np.frombuffer(t["pixels"], dtype=np.uint8)
+        assert img.size == 64 * 64
+        total_on += int((img == 255).sum())
+    assert total_on > 0
