@@ -1,0 +1,115 @@
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+- ``cosine_topk``      exact brute-force top-k (baseline + oracle twin)
+- ``lsh_buckets``      deterministic sign-projection buckets (the scale
+                       path: candidate generation within buckets)
+- ``ann_topk``         ANN = top-k within the query's LSH bucket
+
+Cosine math uses ``zip_with``/``aggregate`` Column folds (JVM, double
+accumulation, sequential — deterministic). Rankings use values rounded
+to 1e-6 with id tie-breaks so cross-backend float noise (~1e-13) can't
+reorder them.
+
+Hyperplanes for LSH are integer-weight vectors derived from (plane j,
+dim d) arithmetic — deterministic and expressible in SQL for the
+oracle; no RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (qid, rank, vec_id, sim)."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col("embedding")).alias("qv"))
+    sims = q.crossJoin(base).select(
+        "qid", "vec_id", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("int").alias("rank"), "vec_id", "sim")
+    )
+
+
+def plane_weight(j: Column | int, d: Column | int) -> Column:
+    """Deterministic integer hyperplane weight in [-3, 3]."""
+    jj = F.lit(j) if isinstance(j, int) else j
+    dd = F.lit(d) if isinstance(d, int) else d
+    return ((dd * 31 + jj * 17) % 7 - 3).cast("double")
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, bucket): bucket bit j = (rounded projection onto plane j) >= 0."""
+    v = _as_double(F.col("embedding"))
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
+                lambda x, d: x * plane_weight(j, d),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = (F.round(proj, 6) >= 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, j)
+    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def ann_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Approximate top-k: brute force restricted to the query's bucket.
+
+    At 10^12 scale the bucket join replaces the O(Q×N) cross join with
+    an equi join on the bucket key; recall is tested (pytest), not
+    oracled — it's approximate by construction.
+    """
+    b = lsh_buckets(embeddings, n_planes)
+    base = embeddings.join(b, "vec_id").select(
+        "bucket", "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    qb = queries.join(b, "vec_id").select(
+        F.col("vec_id").alias("qid"),
+        "bucket",
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    sims = qb.join(base, "bucket").select(
+        "qid", "vec_id", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("int").alias("rank"), "vec_id", "sim")
+    )

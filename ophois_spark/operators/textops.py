@@ -1,0 +1,76 @@
+"""Text analysis operators over the documents table.
+
+Training-data-pipeline primitives (graft checklist): token counting,
+quality scoring, language-ID heuristic, document fingerprinting. All
+pure Column expressions (JVM-side, codegen) — no Python in the hot
+path; every operator has an ANSI-SQL twin for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles (n-gram/stopword heuristic)
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "eine", "mit", "von"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "et", "un", "une", "de", "des", "est", "que"],
+}
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _count_in(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality signals: sizes + stopword/alpha/punct ratios.
+
+    Ratios are exact int/int double divisions (bit-stable across
+    engines). Empty docs get 0 tokens and null ratios.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks)).cast("int")
+    n_alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    n_stop = _count_in(toks, STOPWORDS_EN)
+    return docs.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.when(n_chars > 0, n_alpha.cast("double") / n_chars.cast("double")).alias(
+            "alpha_ratio"
+        ),
+        F.when(n_tokens > 0, n_stop.cast("double") / n_tokens.cast("double")).alias(
+            "stop_ratio"
+        ),
+        F.when(n_tokens > 0, n_chars.cast("double") / n_tokens.cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID with deterministic tie-break
+    (profile order de > en > fr on equal scores)."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    s = {lang: _count_in(toks, words) for lang, words in LANG_PROFILES.items()}
+    pred = (
+        F.when((s["de"] >= s["en"]) & (s["de"] >= s["fr"]), F.lit("de"))
+        .when(s["en"] >= s["fr"], F.lit("en"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 of the whitespace-normalized
+    token stream — the exact-dedup key robust to formatting noise."""
+    canon = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return docs.select("doc_id", F.md5(canon).alias("fp"))

@@ -470,3 +470,223 @@ ORACLES.update(
         "tile_assignment": SQL_TILE_ASSIGNMENT,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity queries
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = r"""
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+"""
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM ({_TOKS_SQL}) WHERE len(t) >= 3)
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.textops import quality_features
+
+    return quality_features(load(spark, sf_dir, "documents"))
+
+
+def _quality_sql() -> str:
+    from ophois_spark.operators.textops import STOPWORDS_EN
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return rf"""
+WITH toks AS ({_TOKS_SQL})
+SELECT d.doc_id,
+       CAST(length(d.text) AS INT) AS n_chars,
+       CAST(CASE WHEN trim(d.text) = '' THEN 0 ELSE len(t.t) END AS INT) AS n_tokens,
+       CASE WHEN length(d.text) > 0 THEN
+         CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / CAST(length(d.text) AS DOUBLE) END AS alpha_ratio,
+       CASE WHEN trim(d.text) <> '' AND len(t.t) > 0 THEN
+         CAST(len(list_filter(t.t, x -> x IN ({stops}))) AS DOUBLE)
+           / CAST(len(t.t) AS DOUBLE) END AS stop_ratio,
+       CASE WHEN trim(d.text) <> '' AND len(t.t) > 0 THEN
+         CAST(length(d.text) AS DOUBLE) / CAST(len(t.t) AS DOUBLE) END AS chars_per_token
+FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+"""
+
+
+SQL_DOC_QUALITY = _quality_sql()
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.textops import lang_id
+
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    from ophois_spark.operators.textops import LANG_PROFILES
+
+    def score(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        return f"len(list_filter(lt, x -> x IN ({words})))"
+
+    return rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS lt FROM documents),
+s AS (SELECT doc_id, {score("de")} AS s_de, {score("en")} AS s_en, {score("fr")} AS s_fr FROM toks)
+SELECT doc_id,
+       CASE WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_fr THEN 'en' ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
+SQL_DOC_LANG_ID = _lang_sql()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.textops import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp FROM documents
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+seeded AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS j FROM sh),
+sig AS (
+  SELECT doc_id, j,
+         min(md5(lpad(CAST(j AS VARCHAR), 2, '0') || '§' || shingle)) AS sig
+  FROM seeded GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, CAST(j // 2 AS INT) AS band,
+         md5(string_agg(lpad(CAST(j AS VARCHAR), 2, '0') || ':' || sig, '|'
+             ORDER BY lpad(CAST(j AS VARCHAR), 2, '0') || ':' || sig)) AS band_key
+  FROM sig GROUP BY doc_id, CAST(j // 2 AS INT)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.dedup import shingle_jaccard_pairs
+
+    return shingle_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+SQL_SHINGLE_JACCARD = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+sets AS (SELECT doc_id, list(shingle) AS s, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+       CAST(a.n + b.n - len(list_intersect(a.s, b.s)) AS BIGINT) AS union_n,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / CAST(a.n + b.n - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+FROM pairs p JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id
+"""
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+SQL_DOC_SIMHASH = f"""
+WITH toks AS ({_TOKS_SQL}),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+bits AS (
+  SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS s
+  FROM (SELECT doc_id, h, unnest(generate_series(0, 59)) AS b FROM h)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+EMB_K = 3
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(emb, q, k=EMB_K)
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+c AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS sim
+  FROM q CROSS JOIN embeddings e
+),
+r AS (SELECT qid, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM c)
+SELECT qid, rank, vec_id, sim FROM r WHERE rank <= {EMB_K}
+"""
+
+
+def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.similarity import lsh_buckets
+
+    return lsh_buckets(load(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_LSH_BUCKETS = """
+WITH z AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+         unnest(generate_series(0, len(embedding) - 1)) AS d
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, j, round(SUM(val * (((d * 31 + j * 17) % 7) - 3)), 6) AS proj
+  FROM (SELECT vec_id, val, d, unnest(generate_series(0, 7)) AS j FROM z)
+  GROUP BY vec_id, j
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+FROM p GROUP BY vec_id
+"""
+
+QUERIES.update(
+    {
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "shingle_jaccard": q_shingle_jaccard,
+        "doc_simhash": q_doc_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    }
+)
+ORACLES.update(
+    {
+        "doc_quality": SQL_DOC_QUALITY,
+        "doc_lang_id": SQL_DOC_LANG_ID,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+        "shingle_jaccard": SQL_SHINGLE_JACCARD,
+        "doc_simhash": SQL_DOC_SIMHASH,
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+        "embedding_lsh_buckets": SQL_EMBEDDING_LSH_BUCKETS,
+    }
+)

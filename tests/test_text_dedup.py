@@ -1,0 +1,82 @@
+"""Behavioral tests: dedup quality, ANN recall, kernel/DataFrame parity."""
+
+from pyspark.sql import functions as F
+
+from ophois_spark.kernels.text import hamming60, minhash_sig, simhash60
+from ophois_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures, simhash
+from ophois_spark.operators.similarity import ann_topk, cosine_topk, lsh_buckets
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base.replace("today", "tonight")),  # near-dup of 1
+            (3, "completely different content about spark shuffles and joins here"),
+            (4, base),  # exact dup of 1
+        ],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup collides in some band
+    assert all(3 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_signatures_match_kernel(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [(7, text)])
+    rows = minhash_signatures(docs).orderBy("j").collect()
+    toks = text.split()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    assert [r["sig"] for r in rows] == minhash_sig(shingles)
+
+
+def test_simhash_matches_kernel_and_hamming(spark):
+    t1 = "spark shuffles partition data across the cluster for joins"
+    t2 = "spark shuffles partition data across the cluster for aggregations"
+    t3 = "entirely unrelated words about street graphs and osm extracts"
+    docs = _docs(spark, [(1, t1), (2, t2), (3, t3)])
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    for did, text in [(1, t1), (2, t2), (3, t3)]:
+        assert got[did] == simhash60(text.split())
+    assert hamming60(got[1], got[2]) < hamming60(got[1], got[3])
+
+
+def test_ann_recall_against_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(emb, q, k=10).toPandas()
+    approx = ann_topk(emb, q, k=10).toPandas()
+    # rank-1 self-match always survives bucketing (query is in its own bucket)
+    self_hits = approx[(approx["rank"] == 1)]
+    assert (self_hits["qid"] == self_hits["vec_id"]).all()
+    # recall@10 of bucket-restricted search vs exact. Embeddings here are
+    # RANDOM (no cluster structure), the worst case for LSH — the bar is
+    # "far above the random-candidate baseline", not absolute recall.
+    ex = {(r.qid, r.vec_id) for r in exact.itertuples()}
+    ap = {(r.qid, r.vec_id) for r in approx.itertuples()}
+    recall8 = len(ex & ap) / len(ex)
+    n = emb.count()
+    avg_bucket = lsh_buckets(emb).groupBy("bucket").count().agg(F.avg("count")).collect()[0][0]
+    random_baseline = avg_bucket / n
+    assert recall8 > 3 * random_baseline, (recall8, random_baseline)
+    # fewer planes → bigger buckets → higher recall (the tuning knob)
+    approx4 = ann_topk(emb, q, k=10, n_planes=4).toPandas()
+    ap4 = {(r.qid, r.vec_id) for r in approx4.itertuples()}
+    recall4 = len(ex & ap4) / len(ex)
+    assert recall4 >= recall8
+
+
+def test_lsh_buckets_distribution(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    b = lsh_buckets(emb)
+    n_buckets = b.select("bucket").distinct().count()
+    assert 2 <= n_buckets <= 256
