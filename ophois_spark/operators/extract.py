@@ -68,9 +68,26 @@ def graph_from_pages(
     cluster job would make between ingest and graph build.
     """
     records = extract_page_records(pages, separator)
+    # dedup order key: (page hash, pos) — 8 bytes instead of the url
+    # string through every shuffle; still a deterministic total order
+    # standing in for the reference's stdin arrival order (goldens are
+    # order-insensitive; first-wins just needs determinism)
+    records = records.select(
+        F.xxhash64("url").alias("pg"), "pos", "line"
+    )
     if persist_records:
         from pyspark import StorageLevel
 
         records = records.persist(StorageLevel.MEMORY_AND_DISK)
-    g, _ = parse_records(records, ["url", "pos"], separator=separator, strict=strict)
+    g, _ = parse_records(
+        records,
+        ["pg", "pos"],
+        separator=separator,
+        strict=strict,
+        materialize_nodes=persist_records,
+    )
+    if persist_records:
+        from pyspark import StorageLevel
+
+        g = StreetGraph(g.nodes, g.edges.persist(StorageLevel.MEMORY_AND_DISK))
     return g

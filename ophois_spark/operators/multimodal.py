@@ -1,0 +1,176 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Training-data-pipeline primitives for image/audio/video columns. The
+engine treats media as an opaque ``binary`` column with typed metadata,
+exactly the shape a 100 TB WARC-derived table has; everything Spark-side
+(schema, partitioning, Arrow batch transfer, ``mapInPandas`` signatures)
+is real and tested. Actual codec decode (JPEG/PNG/PCM/H264) is STUBBED —
+no imaging/audio libraries exist in the sandbox — behind
+``decode_image``/``decode_audio`` which raise ``NotImplementedError``;
+the tested path uses a deterministic fake decode over the payload bytes
+so parity against the DuckDB oracle is exact.
+
+The synthetic media payload is derived from ``documents.text`` (the
+repeated md5 hex digest, UTF-8 bytes) so every byte is reconstructible
+in ANSI SQL — which is what makes the oracle gate possible for binary
+plumbing. A real deployment swaps ``media_from_documents`` for a scan of
+the WARC payload column; every downstream operator is unchanged.
+
+Reference analogue: none (graft-mandated category; the reference is a
+street-graph tool). Scale notes: payload bytes never leave the executor
+— metadata is computed either JVM-side (octet_length/md5 Columns) or in
+Arrow-batched ``mapInPandas`` with only small typed results returned;
+no driver collect, no shuffle on payload bytes except the initial
+columnar scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FRAME_BYTES = 8  # fake "frame" granularity for the sampling operator
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """documents → media(doc_id, media_type, payload binary).
+
+    Deterministic synthetic payload: UTF-8 bytes of ``repeat(md5(text),
+    1 + doc_id % 7)`` (32..224 bytes); media_type cycles
+    image/audio/video by doc_id. Stands in for real WARC media bytes.
+    """
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    payload = F.encode(
+        F.expr("repeat(md5(text), 1 + cast(doc_id % 7 as int))"), "UTF-8"
+    )
+    return docs.select(
+        "doc_id", mtype.alias("media_type"), payload.alias("payload")
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Typed metadata from the opaque payload — pure Column expressions
+    (octet_length/md5 run JVM-side inside codegen; payload is never
+    deserialized into Python)."""
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("int").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real image decode — STUB (no PIL/opencv in the sandbox).
+
+    A deployment with codec libs replaces this body; callers
+    (``media_features``) use ``_fake_decode`` until then.
+    """
+    raise NotImplementedError("image codecs unavailable in this environment")
+
+
+def decode_audio(payload: bytes) -> "np.ndarray":
+    """Real audio decode — STUB (no soundfile/ffmpeg in the sandbox)."""
+    raise NotImplementedError("audio codecs unavailable in this environment")
+
+
+def _fake_decode(buf: np.ndarray) -> tuple[int, int, float]:
+    """Deterministic stand-in decode: (width, height, mean sampled byte).
+
+    width/height from the first two payload bytes, mean over every 4th
+    byte — integer-derived doubles, bit-stable across engines.
+    """
+    width = 1 + int(buf[0]) % 64
+    height = 1 + int(buf[1]) % 64
+    mean_val = float(buf[::4].astype(np.float64).mean())
+    return width, height, mean_val
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Per-media feature extraction over raw bytes via ``mapInPandas``.
+
+    The Arrow batch carries the binary column into Python once; numpy
+    does the byte math; only the small typed feature row returns. This
+    is the exact plumbing a real decode-and-featurize stage uses — swap
+    ``_fake_decode`` for ``decode_image``/``decode_audio`` on a cluster
+    with codec libs.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widths, heights, means, sizes = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                w, h, m = _fake_decode(buf)
+                ids.append(doc_id)
+                widths.append(w)
+                heights.append(h)
+                means.append(m)
+                sizes.append(len(buf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "mean_val": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        feats, "doc_id long, n_bytes int, width int, height int, mean_val double"
+    )
+
+
+def sample_frames(media: DataFrame, every: int = 3) -> DataFrame:
+    """Frame sampling for video-like payloads: every ``every``-th frame.
+
+    A "frame" is a FRAME_BYTES slice of the payload (real codecs plug in
+    at ``decode_*``). Frame offsets are Column math (JVM-side explode);
+    the per-frame signature (md5 of the frame bytes) runs in the same
+    vectorized pandas stage as a real frame featurizer would.
+    """
+    import hashlib
+
+    n_frames = F.floor(F.octet_length("payload") / F.lit(FRAME_BYTES)).cast("int")
+    framed = (
+        media.filter(F.col("media_type") == "video")
+        .withColumn("n_frames", n_frames)
+        .filter(F.col("n_frames") > 0)
+        .withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * FRAME_BYTES).cast("int").alias("byte_off"),
+            "payload",
+        )
+    )
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [
+                p[off : off + FRAME_BYTES]
+                for p, off in zip(pdf["payload"], pdf["byte_off"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "byte_off": pdf["byte_off"].astype("int32"),
+                    "frame_sig": [hashlib.md5(fb).hexdigest() for fb in frames],
+                }
+            )
+
+    return framed.mapInPandas(
+        sig, "doc_id long, frame_idx int, byte_off int, frame_sig string"
+    )

@@ -666,8 +666,83 @@ SELECT vec_id,
 FROM p GROUP BY vec_id
 """
 
+# ---------------------------------------------------------------------------
+# multimodal (opaque binary payload) queries
+# ---------------------------------------------------------------------------
+
+# the synthetic payload's byte stream, reconstructed in ANSI SQL (hex
+# digest chars are ASCII, so VARCHAR ops reproduce the bytes exactly)
+_MEDIA_SQL = """
+  SELECT doc_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         repeat(md5(text), 1 + doc_id % 7) AS h
+  FROM documents WHERE text IS NOT NULL
+"""
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.multimodal import media_from_documents
+
+    return media_from_documents(
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.multimodal import media_metadata
+
+    return media_metadata(_media(spark, sf_dir))
+
+
+SQL_MEDIA_METADATA = f"""
+WITH m AS ({_MEDIA_SQL})
+SELECT doc_id, media_type, CAST(length(h) AS INT) AS n_bytes, md5(h) AS checksum
+FROM m
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.multimodal import media_features
+
+    return media_features(_media(spark, sf_dir))
+
+
+SQL_MEDIA_FEATURES = f"""
+WITH m AS ({_MEDIA_SQL}),
+samp AS (
+  SELECT doc_id, avg(ascii(substr(h, i, 1))) AS mean_val
+  FROM (SELECT doc_id, h, unnest(generate_series(1, length(h), 4)) AS i FROM m)
+  GROUP BY doc_id
+)
+SELECT m.doc_id, CAST(length(m.h) AS INT) AS n_bytes,
+       CAST(1 + ascii(substr(m.h, 1, 1)) % 64 AS INT) AS width,
+       CAST(1 + ascii(substr(m.h, 2, 1)) % 64 AS INT) AS height,
+       samp.mean_val
+FROM m JOIN samp ON m.doc_id = samp.doc_id
+"""
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_media(spark, sf_dir), every=3)
+
+
+SQL_MEDIA_FRAME_SAMPLE = f"""
+WITH m AS ({_MEDIA_SQL}),
+f AS (SELECT doc_id, h, CAST(length(h) // 8 AS INT) AS n_frames FROM m
+      WHERE media_type = 'video' AND length(h) >= 8)
+SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 8 AS INT) AS byte_off,
+       md5(substr(h, i * 8 + 1, 8)) AS frame_sig
+FROM (SELECT doc_id, h, unnest(generate_series(0, n_frames - 1, 3)) AS i FROM f)
+"""
+
+
 QUERIES.update(
     {
+        "media_metadata": q_media_metadata,
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -680,6 +755,9 @@ QUERIES.update(
 )
 ORACLES.update(
     {
+        "media_metadata": SQL_MEDIA_METADATA,
+        "media_features": SQL_MEDIA_FEATURES,
+        "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
         "doc_quality": SQL_DOC_QUALITY,
         "doc_lang_id": SQL_DOC_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -5,8 +5,11 @@ record per line, fields split on a separator (default U+241F "␟");
 3 fields = node ``id␟lat␟lon``, 2 fields = undirected link ``u␟v``.
 
 Load semantics re-derived as DataFrame idioms:
-- node dedup: FIRST occurrence wins (src/graph.rs:82-89) → window
-  ``row_number() == 1`` ordered by the record's arrival order
+- node dedup: FIRST occurrence wins (src/graph.rs:82-89) →
+  ``min_by(struct(lat, lon), struct(*order_cols))`` — the tuple-min over
+  the arrival order IS "first wins", expressed as a hash aggregation so
+  Spark applies map-side partial combine (no global sort; the
+  ``row_number`` window formulation shuffles AND sorts every record)
 - link dedup: skip if either direction present (src/graph.rs:91-97) →
   canonicalize (least/greatest) + ``dropDuplicates``
 - links referencing absent nodes make the reference panic
@@ -18,7 +21,7 @@ Load semantics re-derived as DataFrame idioms:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ophois_spark import SEPARATOR
@@ -32,8 +35,15 @@ def parse_records(
     line_col: str = "line",
     separator: str = SEPARATOR,
     strict: bool = False,
+    materialize_nodes: bool = False,
 ) -> tuple[StreetGraph, dict[str, int]]:
-    """records(line + ordering columns) → (StreetGraph, load metrics)."""
+    """records(line + ordering columns) → (StreetGraph, load metrics).
+
+    ``materialize_nodes=True`` persists the deduped node set
+    (MEMORY_AND_DISK) so the edge-endpoint semi-joins and every
+    downstream consumer reuse it instead of re-deduplicating — the
+    local analogue of committing a snapshot after the dedup stage.
+    """
     fields = F.split(F.col(line_col), separator)
     parsed = records.select(*order_cols, fields.alias("f"), F.size(fields).alias("n"))
 
@@ -43,25 +53,27 @@ def parse_records(
         if n_bad:
             raise ValueError(f"{n_bad} malformed records (field count not in 2/3)")
 
-    w = Window.partitionBy("id").orderBy(*order_cols)
+    first = F.min_by(
+        F.struct(F.col("f")[1].alias("lat"), F.col("f")[2].alias("lon")),
+        F.struct(*[F.col(c) for c in order_cols]),
+    ).alias("first")
     nodes = (
         parsed.filter(F.col("n") == 3)
-        .select(
-            F.col("f")[0].alias("id"),
-            F.col("f")[1].alias("lat"),
-            F.col("f")[2].alias("lon"),
-            *order_cols,
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .select(F.col("f")[0].alias("id"), *order_cols, "f")
+        .groupBy("id")
+        .agg(first)
         .select(
             "id",
-            "lat",
-            "lon",
-            F.col("lat").cast("double").alias("lat_d"),
-            F.col("lon").cast("double").alias("lon_d"),
+            F.col("first.lat").alias("lat"),
+            F.col("first.lon").alias("lon"),
+            F.col("first.lat").cast("double").alias("lat_d"),
+            F.col("first.lon").cast("double").alias("lon_d"),
         )
     )
+    if materialize_nodes:
+        from pyspark import StorageLevel
+
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
 
     lo, hi = canonical_edge(F.col("f")[0], F.col("f")[1])
     raw_edges = (
@@ -72,11 +84,10 @@ def parse_records(
     )
 
     # drop links whose endpoints are absent (reference panics instead).
-    # Existence only needs the DISTINCT id set — cheaper than re-running
-    # the first-wins window dedup once per join branch.
-    node_ids = (
-        parsed.filter(F.col("n") == 3).select(F.col("f")[0].alias("id")).distinct()
-    )
+    # The deduped nodes ARE the distinct id set — when materialized they
+    # are computed once and broadcast into both semi-joins (AQE sizes
+    # them at runtime); never recomputed per branch.
+    node_ids = nodes.select("id")
     edges = raw_edges.join(
         node_ids.withColumnRenamed("id", "src"), "src", "left_semi"
     ).join(node_ids.withColumnRenamed("id", "dst"), "dst", "left_semi").select("src", "dst")
