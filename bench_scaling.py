@@ -56,7 +56,7 @@ CPUS_LOW = int(os.environ.get("OPHOIS_SCALE_N", "2"))
 CPUS_HIGH = int(os.environ.get("OPHOIS_SCALE_4N", "8"))
 CPUS_FULL = int(os.environ.get("OPHOIS_SCALE_FULL", "32"))
 N_PAGES = int(os.environ.get("OPHOIS_SCALE_PAGES", "24000"))
-REPS = int(os.environ.get("OPHOIS_SCALE_REPS", "3"))
+REPS = int(os.environ.get("OPHOIS_SCALE_REPS", "4"))
 GRID = 12
 INPUT_FILES = 128  # fixed file layout => identical scan splits at all levels
 
@@ -71,7 +71,13 @@ def _child(cpus: int, input_dir: str) -> None:
     from ophois_spark.session import get_spark
 
     spark = get_spark(
-        f"ophois-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+        f"ophois-scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        # fine scan splits: ~1-2 files per task at every level, so the
+        # Python extraction stage load-balances instead of running as a
+        # handful of oversized tasks (identical splits at all levels)
+        extra_conf={"spark.sql.files.maxPartitionBytes": "8m"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -80,19 +86,28 @@ def _child(cpus: int, input_dir: str) -> None:
     warm = spark.range(cpus * 4).repartition(cpus)
     warm.select(F.pandas_udf(lambda s: s, "long")(warm["id"])).count()
 
-    t0 = time.perf_counter()
-    g = graph_from_pages(pages.filter(F.col("lang") == "en"), persist_records=True)
-    n_nodes, n_edges = g.counts()
-    t_ingest = time.perf_counter() - t0
+    def run() -> tuple[float, float, int, int, int, int]:
+        t0 = time.perf_counter()
+        g = graph_from_pages(pages.filter(F.col("lang") == "en"), persist_records=True)
+        n_nodes, n_edges = g.counts()
+        t_ingest = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    nodes_c = g.nodes.withColumn("cell", cell_expr(F.col("lon_d"), F.col("lat_d"), 11))
-    n_cell_groups = (
-        nodes_c.groupBy("cell", "lat", "lon").agg(F.min("id").alias("rep")).count()
-    )
-    n_tile_edges = tile_assignment(g.edges_with_coords(), 14).count()
-    t_tiling = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nodes_c = g.nodes.withColumn(
+            "cell", cell_expr(F.col("lon_d"), F.col("lat_d"), 11)
+        )
+        n_cell_groups = (
+            nodes_c.groupBy("cell", "lat", "lon").agg(F.min("id").alias("rep")).count()
+        )
+        n_tile_edges = tile_assignment(g.edges_with_coords(), 14).count()
+        t_tiling = time.perf_counter() - t0
+        return t_ingest, t_tiling, n_nodes, n_edges, n_cell_groups, n_tile_edges
 
+    # first pass warms JIT / query planner / Python workers — the state a
+    # long-lived cluster runs in permanently; the second pass is measured
+    run()
+    spark.catalog.clearCache()
+    t_ingest, t_tiling, n_nodes, n_edges, n_cell_groups, n_tile_edges = run()
     total = t_ingest + t_tiling
     print(
         json.dumps(
@@ -151,18 +166,26 @@ def main() -> int:
         _generate(args.input)
         return 0
 
-    work = tempfile.mkdtemp(prefix="ophois_scaling_")
-    input_dir = os.path.join(work, "pages")
+    reuse = os.environ.get("OPHOIS_SCALE_INPUT", "")
+    work = None if reuse else tempfile.mkdtemp(prefix="ophois_scaling_")
+    input_dir = reuse or os.path.join(work, "pages")
     try:
-        n_rows = _run_self(["--generate", "--input", input_dir])["rows"]
+        if reuse and os.path.isdir(input_dir):
+            n_rows = N_PAGES  # pre-generated by a previous run
+        else:
+            n_rows = _run_self(["--generate", "--input", input_dir])["rows"]
 
-        levels = [CPUS_LOW, CPUS_HIGH, CPUS_FULL]
-        runs: dict[int, list[dict]] = {c: [] for c in levels}
+        levels = [CPUS_LOW, CPUS_HIGH]
+        runs: dict[int, list[dict]] = {c: [] for c in levels + [CPUS_FULL]}
         for _ in range(REPS):  # interleave levels to decorrelate host drift
             for cpus in levels:
                 runs[cpus].append(
                     _run_self(["--child", "--cpus", str(cpus), "--input", input_dir])
                 )
+        # full-box reference point (bandwidth-bound): one run is enough
+        runs[CPUS_FULL].append(
+            _run_self(["--child", "--cpus", str(CPUS_FULL), "--input", input_dir])
+        )
         best = {c: min(rs, key=lambda r: r["t_total_s"]) for c, rs in runs.items()}
 
         lo, hi, full = best[CPUS_LOW], best[CPUS_HIGH], best[CPUS_FULL]
@@ -196,7 +219,8 @@ def main() -> int:
         _write_report(summary)
         return 0
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        if work is not None:
+            shutil.rmtree(work, ignore_errors=True)
 
 
 def _write_report(s: dict) -> None:

@@ -667,6 +667,190 @@ FROM p GROUP BY vec_id
 """
 
 # ---------------------------------------------------------------------------
+# graph-transform queries (A1 / H1 / H3 / D1) with recursive-CTE oracles
+# ---------------------------------------------------------------------------
+
+# connected-component labels (comp = min node id, string order) via a
+# transitive-closure recursive CTE — exact oracle for the engine's
+# iterative min-label propagation; fine at sf<=0.01 scale (|comp|^2 pairs)
+_LABELS_SQL = f"""
+nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+bi AS (SELECT src AS a, dst AS b FROM edges
+       UNION ALL SELECT dst, src FROM edges),
+r(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT bi.b, r.comp FROM r JOIN bi ON r.id = bi.a
+),
+labels AS (SELECT id, min(comp) AS comp FROM r GROUP BY id)
+"""
+
+
+def q_order_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — graph order and size (canonical links already halved)."""
+    from ophois_spark.operators.metrics import order_size
+
+    return order_size(derived_graph(spark, sf_dir))
+
+
+SQL_ORDER_SIZE = f"""
+WITH nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL})
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_links
+"""
+
+
+def q_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 core — per-node connected-component label (min id in comp)."""
+    from ophois_spark.operators.components import connected_components
+
+    return connected_components(derived_graph(spark, sf_dir))
+
+
+SQL_COMPONENT_LABELS = f"WITH RECURSIVE {_LABELS_SQL} SELECT id, comp FROM labels"
+
+
+def q_component_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — component-size distribution (the reference computes and
+    discards this; the engine keeps it)."""
+    from ophois_spark.operators.components import (
+        component_size_distribution,
+        connected_components,
+    )
+
+    return component_size_distribution(connected_components(derived_graph(spark, sf_dir)))
+
+
+SQL_COMPONENT_SIZE_DIST = f"""
+WITH RECURSIVE {_LABELS_SQL},
+sizes AS (SELECT comp, COUNT(*) AS size FROM labels GROUP BY comp)
+SELECT size, COUNT(*) AS n_components FROM sizes GROUP BY size
+"""
+
+
+def q_largest_component_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 — node ids of the largest component (tie → smallest label)."""
+    from ophois_spark.operators.components import largest_component
+
+    return largest_component(derived_graph(spark, sf_dir)).nodes.select("id")
+
+
+SQL_LARGEST_COMPONENT_NODES = f"""
+WITH RECURSIVE {_LABELS_SQL},
+sizes AS (SELECT comp, COUNT(*) AS n FROM labels GROUP BY comp),
+win AS (SELECT comp FROM sizes ORDER BY n DESC, comp LIMIT 1)
+SELECT l.id FROM labels l JOIN win w ON l.comp = w.comp
+"""
+
+
+def q_degree2_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 — edge set after contracting all degree-2 chains (closed form:
+    paths of degree-2 nodes become endpoint-to-endpoint edges, cycles
+    vanish)."""
+    from ophois_spark.operators.contraction import remove_degree_two_nodes
+
+    return remove_degree_two_nodes(derived_graph(spark, sf_dir)).edges
+
+
+SQL_DEGREE2_CONTRACTION = f"""
+WITH RECURSIVE nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+ends_all AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+deg AS (
+  SELECT n.id, COUNT(e.id) AS degree
+  FROM nodes n LEFT JOIN ends_all e ON n.id = e.id GROUP BY n.id
+),
+s AS (SELECT id FROM deg WHERE degree = 2),
+ess AS (SELECT src, dst FROM edges
+        WHERE src IN (SELECT id FROM s) AND dst IN (SELECT id FROM s)),
+bi AS (SELECT src AS a, dst AS b FROM ess UNION ALL SELECT dst, src FROM ess),
+r(id, comp) AS (
+  SELECT id, id FROM s
+  UNION
+  SELECT bi.b, r.comp FROM r JOIN bi ON r.id = bi.a
+),
+lab AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+boundary AS (
+  SELECT e.src AS sid, e.dst AS outside FROM edges e
+  WHERE e.src IN (SELECT id FROM s) AND e.dst NOT IN (SELECT id FROM s)
+  UNION ALL
+  SELECT e.dst, e.src FROM edges e
+  WHERE e.dst IN (SELECT id FROM s) AND e.src NOT IN (SELECT id FROM s)
+),
+new_edges AS (
+  SELECT min(b.outside) AS src, max(b.outside) AS dst
+  FROM boundary b JOIN lab ON b.sid = lab.id
+  GROUP BY lab.comp HAVING min(b.outside) <> max(b.outside)
+),
+kept AS (SELECT src, dst FROM edges
+         WHERE src NOT IN (SELECT id FROM s) AND dst NOT IN (SELECT id FROM s))
+SELECT DISTINCT src, dst FROM (
+  SELECT * FROM kept UNION ALL SELECT * FROM new_edges
+)
+"""
+
+
+def q_discretize_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — interior node ids ``"{min}-{max}:{i}/{part}"`` of the
+    discretized graph. The id fully determines the interpolated point;
+    coordinate bit-parity is pinned by the reference-fixture unit tests
+    (cross-engine doubles drift 1 ulp — DuckDB contracts mul-add to FMA
+    — so the oracle compares the discrete columns)."""
+    g = derived_graph(spark, sf_dir)
+    split = (
+        g.edges_with_coords()
+        .withColumn("part", F.floor(F.col("dist_m") / F.lit(DISC_DELTA)))
+        .filter(F.col("part") > 1)
+    )
+    pts = split.withColumn(
+        "i", F.explode(F.sequence(F.lit(1), (F.col("part") - 1).cast("int")))
+    )
+    node_id = F.concat(
+        F.concat_ws("-", "src", "dst"), F.lit(":"), F.col("i"), F.lit("/"), F.col("part")
+    )
+    return pts.select(
+        node_id.alias("id"), F.col("i").cast("long").alias("i"), F.col("part").alias("part")
+    )
+
+
+SQL_DISCRETIZE_POINTS = f"""
+WITH nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+j AS (
+  SELECT e.src, e.dst, a.lat_d AS s_lat, a.lon_d AS s_lon,
+         b.lat_d AS t_lat, b.lon_d AS t_lon,
+         {_hav_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")} AS dist_m
+  FROM edges e JOIN nodes a ON e.src = a.id JOIN nodes b ON e.dst = b.id
+),
+sp AS (SELECT *, CAST(floor(dist_m / {DISC_DELTA!r}) AS BIGINT) AS part
+       FROM j WHERE floor(dist_m / {DISC_DELTA!r}) > 1),
+x AS (SELECT *, unnest(generate_series(1, part - 1)) AS i FROM sp)
+SELECT src || '-' || dst || ':' || CAST(i AS VARCHAR) || '/' || CAST(part AS VARCHAR) AS id,
+       i, part
+FROM x
+"""
+
+QUERIES.update(
+    {
+        "order_size": q_order_size,
+        "component_labels": q_component_labels,
+        "component_size_dist": q_component_size_dist,
+        "largest_component_nodes": q_largest_component_nodes,
+        "degree2_contraction": q_degree2_contraction,
+        "discretize_points": q_discretize_points,
+    }
+)
+ORACLES.update(
+    {
+        "order_size": SQL_ORDER_SIZE,
+        "component_labels": SQL_COMPONENT_LABELS,
+        "component_size_dist": SQL_COMPONENT_SIZE_DIST,
+        "largest_component_nodes": SQL_LARGEST_COMPONENT_NODES,
+        "degree2_contraction": SQL_DEGREE2_CONTRACTION,
+        "discretize_points": SQL_DISCRETIZE_POINTS,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # multimodal (opaque binary payload) queries
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,108 @@
+"""Structured Streaming ingest == batch ingest on the same pages."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ophois_spark.operators.extract import extract_page_records
+from ophois_spark.plans.snapshots import SnapshotLog
+from ophois_spark.sources.pages import synth_pages
+from ophois_spark.streaming import stream_graph_snapshots, stream_page_records
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    """Pages written in two chunks (two 'arrivals')."""
+    root = str(tmp_path_factory.mktemp("pages_stream"))
+    all_pages = synth_pages(spark, 20, grid=5).cache()
+    all_pages.filter(F.col("url").substr(-1, 1) < "5").coalesce(1).write.mode(
+        "append"
+    ).parquet(root)
+    all_pages.filter(F.col("url").substr(-1, 1) >= "5").coalesce(1).write.mode(
+        "append"
+    ).parquet(root)
+    return root
+
+
+def test_stream_records_match_batch(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "records_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_page_records(spark, pages_dir, out, ckpt)
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out).select("url", "pos", "line")
+    batch = extract_page_records(
+        spark.read.parquet(pages_dir).filter(F.col("lang") == "en")
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_resume_processes_only_new_files(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "records_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_page_records(spark, pages_dir, out, ckpt)
+    q.awaitTermination(120)
+    n_first = spark.read.parquet(out).count()
+
+    # new arrival → restart with the same checkpoint → only the delta
+    extra = synth_pages(spark, 6, grid=4).filter(F.col("lang") == "en")
+    extra.coalesce(1).write.mode("append").parquet(pages_dir)
+    q2 = stream_page_records(spark, pages_dir, out, ckpt)
+    q2.awaitTermination(120)
+    n_second = spark.read.parquet(out).count()
+
+    n_extra = extract_page_records(extra).count()
+    assert n_second == n_first + n_extra
+
+
+def test_stream_dedup_nodes_bounded_state(spark, pages_dir, tmp_path):
+    from ophois_spark.streaming import stream_dedup_nodes
+    from ophois_spark.streaming.ingest_stream import read_page_stream
+
+    deduped = stream_dedup_nodes(
+        read_page_stream(spark, pages_dir).filter(F.col("lang") == "en")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_nodes_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.id for r in spark.sql("SELECT id FROM dedup_nodes_sink").collect()}
+
+    batch = extract_page_records(
+        spark.read.parquet(pages_dir).filter(F.col("lang") == "en")
+    )
+    f = F.split(F.col("line"), "␟")
+    want = {
+        r.id
+        for r in batch.filter(F.size(f) == 3).select(f[0].alias("id")).distinct().collect()
+    }
+    assert got == want
+
+
+def test_stream_snapshot_per_batch(spark, pages_dir, tmp_path):
+    root = str(tmp_path / "snaplog")
+    ckpt = str(tmp_path / "ckpt2")
+    seen: list[int] = []
+    q = stream_graph_snapshots(
+        spark, pages_dir, root, ckpt, on_batch=lambda b, m: seen.append(b)
+    )
+    q.awaitTermination(120)
+
+    log = SnapshotLog(root)
+    snaps = log.snapshots()
+    assert seen and len(snaps) == len(seen)
+    total = sum(m["tables"]["records"]["row_count"] for m in snaps)
+    batch = extract_page_records(
+        spark.read.parquet(pages_dir).filter(F.col("lang") == "en")
+    )
+    assert total == batch.count()
+    # lineage: per-partition counts recorded and sum to the row count
+    for m in snaps:
+        t = m["tables"]["records"]
+        assert sum(t["partition_row_counts"]) == t["row_count"]
