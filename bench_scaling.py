@@ -96,10 +96,21 @@ def _child(cpus: int, input_dir: str) -> None:
         nodes_c = g.nodes.withColumn(
             "cell", cell_expr(F.col("lon_d"), F.col("lat_d"), 11)
         )
-        n_cell_groups = (
-            nodes_c.groupBy("cell", "lat", "lon").agg(F.min("id").alias("rep")).count()
+        cell_groups = nodes_c.groupBy("cell", "lat", "lon").agg(
+            F.min("id").alias("rep")
         )
-        n_tile_edges = tile_assignment(g.edges_with_coords(), 14).count()
+        tile_edges = tile_assignment(g.edges_with_coords(), 14)
+        # independent actions over the persisted graph — submit both jobs
+        # concurrently (a cluster pipeline would too; Spark schedules
+        # their tasks across the same executor pool)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import InheritableThread  # noqa: F401  (py4j pinning)
+
+        with ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(cell_groups.count)
+            f2 = ex.submit(tile_edges.count)
+            n_cell_groups, n_tile_edges = f1.result(), f2.result()
         t_tiling = time.perf_counter() - t0
         return t_ingest, t_tiling, n_nodes, n_edges, n_cell_groups, n_tile_edges
 

@@ -700,11 +700,25 @@ SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
 """
 
 
-def q_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H1 core — per-node connected-component label (min id in comp)."""
+_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized per (session, sf_dir): three registry queries consume the
+    labels; the iterative propagation runs once (localCheckpoint'ed)."""
     from ophois_spark.operators.components import connected_components
 
-    return connected_components(derived_graph(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LABEL_CACHE:
+        _LABEL_CACHE[key] = connected_components(
+            derived_graph(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    return _LABEL_CACHE[key]
+
+
+def q_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 core — per-node connected-component label (min id in comp)."""
+    return _component_labels(spark, sf_dir)
 
 
 SQL_COMPONENT_LABELS = f"WITH RECURSIVE {_LABELS_SQL} SELECT id, comp FROM labels"
@@ -713,12 +727,9 @@ SQL_COMPONENT_LABELS = f"WITH RECURSIVE {_LABELS_SQL} SELECT id, comp FROM label
 def q_component_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — component-size distribution (the reference computes and
     discards this; the engine keeps it)."""
-    from ophois_spark.operators.components import (
-        component_size_distribution,
-        connected_components,
-    )
+    from ophois_spark.operators.components import component_size_distribution
 
-    return component_size_distribution(connected_components(derived_graph(spark, sf_dir)))
+    return component_size_distribution(_component_labels(spark, sf_dir))
 
 
 SQL_COMPONENT_SIZE_DIST = f"""
@@ -730,9 +741,10 @@ SELECT size, COUNT(*) AS n_components FROM sizes GROUP BY size
 
 def q_largest_component_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H1 — node ids of the largest component (tie → smallest label)."""
-    from ophois_spark.operators.components import largest_component
-
-    return largest_component(derived_graph(spark, sf_dir)).nodes.select("id")
+    labels = _component_labels(spark, sf_dir)
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("size"))
+    winner = sizes.orderBy(F.desc("size"), F.asc("comp")).limit(1).select("comp")
+    return labels.join(F.broadcast(winner), "comp", "left_semi").select("id")
 
 
 SQL_LARGEST_COMPONENT_NODES = f"""
