@@ -86,6 +86,86 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES, id_col: str = "
     return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def ivf_centroids(
+    embeddings: DataFrame, centroid_mod: int = 37, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic coarse quantizer: every ``centroid_mod``-th vector.
+
+    (A production IVF trains k-means; the engine's contract needs a
+    deterministic, SQL-expressible quantizer so the whole index is
+    oracle-checkable. Swapping in trained centroids changes nothing
+    downstream.)
+    """
+    return embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), _as_double(F.col("embedding")).alias("cv")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(vec_id, cid): each vector → its nearest centroid (inverted list).
+
+    The centroid set is tiny → broadcast; the argmax is a per-vector
+    window over |centroids| candidates. At 10^12 scale this is the
+    embarrassingly parallel "assign" step of IVF build.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    sims = base.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    centroid_mod: int = 37,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` nearest inverted lists per query,
+    exact cosine re-rank inside them — the standard scale path (search
+    cost ~ nprobe/|centroids| of brute force)."""
+    cents = ivf_centroids(embeddings, centroid_mod, id_col)
+    assign = ivf_assign(embeddings, cents, id_col)
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col("embedding")).alias("qv"))
+
+    qsims = q.crossJoin(F.broadcast(cents)).select(
+        "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("csim")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        qsims.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cid")
+    )
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    cand = probes.join(assign, "cid").select("qid", "vec_id")
+    sims = (
+        cand.join(q, "qid")
+        .join(base, "vec_id")
+        .select("qid", "vec_id", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("int").alias("rank"), "vec_id", "sim")
+    )
+
+
 def ann_topk(
     embeddings: DataFrame, queries: DataFrame, k: int, n_planes: int = N_PLANES
 ) -> DataFrame:

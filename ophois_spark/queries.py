@@ -934,8 +934,90 @@ FROM (SELECT doc_id, h, unnest(generate_series(0, n_frames - 1, 3)) AS i FROM f)
 """
 
 
+IVF_NPROBE = 2
+IVF_CENTROID_MOD = 37
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (deterministic coarse quantizer, nprobe lists, exact
+    re-rank) — the scale path for similarity search."""
+    from ophois_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, q, k=EMB_K, nprobe=IVF_NPROBE, centroid_mod=IVF_CENTROID_MOD)
+
+
+SQL_EMBEDDING_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) AS rn
+    FROM q CROSS JOIN c) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a ON p.cid = a.cid),
+sims AS (
+  SELECT cand.qid, cand.vec_id,
+         round(list_cosine_similarity(q.qv, e.v), 6) AS sim
+  FROM cand JOIN q ON cand.qid = q.qid JOIN e ON cand.vec_id = e.vec_id
+),
+r AS (SELECT qid, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM sims)
+SELECT qid, rank, vec_id, sim FROM r WHERE rank <= {EMB_K}
+"""
+
+
+# fixpoint contraction operators (H4/H6): genuinely non-SQL-expressible
+# (iterate-to-convergence with freshly minted node ids) → registered
+# WITHOUT an oracle; the driver records the weaker rows-only check and
+# the ported reference fixtures pin exact semantics (tests/).
+H4_DELTA = 40.0
+H6_DELTA = 30.0
+
+
+def q_under_delta_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 — contract nodes whose every incident link ≤ delta (isolated
+    nodes qualify too); runs on the ≤150 m subgraph of the derived
+    graph, where short-link clusters and isolated nodes actually exist,
+    and returns the surviving node ids (deterministic fixpoint)."""
+    from ophois_spark.operators.contraction import remove_under_delta_nodes
+    from ophois_spark.operators.graph import StreetGraph
+
+    g = derived_graph(spark, sf_dir)
+    short_edges = (
+        g.edges_with_coords().filter(F.col("dist_m") <= 150.0).select("src", "dst")
+    )
+    sub = StreetGraph(g.nodes, short_edges)
+    return remove_under_delta_nodes(sub, H4_DELTA).nodes.select("id")
+
+
+def q_under_delta_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 — contract links shorter than delta to a fixpoint; returns
+    surviving node ids (merged ids look like "a-b" / "a-b-c")."""
+    from ophois_spark.operators.contraction import remove_under_delta_links
+
+    return remove_under_delta_links(derived_graph(spark, sf_dir), H6_DELTA).nodes.select(
+        "id", "lat", "lon"
+    )
+
+
 QUERIES.update(
     {
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "under_delta_nodes": q_under_delta_nodes,
+        "under_delta_links": q_under_delta_links,
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
@@ -951,6 +1033,7 @@ QUERIES.update(
 )
 ORACLES.update(
     {
+        "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
         "media_metadata": SQL_MEDIA_METADATA,
         "media_features": SQL_MEDIA_FEATURES,
         "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
