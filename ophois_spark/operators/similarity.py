@@ -86,6 +86,34 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES, id_col: str = "
     return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same LSH bucket AND
+    cosine ≥ threshold. The bucket equi-join bounds the candidate set
+    (the O(N²) cross join never materializes); the exact cosine filters
+    false bucket collisions."""
+    b = lsh_buckets(embeddings, n_planes, id_col)
+    base = embeddings.withColumnRenamed(id_col, "vec_id").join(b, "vec_id").select(
+        "bucket", F.col("vec_id").alias("vid"), _as_double(F.col("embedding")).alias("v")
+    )
+    a = base.alias("a")
+    c = base.alias("b")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_centroids(
     embeddings: DataFrame, centroid_mod: int = 37, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -1013,9 +1013,32 @@ def q_under_delta_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal
+# (max pairwise cosine ≈ 0.51); 0.35 yields a small non-empty pair set
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets + exact filter."""
+    from ophois_spark.operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(load(spark, sf_dir, "embeddings"), NEAR_DUP_THRESHOLD)
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH b AS ({SQL_EMBEDDING_LSH_BUCKETS}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT b.bucket, b.vec_id AS vid, e.v FROM b JOIN e ON b.vec_id = e.vec_id)
+SELECT a.vid AS vec_a, c.vid AS vec_b,
+       round(list_cosine_similarity(a.v, c.v), 6) AS sim
+FROM base a JOIN base c ON a.bucket = c.bucket AND a.vid < c.vid
+WHERE round(list_cosine_similarity(a.v, c.v), 6) >= {NEAR_DUP_THRESHOLD!r}
+"""
+
+
 QUERIES.update(
     {
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "under_delta_nodes": q_under_delta_nodes,
         "under_delta_links": q_under_delta_links,
         "media_metadata": q_media_metadata,
@@ -1034,6 +1057,7 @@ QUERIES.update(
 ORACLES.update(
     {
         "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "media_metadata": SQL_MEDIA_METADATA,
         "media_features": SQL_MEDIA_FEATURES,
         "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
