@@ -27,31 +27,45 @@ from ophois_spark.sources.graph_io import parse_records
 
 
 def extract_page_records(
-    pages: DataFrame, separator: str = SEPARATOR, text_col: str = "text", url_col: str = "url"
+    pages: DataFrame,
+    separator: str = SEPARATOR,
+    text_col: str = "text",
+    url_col: str = "url",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """pages(url, text, …) → records(url, pos, line).
+    """pages(url, text, …) → records(url, pos, line[, *carry_cols]).
 
     One ``mapInPandas`` stage emitting the exploded records directly —
     a pandas-UDF + posexplode formulation makes Catalyst insert a
     non-empty-array filter that evaluates the UDF TWICE per page
     (observed via .explain), so the fused generator is both the
-    simplest and the fastest shape.
+    simplest and the fastest shape. ``carry_cols`` are replicated onto
+    every record of their page (e.g. ``warc_ts`` for event-time
+    streaming dedup).
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls: list[str] = []
-            poss: list[int] = []
-            lines: list[str] = []
-            for url, text in zip(pdf["url"], pdf["text"]):
+            out: dict[str, list] = {"url": [], "pos": [], "line": []}
+            for c in carry_cols:
+                out[c] = []
+            for row in zip(pdf["url"], pdf["text"], *[pdf[c] for c in carry_cols]):
+                url, text, extra = row[0], row[1], row[2:]
                 recs = extract_records(text.splitlines(), separator)
-                urls.extend([url] * len(recs))
-                poss.extend(range(len(recs)))
-                lines.extend(recs)
-            yield pd.DataFrame({"url": urls, "pos": poss, "line": lines})
+                out["url"].extend([url] * len(recs))
+                out["pos"].extend(range(len(recs)))
+                out["line"].extend(recs)
+                for c, v in zip(carry_cols, extra):
+                    out[c].extend([v] * len(recs))
+            yield pd.DataFrame(out)
 
-    cols = pages.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
-    return cols.mapInPandas(gen, "url string, pos int, line string")
+    carry_schema = "".join(
+        f", {c} {pages.schema[c].dataType.simpleString()}" for c in carry_cols
+    )
+    cols = pages.select(
+        F.col(url_col).alias("url"), F.col(text_col).alias("text"), *carry_cols
+    )
+    return cols.mapInPandas(gen, f"url string, pos int, line string{carry_schema}")
 
 
 def graph_from_pages(

@@ -67,15 +67,16 @@ def plane_weight(j: Column | int, d: Column | int) -> Column:
     return ((dd * 31 + jj * 17) % 7 - 3).cast("double")
 
 
-def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id") -> DataFrame:
-    """(vec_id, bucket): bucket bit j = (rounded projection onto plane j) >= 0."""
-    v = _as_double(F.col("embedding"))
+def bucket_col(n_planes: int = N_PLANES, emb_col: str = "embedding") -> Column:
+    """The LSH bucket as a pure Column expression over the row's own
+    embedding — attachable with ``withColumn`` (no join, no shuffle)."""
+    v = _as_double(F.col(emb_col))
     bucket = F.lit(0).cast("long")
     for j in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
                 v,
-                F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
+                F.sequence(F.lit(0), F.size(F.col(emb_col)) - 1),
                 lambda x, d: x * plane_weight(j, d),
             ),
             F.lit(0.0),
@@ -83,7 +84,14 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES, id_col: str = "
         )
         bit = (F.round(proj, 6) >= 0).cast("long")
         bucket = bucket + F.shiftleft(bit, j)
-    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+    return bucket
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, bucket): bucket bit j = (rounded projection onto plane j) >= 0."""
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), bucket_col(n_planes).alias("bucket")
+    )
 
 
 def near_dup_pairs(
@@ -96,9 +104,10 @@ def near_dup_pairs(
     cosine ≥ threshold. The bucket equi-join bounds the candidate set
     (the O(N²) cross join never materializes); the exact cosine filters
     false bucket collisions."""
-    b = lsh_buckets(embeddings, n_planes, id_col)
-    base = embeddings.withColumnRenamed(id_col, "vec_id").join(b, "vec_id").select(
-        "bucket", F.col("vec_id").alias("vid"), _as_double(F.col("embedding")).alias("v")
+    base = embeddings.select(
+        bucket_col(n_planes).alias("bucket"),
+        F.col(id_col).alias("vid"),
+        _as_double(F.col("embedding")).alias("v"),
     )
     a = base.alias("a")
     c = base.alias("b")
@@ -203,13 +212,14 @@ def ann_topk(
     an equi join on the bucket key; recall is tested (pytest), not
     oracled — it's approximate by construction.
     """
-    b = lsh_buckets(embeddings, n_planes)
-    base = embeddings.join(b, "vec_id").select(
-        "bucket", "vec_id", _as_double(F.col("embedding")).alias("v")
+    base = embeddings.select(
+        bucket_col(n_planes).alias("bucket"),
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
     )
-    qb = queries.join(b, "vec_id").select(
+    qb = queries.select(
         F.col("vec_id").alias("qid"),
-        "bucket",
+        bucket_col(n_planes).alias("bucket"),
         _as_double(F.col("embedding")).alias("qv"),
     )
     sims = qb.join(base, "bucket").select(

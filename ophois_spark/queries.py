@@ -705,11 +705,14 @@ _LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized per (session, sf_dir): three registry queries consume the
-    labels; the iterative propagation runs once (localCheckpoint'ed)."""
+    labels; the iterative propagation runs once (localCheckpoint'ed).
+    Single-entry cache — a new key evicts the old one, so checkpoint
+    blocks (and stopped-session references) never accumulate."""
     from ophois_spark.operators.components import connected_components
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LABEL_CACHE:
+        _LABEL_CACHE.clear()
         _LABEL_CACHE[key] = connected_components(
             derived_graph(spark, sf_dir)
         ).localCheckpoint(eager=True)

@@ -75,22 +75,18 @@ def stream_dedup_nodes(
     watermark: str = "1 hour",
     separator: str = SEPARATOR,
 ) -> DataFrame:
-    """Streaming first-wins node dedup with bounded state.
+    """Streaming node dedup with bounded state, on event time.
 
-    Node records keep their page's ``warc_ts``; the watermark bounds
-    how long a node id is remembered, so state never grows unboundedly
-    — duplicates arriving within the watermark window are dropped
-    exactly, later ones fall through to the batch/compaction dedup
-    (the standard streaming/batch split for exactly-once-ish dedup).
+    The extraction stage carries each page's ``warc_ts`` onto its
+    records, and the watermark is on that event-time column: a node id
+    is remembered until the watermark passes ``warc_ts + watermark``,
+    so state never grows unboundedly. Duplicates captured within the
+    window are dropped exactly; older re-captures fall through to the
+    batch/compaction dedup (the standard streaming/batch split).
     """
-    with_ts = pages_stream.withColumn("_ts", F.col("warc_ts"))
-    records = extract_page_records(with_ts, separator)
-    # re-attach capture time: extraction keeps (url, pos, line); join is
-    # not possible pre-watermark on a stream, so extract carries it via
-    # the url → map side. Simplest robust shape: recompute per-record ts
-    # from the url using the original stream (broadcast-free): here the
-    # pages source embeds ts in the url ordering, so we watermark on a
-    # processing-time column instead when warc_ts is unavailable.
+    records = extract_page_records(
+        pages_stream, separator, carry_cols=("warc_ts",)
+    )
     fields = F.split(F.col("line"), separator)
     nodes = (
         records.filter(F.size(fields) == 3)
@@ -98,9 +94,9 @@ def stream_dedup_nodes(
             fields[0].alias("id"),
             fields[1].alias("lat"),
             fields[2].alias("lon"),
-            F.current_timestamp().alias("seen_ts"),
+            F.col("warc_ts"),
         )
-        .withWatermark("seen_ts", watermark)
+        .withWatermark("warc_ts", watermark)
     )
     return nodes.dropDuplicatesWithinWatermark(["id"])
 
@@ -130,12 +126,17 @@ def stream_graph_snapshots(
         pages = pages.filter(F.col("lang") == lang)
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stage = f"stream_batch_{batch_id}"
+        # foreachBatch is at-least-once: on restart a batch can replay
+        # after its commit but before the streaming checkpoint advanced.
+        # The snapshot log is the idempotency ledger — skip if committed.
+        existing = log.find_stage(stage)
+        if existing is not None:
+            if on_batch is not None:
+                on_batch(batch_id, existing)
+            return
         records = extract_page_records(batch_df)
-        meta = log.commit(
-            f"stream_batch_{batch_id}",
-            {"records": records},
-            {"batch_id": batch_id},
-        )
+        meta = log.commit(stage, {"records": records}, {"batch_id": batch_id})
         if on_batch is not None:
             on_batch(batch_id, meta)
 

@@ -85,6 +85,21 @@ def test_stream_dedup_nodes_bounded_state(spark, pages_dir, tmp_path):
     assert got == want
 
 
+def test_stream_snapshot_replay_is_idempotent(spark, pages_dir, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch (fresh streaming
+    checkpoint, same snapshot root) must not commit duplicate snapshots."""
+    root = str(tmp_path / "snaplog_idem")
+    q = stream_graph_snapshots(spark, pages_dir, root, str(tmp_path / "ck_a"))
+    q.awaitTermination(120)
+    n_first = len(SnapshotLog(root).snapshots())
+    assert n_first > 0
+
+    # replay everything: new checkpoint dir restarts batch ids at 0
+    q2 = stream_graph_snapshots(spark, pages_dir, root, str(tmp_path / "ck_b"))
+    q2.awaitTermination(120)
+    assert len(SnapshotLog(root).snapshots()) == n_first
+
+
 def test_stream_snapshot_per_batch(spark, pages_dir, tmp_path):
     root = str(tmp_path / "snaplog")
     ckpt = str(tmp_path / "ckpt2")
