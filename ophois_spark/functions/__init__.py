@@ -25,6 +25,8 @@ __all__ = [
     "midpoint_xy",
     "interpolate_xy",
     "canonical_edge",
+    "grid_coords",
+    "cell_from_xy",
     "cell_expr",
     "cell_parent_expr",
     "fmt_f64",
@@ -66,6 +68,24 @@ def canonical_edge(u: Column, v: Column) -> tuple[Column, Column]:
     return F.least(u, v), F.greatest(u, v)
 
 
+def grid_coords(lon: Column, lat: Column, res: int) -> tuple[Column, Column]:
+    """(ix, iy) integer grid Columns at ``res``: x wrapped mod 2^res,
+    y clamped to [0, 2^res-1]. THE single Column implementation of the
+    cell grid math (kernels.cells.cell_id is its numpy twin, pinned
+    equal by tests)."""
+    n = 1 << res
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    ix = ((ix % n) + n) % n
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    iy = F.greatest(F.lit(0), F.least(F.lit(n - 1), iy))
+    return ix, iy
+
+
+def cell_from_xy(ix: Column, iy: Column, res: int) -> Column:
+    """Encode (ix, iy, res) → 64-bit cell id (res<<58 | ix<<29 | iy)."""
+    return (F.lit(res) * F.lit(1 << RES_BITS)) + ix * F.lit(1 << X_BITS) + iy
+
+
 def cell_expr(lon: Column, lat: Column, res: int) -> Column:
     """64-bit hierarchical cell id — integer Column arithmetic only.
 
@@ -75,12 +95,8 @@ def cell_expr(lon: Column, lat: Column, res: int) -> Column:
     """
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
-    n = 1 << res
-    ix = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
-    ix = ((ix % n) + n) % n
-    iy = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
-    iy = F.greatest(F.lit(0), F.least(F.lit(n - 1), iy))
-    return (F.lit(res) * F.lit(1 << RES_BITS)) + ix * F.lit(1 << X_BITS) + iy
+    ix, iy = grid_coords(lon, lat, res)
+    return cell_from_xy(ix, iy, res)
 
 
 def cell_parent_expr(cell: Column, res: int, steps: int = 1) -> Column:

@@ -184,10 +184,22 @@ def contract_edges(g: StreetGraph, matching: DataFrame) -> StreetGraph:
         )
         .distinct()
     )
-    nodes = g.nodes.join(mapping.select(F.col("old").alias("id")), "id", "left_anti").unionByName(
-        new_nodes
+    survivors = g.nodes.join(mapping.select(F.col("old").alias("id")), "id", "left_anti")
+    # minted ids can collide — with each other (two disjoint matching
+    # edges like ('1','2-3') and ('1-2','3') both mint '1-2-3') or with
+    # a surviving node. The reference's insert_node is insert-if-absent
+    # (src/graph.rs:123-125): collisions merge onto ONE node. Engine:
+    # deterministic winner inside the batch (min by coords), survivors
+    # win over minted (anti-join) — node ids stay unique.
+    new_nodes = (
+        new_nodes.groupBy("id")
+        .agg(
+            F.min(F.struct("lat", "lon", "lat_d", "lon_d")).alias("w")
+        )
+        .select("id", "w.lat", "w.lon", "w.lat_d", "w.lon_d")
+        .join(survivors.select("id"), "id", "left_anti")
     )
-    return StreetGraph(nodes, remapped)
+    return StreetGraph(survivors.unionByName(new_nodes), remapped)
 
 
 def remove_under_delta_links(g: StreetGraph, delta: float, max_iter: int = 100) -> StreetGraph:

@@ -56,23 +56,30 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, k: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_HASHES, k: int = 3, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, j, sig): sig_j = min over shingles of md5('0j§'+shingle).
 
     Lexicographic min over md5 hex digests — a uniform permutation min
-    per seed j, portable across engines.
+    per seed j, portable across engines. Pass precomputed ``shingles``
+    to share the tokenize+shingle+distinct lineage with other consumers.
     """
-    sh = doc_shingles(docs, k)
+    sh = doc_shingles(docs, k) if shingles is None else shingles
     seeded = sh.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))))
     h = F.md5(F.concat(F.lpad(F.col("j"), 2, "0"), F.lit("§"), F.col("shingle")))
     return seeded.groupBy("doc_id", "j").agg(F.min(h).alias("sig"))
 
 
 def lsh_band_keys(
-    docs: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS, k: int = 3
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+    k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_key): band_key = md5 of the band's ordered sigs."""
-    sig = minhash_signatures(docs, n_hashes, k).withColumn(
+    sig = minhash_signatures(docs, n_hashes, k, shingles).withColumn(
         "band", (F.col("j") / band_rows).cast("int")
     )
     part = F.concat(F.lpad(F.col("j"), 2, "0"), F.lit(":"), F.col("sig"))
@@ -83,10 +90,14 @@ def lsh_band_keys(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS, k: int = 3
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+    k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band bucket."""
-    bands = lsh_band_keys(docs, n_hashes, band_rows, k)
+    bands = lsh_band_keys(docs, n_hashes, band_rows, k, shingles)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -98,9 +109,17 @@ def minhash_lsh_pairs(
 
 
 def shingle_jaccard_pairs(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Exact shingle-set Jaccard for every LSH candidate pair."""
-    pairs = minhash_lsh_pairs(docs, k=k)
-    sets = doc_shingles(docs, k).groupBy("doc_id").agg(
+    """Exact shingle-set Jaccard for every LSH candidate pair.
+
+    The tokenize+shingle+distinct lineage is computed ONCE (persisted)
+    and feeds both the MinHash signatures and the exact sets — without
+    the share it would run twice, doubling the dominant stages.
+    """
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = minhash_lsh_pairs(docs, k=k, shingles=sh)
+    sets = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("s"), F.count(F.lit(1)).alias("n")
     )
     j = (

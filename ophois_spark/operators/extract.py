@@ -51,6 +51,8 @@ def extract_page_records(
                 out[c] = []
             for row in zip(pdf["url"], pdf["text"], *[pdf[c] for c in carry_cols]):
                 url, text, extra = row[0], row[1], row[2:]
+                if text is None:  # NULL page body → zero records, not a crash
+                    continue
                 recs = extract_records(text.splitlines(), separator)
                 out["url"].extend([url] * len(recs))
                 out["pos"].extend(range(len(recs)))

@@ -33,25 +33,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ophois_spark.functions import cell_expr, haversine_m
-from ophois_spark.kernels.cells import MAX_RES, RES_BITS, X_BITS
+from ophois_spark.functions import cell_expr, cell_from_xy, grid_coords, haversine_m
 from ophois_spark.kernels.geo import EARTH_RADIUS_M
 
 M_PER_DEG = EARTH_RADIUS_M * math.pi / 180.0
-
-
-def grid_coords(lon, lat, res: int):
-    """(ix, iy) integer grid Columns at ``res`` (same math as cell_expr)."""
-    n = 1 << res
-    ix = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
-    ix = ((ix % n) + n) % n
-    iy = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
-    iy = F.greatest(F.lit(0), F.least(F.lit(n - 1), iy))
-    return ix, iy
-
-
-def cell_from_xy(ix, iy, res: int):
-    return (F.lit(res) * F.lit(1 << RES_BITS)) + ix * F.lit(1 << X_BITS) + iy
 
 
 def with_cells(df: DataFrame, res: int, lon_col: str = "lon_d", lat_col: str = "lat_d") -> DataFrame:
@@ -197,6 +182,9 @@ def knn_join(
     results = []
     r = 1
     while r <= max_ring:
+        # wrap x, clamp-filter y; dedup (qid, cell): when 2r+1 > n the
+        # modulo maps distinct dx onto the same column — without the
+        # dedup a node would join (and rank) multiple times per query
         ring = (
             pending.withColumn("dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
             .withColumn("dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
@@ -204,6 +192,8 @@ def knn_join(
             .withColumn("ny", F.col("qiy") + F.col("dy"))
             .filter((F.col("ny") >= 0) & (F.col("ny") < n))
             .withColumn("cell", cell_from_xy(F.col("nx"), F.col("ny"), res))
+            .select("qid", "q_lat", "q_lon", "cell")
+            .dropDuplicates(["qid", "cell"])
         )
         cand = ring.join(nodes_c, "cell").withColumn(
             "dist_m",
@@ -225,7 +215,10 @@ def knn_join(
             F.max("dist_m").alias("kth"),
             F.first("q_lat").alias("q_lat"),
         )
-        whole_grid = (2 * r + 1) >= n
+        # full coverage needs r >= n-1: x wraps (2r+1 >= n suffices
+        # there) but y CLAMPS, so a query near a pole only covers all
+        # valid rows once the ring reaches across the whole y range
+        whole_grid = r >= n - 1
         resolved_q = stats.filter(
             F.lit(whole_grid) | ((F.col("n_cand") >= k) & (F.col("kth") <= bound))
         ).select("qid")
@@ -343,14 +336,34 @@ def render_tiles(edges_with_coords: DataFrame, zoom: int, tile_px: int = 256) ->
         sx = tile_px / (360.0 / n)
         sy = tile_px / (180.0 / n)
         img = np.zeros((tile_px, tile_px), dtype=np.uint8)
-        x0 = ((pdf["src_lon_d"].to_numpy() - lon0) * sx).astype(np.int64)
-        y0 = ((pdf["src_lat_d"].to_numpy() - lat0) * sy).astype(np.int64)
-        x1 = ((pdf["dst_lon_d"].to_numpy() - lon0) * sx).astype(np.int64)
-        y1 = ((pdf["dst_lat_d"].to_numpy() - lat0) * sy).astype(np.int64)
+        x0 = (pdf["src_lon_d"].to_numpy() - lon0) * sx
+        y0 = (pdf["src_lat_d"].to_numpy() - lat0) * sy
+        x1 = (pdf["dst_lon_d"].to_numpy() - lon0) * sx
+        y1 = (pdf["dst_lat_d"].to_numpy() - lat0) * sy
         for a, b, c, d in zip(x0, y0, x1, y1):
-            steps = int(max(abs(c - a), abs(d - b))) + 1
-            xs = np.linspace(a, c, steps).round().astype(np.int64)
-            ys = np.linspace(b, d, steps).round().astype(np.int64)
+            # Liang-Barsky clip to the tile box: an edge spanning T tiles
+            # otherwise costs O(full pixel length) in EVERY covering tile
+            dx, dy = c - a, d - b
+            t0, t1 = 0.0, 1.0
+            ok = True
+            for p, q in ((-dx, a), (dx, tile_px - 1 - a), (-dy, b), (dy, tile_px - 1 - b)):
+                if p == 0.0:
+                    if q < 0:
+                        ok = False
+                        break
+                else:
+                    t = q / p
+                    if p < 0:
+                        t0 = max(t0, t)
+                    else:
+                        t1 = min(t1, t)
+            if not ok or t0 > t1:
+                continue
+            ca, cb = a + t0 * dx, b + t0 * dy
+            cc, cd = a + t1 * dx, b + t1 * dy
+            steps = int(max(abs(cc - ca), abs(cd - cb))) + 1
+            xs = np.linspace(ca, cc, steps).round().astype(np.int64)
+            ys = np.linspace(cb, cd, steps).round().astype(np.int64)
             keep = (xs >= 0) & (xs < tile_px) & (ys >= 0) & (ys < tile_px)
             img[ys[keep], xs[keep]] = 255
         return pd.DataFrame(

@@ -13,8 +13,10 @@ Load semantics re-derived as DataFrame idioms:
 - link dedup: skip if either direction present (src/graph.rs:91-97) →
   canonicalize (least/greatest) + ``dropDuplicates``
 - links referencing absent nodes make the reference panic
-  (src/graph.rs:146-152 unwraps); the engine drops them and reports the
-  count as a lineage metric (or raises under ``strict=True``)
+  (src/graph.rs:146-152 unwraps); the engine drops them silently in the
+  default path (no extra count action on the hot path — the snapshot
+  layer's row-count lineage exposes the delta) and raises under
+  ``strict=True``
 - self-loops are dropped (the reference half-counts them — a quirk of
   the both-directions map — never exercised by its fixtures)
 """
@@ -53,9 +55,13 @@ def parse_records(
         if n_bad:
             raise ValueError(f"{n_bad} malformed records (field count not in 2/3)")
 
+    # ordering = (arrival order, then the coordinate value itself): the
+    # value tie-break makes the winner deterministic even if two records
+    # share the exact arrival key (e.g. a 64-bit page-hash collision at
+    # 10^12 scale) — min_by with ties is otherwise arbitrary per run
     first = F.min_by(
         F.struct(F.col("f")[1].alias("lat"), F.col("f")[2].alias("lon")),
-        F.struct(*[F.col(c) for c in order_cols]),
+        F.struct(*[F.col(c) for c in order_cols], F.col("f")[1], F.col("f")[2]),
     ).alias("first")
     nodes = (
         parsed.filter(F.col("n") == 3)

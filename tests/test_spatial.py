@@ -89,6 +89,36 @@ def test_knn_fewer_nodes_than_k(spark):
     assert sorted(r["id"] for r in out) == ["a", "b"]
 
 
+def test_knn_small_grid_pole_and_wrap(spark):
+    """Regression: at tiny res the ring wraps x (duplicate cells) and
+    clamps y (pole rows uncovered until r >= n-1); both used to corrupt
+    the top-k — duplicated node ranks and missed nearer pole nodes."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pts = [
+        (str(i), float(lat), float(lon))
+        for i, (lat, lon) in enumerate(
+            zip(rng.uniform(-89, 89, 40), rng.uniform(-179, 179, 40))
+        )
+    ]
+    # include near-pole and antimeridian-adjacent nodes explicitly
+    pts += [("p1", 88.5, 10.0), ("p2", -88.5, -170.0), ("m1", 0.0, 179.5), ("m2", 0.0, -179.5)]
+    nodes = spark.createDataFrame(pts, "id string, lat_d double, lon_d double")
+    queries = spark.createDataFrame(
+        [("qp", 89.0, 15.0), ("qm", 0.1, -179.9), ("qc", 1.0, 1.0)],
+        "qid string, lat_d double, lon_d double",
+    )
+    fast = knn_join(nodes, queries, k=4, res=2, max_ring=8).toPandas()
+    slow = knn_bruteforce(nodes, queries, k=4).toPandas()
+    key = ["qid", "rank"]
+    fast = fast.sort_values(key).reset_index(drop=True)
+    slow = slow.sort_values(key).reset_index(drop=True)
+    assert fast[["qid", "rank", "id"]].values.tolist() == slow[["qid", "rank", "id"]].values.tolist()
+    # no node may appear twice for one query (wrap-dedup)
+    assert not fast.duplicated(["qid", "id"]).any()
+
+
 def test_tile_assignment_spans(spark):
     e = spark.createDataFrame(
         [("u", "v", 0.05, 45.02, 0.41, 45.33)],
