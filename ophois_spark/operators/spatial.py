@@ -318,6 +318,43 @@ def tile_assignment(edges_with_coords: DataFrame, zoom: int) -> DataFrame:
     )
 
 
+def tile_pyramid(
+    edges_with_coords: DataFrame, base_zoom: int, min_zoom: int
+) -> DataFrame:
+    """Per-tile edge counts at ``base_zoom`` rolled up the tile pyramid
+    to ``min_zoom`` (each parent tile = 2×2 children; integer halving).
+
+    The hypertable-rollup shape: aggregate once at the finest level,
+    then fold levels by pure integer arithmetic — each coarser level
+    aggregates the previous one (tiny), never rescanning the edges.
+    Output: (zoom, tile_x, tile_y, n_edges).
+    """
+    if min_zoom > base_zoom:
+        raise ValueError("min_zoom must be <= base_zoom")
+    base = (
+        tile_assignment(edges_with_coords, base_zoom)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .select(F.lit(base_zoom).alias("zoom"), "tile_x", "tile_y", "n_edges")
+    )
+    levels = [base]
+    cur = base
+    for z in range(base_zoom - 1, min_zoom - 1, -1):
+        cur = (
+            cur.groupBy(
+                F.floor(F.col("tile_x") / 2).alias("tile_x"),
+                F.floor(F.col("tile_y") / 2).alias("tile_y"),
+            )
+            .agg(F.sum("n_edges").alias("n_edges"))
+            .select(F.lit(z).alias("zoom"), "tile_x", "tile_y", "n_edges")
+        )
+        levels.append(cur)
+    out = levels[0]
+    for more in levels[1:]:
+        out = out.unionByName(more)
+    return out
+
+
 def render_tiles(edges_with_coords: DataFrame, zoom: int, tile_px: int = 256) -> DataFrame:
     """Rasterize edges per tile → (zoom, tile_x, tile_y, n_edges, pixels).
 

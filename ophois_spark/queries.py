@@ -456,11 +456,70 @@ SELECT src, dst, tile_x, unnest(generate_series(ty0, ty1)) AS tile_y FROM xs
 
 SQL_TILE_ASSIGNMENT = _tile_sql()
 
+PYRAMID_MIN_ZOOM = 11
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid rollup: per-tile edge-assignment counts at the base
+    zoom folded up to coarser levels (hypertable-rollup shape — each
+    level aggregates the previous, never rescanning the edges)."""
+    from ophois_spark.operators.spatial import tile_pyramid
+
+    g = derived_graph(spark, sf_dir)
+    return tile_pyramid(g.edges_with_coords(), TILE_ZOOM, PYRAMID_MIN_ZOOM)
+
+
+def _pyramid_sql() -> str:
+    per_level = []
+    for z in range(PYRAMID_MIN_ZOOM, TILE_ZOOM + 1):
+        shift = 1 << (TILE_ZOOM - z)
+        per_level.append(
+            f"""SELECT {z} AS zoom, tile_x // {shift} AS tile_x,
+       tile_y // {shift} AS tile_y, SUM(n) AS n_edges
+FROM base GROUP BY 2, 3"""
+        )
+    union = "\nUNION ALL\n".join(per_level)
+    return f"""
+WITH t AS ({SQL_TILE_ASSIGNMENT}),
+base AS (SELECT tile_x, tile_y, COUNT(*) AS n FROM t GROUP BY 1, 2)
+{union}
+"""
+
+
+SQL_TILE_PYRAMID = _pyramid_sql()
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup: event counts by (day, event_type) with the
+    per-day and grand totals — date_trunc + ROLLUP in one pass."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    return (
+        e.select(day.alias("day"), "event_type")
+        .rollup("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+       coalesce(event_type, 'ALL') AS event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), event_type)
+"""
+
 QUERIES.update(
     {
         "knn_nodes": q_knn_nodes,
         "pip_clip": q_pip_clip,
         "tile_assignment": q_tile_assignment,
+        "tile_pyramid": q_tile_pyramid,
+        "events_rollup": q_events_rollup,
     }
 )
 ORACLES.update(
@@ -468,6 +527,8 @@ ORACLES.update(
         "knn_nodes": SQL_KNN_NODES,
         "pip_clip": SQL_PIP_CLIP,
         "tile_assignment": SQL_TILE_ASSIGNMENT,
+        "tile_pyramid": SQL_TILE_PYRAMID,
+        "events_rollup": SQL_EVENTS_ROLLUP,
     }
 )
 
