@@ -3,11 +3,18 @@
 Usage (north_rule packaging contract):
 
     python jobs/package.py                        # -> dist/ophois_spark.zip
-    spark-submit --py-files dist/ophois_spark.zip jobs/build_graph_job.py \
+    spark-submit --driver-memory 6g \
+        --py-files dist/ophois_spark.zip jobs/build_graph_job.py \
         --pages <parquet-or-iceberg-path> \
         --snapshot-root <checkpoint dir> \
         --delta 10 --discretize-delta 50 \
         [--synth-pages 24000]                     # no input table: synthesize
+
+    NOTE: pass --driver-memory explicitly — spark-submit launches the
+    JVM before any session config applies, and its 1g default OOMs in
+    local mode where the driver hosts every executor thread's heap
+    (localCheckpoint storage, broadcast relations). On a real cluster
+    size it like any Spark driver.
 
 The job is resumable: every stage commits an Iceberg-style snapshot
 (ophois_spark/plans/snapshots.py) with per-partition lineage + row
