@@ -61,30 +61,57 @@ def cosine_topk(
 
 
 def plane_weight(j: Column | int, d: Column | int) -> Column:
-    """Deterministic integer hyperplane weight in [-3, 3]."""
-    jj = F.lit(j) if isinstance(j, int) else j
-    dd = F.lit(d) if isinstance(d, int) else d
-    return ((dd * 31 + jj * 17) % 7 - 3).cast("double")
+    """Deterministic integer hyperplane weight in [-3, 3].
+
+    LCG-hash family: ``(((1103515245*(d + 64*j) + 12345) mod 2^31)
+    mod 7) - 3``. Every (j, d) cell is hashed independently, so planes
+    stay distinct for arbitrarily many j — unlike a plain
+    ``(a*d + b*j) mod 7`` family, which repeats with period 7 in j and
+    caps the table at 7 distinct hyperplanes. Pure int64 arithmetic,
+    bit-identical in Spark and DuckDB (both use truncated ``%`` with
+    non-negative operands here).
+    """
+    jj = (F.lit(j) if isinstance(j, int) else j).cast("long")
+    dd = (F.lit(d) if isinstance(d, int) else d).cast("long")
+    h = (F.lit(1103515245).cast("long") * (dd + jj * 64) + 12345) % 2147483648
+    return (h % 7 - 3).cast("double")
+
+
+def band_buckets_col(
+    n_bands: int, band_planes: int, emb_col: str = "embedding"
+) -> Column:
+    """Array of ``n_bands`` LSH bucket keys (band t uses planes
+    ``t*band_planes .. t*band_planes+band_planes-1``) as ONE nested
+    higher-order Column expression — per-row, no join, no shuffle, and
+    expression size independent of n_bands×band_planes (the plane loop
+    is a ``transform``/``aggregate`` fold, not Python unrolling)."""
+    v = _as_double(F.col(emb_col))
+    dims = F.sequence(F.lit(0), F.size(F.col(emb_col)) - 1)
+
+    def proj(j: Column) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(v, dims, lambda x, d: x * plane_weight(j, d)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    # fold planes high→low: acc*2 + bit  ==  Σ bit_jj << jj
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(band_planes - 1), F.lit(0), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, jj: acc * 2 + (proj(t * band_planes + jj) >= 0).cast("long"),
+        ),
+    )
 
 
 def bucket_col(n_planes: int = N_PLANES, emb_col: str = "embedding") -> Column:
-    """The LSH bucket as a pure Column expression over the row's own
-    embedding — attachable with ``withColumn`` (no join, no shuffle)."""
-    v = _as_double(F.col(emb_col))
-    bucket = F.lit(0).cast("long")
-    for j in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(F.col(emb_col)) - 1),
-                lambda x, d: x * plane_weight(j, d),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = (F.round(proj, 6) >= 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, j)
-    return bucket
+    """Single-table LSH bucket (band 0 of ``band_buckets_col``)."""
+    return band_buckets_col(1, n_planes, emb_col)[0]
 
 
 def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id") -> DataFrame:
@@ -94,47 +121,85 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES, id_col: str = "
     )
 
 
+N_BANDS = 4
+BAND_PLANES = 8
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+    band_planes: int = BAND_PLANES,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: same LSH bucket AND
-    cosine ≥ threshold. The bucket equi-join bounds the candidate set
-    (the O(N²) cross join never materializes); the exact cosine filters
-    false bucket collisions."""
-    base = embeddings.select(
-        bucket_col(n_planes).alias("bucket"),
+    """Embedding-cosine near-duplicate pairs via banded multi-table
+    sign-LSH: candidate = same bucket in ANY of ``n_bands`` independent
+    tables of ``band_planes`` planes each; exact cosine ≥ threshold
+    confirms (the same band×row design as the MinHash LSH in
+    dedup.py — recall comes from bands, precision from the filter).
+
+    Scale contract: expected bucket size is N/2^band_planes, so pick
+    band_planes ≈ log2(N / target_bucket_size) — bucket COUNT grows
+    with N while per-bucket work stays constant; expected candidate
+    pairs are O(n_bands · N · target_bucket_size), never O(N²/const).
+    Candidates travel as (band, bucket, id) rows — ids only, the
+    vectors join back in AFTER the distinct — so the shuffle payload
+    is bounded too.
+    """
+    bb = embeddings.select(
         F.col(id_col).alias("vid"),
-        _as_double(F.col("embedding")).alias("v"),
+        F.posexplode(band_buckets_col(n_bands, band_planes)).alias("band", "bucket"),
     )
-    a = base.alias("a")
-    c = base.alias("b")
-    return (
-        a.join(c, "bucket")
+    cand = (
+        bb.alias("a")
+        .join(bb.alias("b"), ["band", "bucket"])
         .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col("embedding")).alias("v")
+    )
+    return (
+        cand.join(e.withColumnsRenamed({"vid": "vec_a", "v": "va"}), "vec_a")
+        .join(e.withColumnsRenamed({"vid": "vec_b", "v": "vb"}), "vec_b")
         .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
 
 
-def ivf_centroids(
-    embeddings: DataFrame, centroid_mod: int = 37, id_col: str = "vec_id"
-) -> DataFrame:
-    """Deterministic coarse quantizer: every ``centroid_mod``-th vector.
+N_CENTROIDS = 32
 
-    (A production IVF trains k-means; the engine's contract needs a
-    deterministic, SQL-expressible quantizer so the whole index is
-    oracle-checkable. Swapping in trained centroids changes nothing
-    downstream.)
+
+def ivf_centroids(
+    embeddings: DataFrame, n_centroids: int = N_CENTROIDS, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic coarse quantizer: a FIXED-SIZE hash sample — the
+    ``n_centroids`` vectors whose md5(id) sorts lowest.
+
+    The centroid count is a parameter independent of N (set it ~√N for
+    classic IVF cost balance): the assign step stays O(N·n_centroids)
+    with a boundable broadcast no matter how big the table grows —
+    unlike a ``vec_id % mod`` sample, whose |centroids| = N/mod turns
+    assignment into O(N²/mod). The global top-n compiles to a map-side
+    partial TakeOrdered, not a full sort. (A production IVF trains
+    k-means; the contract needs a deterministic, SQL-expressible
+    quantizer so the whole index is oracle-checkable — swapping in
+    trained centroids changes nothing downstream.)
     """
-    return embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("cid"), _as_double(F.col("embedding")).alias("cv")
+    return (
+        embeddings.select(
+            F.col(id_col).alias("cid"),
+            _as_double(F.col("embedding")).alias("cv"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(n_centroids)
+        .drop("h")
     )
 
 
@@ -166,13 +231,13 @@ def ivf_topk(
     queries: DataFrame,
     k: int,
     nprobe: int = 2,
-    centroid_mod: int = 37,
+    n_centroids: int = N_CENTROIDS,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` nearest inverted lists per query,
     exact cosine re-rank inside them — the standard scale path (search
-    cost ~ nprobe/|centroids| of brute force)."""
-    cents = ivf_centroids(embeddings, centroid_mod, id_col)
+    cost ~ nprobe/n_centroids of brute force)."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col)
     assign = ivf_assign(embeddings, cents, id_col)
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col("embedding")).alias("qv"))
 

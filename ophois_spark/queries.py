@@ -475,7 +475,7 @@ def _pyramid_sql() -> str:
         shift = 1 << (TILE_ZOOM - z)
         per_level.append(
             f"""SELECT {z} AS zoom, tile_x // {shift} AS tile_x,
-       tile_y // {shift} AS tile_y, SUM(n) AS n_edges
+       tile_y // {shift} AS tile_y, CAST(SUM(n) AS BIGINT) AS n_edges
 FROM base GROUP BY 2, 3"""
         )
     union = "\nUNION ALL\n".join(per_level)
@@ -711,14 +711,17 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_buckets(load(spark, sf_dir, "embeddings"))
 
 
-SQL_EMBEDDING_LSH_BUCKETS = """
+# plane weight mirror of similarity.plane_weight (LCG-hash family)
+_W_SQL = "((((1103515245 * (d + 64 * j) + 12345) % 2147483648) % 7) - 3)"
+
+SQL_EMBEDDING_LSH_BUCKETS = f"""
 WITH z AS (
   SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
          unnest(generate_series(0, len(embedding) - 1)) AS d
   FROM embeddings
 ),
 p AS (
-  SELECT vec_id, j, round(SUM(val * (((d * 31 + j * 17) % 7) - 3)), 6) AS proj
+  SELECT vec_id, j, round(SUM(val * {_W_SQL}), 6) AS proj
   FROM (SELECT vec_id, val, d, unnest(generate_series(0, 7)) AS j FROM z)
   GROUP BY vec_id, j
 )
@@ -999,22 +1002,23 @@ FROM (SELECT doc_id, h, unnest(generate_series(0, n_frames - 1, 3)) AS i FROM f)
 
 
 IVF_NPROBE = 2
-IVF_CENTROID_MOD = 37
+IVF_N_CENTROIDS = 32
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (deterministic coarse quantizer, nprobe lists, exact
+    """IVF ANN (fixed-size deterministic quantizer, nprobe lists, exact
     re-rank) — the scale path for similarity search."""
     from ophois_spark.operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0)
-    return ivf_topk(emb, q, k=EMB_K, nprobe=IVF_NPROBE, centroid_mod=IVF_CENTROID_MOD)
+    return ivf_topk(emb, q, k=EMB_K, nprobe=IVF_NPROBE, n_centroids=IVF_N_CENTROIDS)
 
 
 SQL_EMBEDDING_IVF_TOPK = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_N_CENTROIDS}),
 assign AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
@@ -1081,21 +1085,54 @@ NEAR_DUP_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal
 # (max pairwise cosine ≈ 0.51); 0.35 yields a small non-empty pair set
 
 
+NEAR_DUP_BANDS = 4
+NEAR_DUP_BAND_PLANES = 8
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets + exact filter."""
+    """Embedding-cosine near-dup pairs via banded multi-table sign-LSH
+    candidates + exact cosine filter."""
     from ophois_spark.operators.similarity import near_dup_pairs
 
-    return near_dup_pairs(load(spark, sf_dir, "embeddings"), NEAR_DUP_THRESHOLD)
+    return near_dup_pairs(
+        load(spark, sf_dir, "embeddings"),
+        NEAR_DUP_THRESHOLD,
+        n_bands=NEAR_DUP_BANDS,
+        band_planes=NEAR_DUP_BAND_PLANES,
+    )
 
 
 SQL_EMBEDDING_NEAR_DUP = f"""
-WITH b AS ({SQL_EMBEDDING_LSH_BUCKETS}),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-base AS (SELECT b.bucket, b.vec_id AS vid, e.v FROM b JOIN e ON b.vec_id = e.vec_id)
-SELECT a.vid AS vec_a, c.vid AS vec_b,
-       round(list_cosine_similarity(a.v, c.v), 6) AS sim
-FROM base a JOIN base c ON a.bucket = c.bucket AND a.vid < c.vid
-WHERE round(list_cosine_similarity(a.v, c.v), 6) >= {NEAR_DUP_THRESHOLD!r}
+WITH z AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+         unnest(generate_series(0, len(embedding) - 1)) AS d
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, j, round(SUM(val * {_W_SQL}), 6) AS proj
+  FROM (SELECT vec_id, val, d,
+               unnest(generate_series(0, {NEAR_DUP_BANDS * NEAR_DUP_BAND_PLANES - 1})) AS j
+        FROM z)
+  GROUP BY vec_id, j
+),
+bb AS (
+  SELECT vec_id, j // {NEAR_DUP_BAND_PLANES} AS band,
+         CAST(SUM(CASE WHEN proj >= 0
+                  THEN (CAST(1 AS BIGINT) << (j % {NEAR_DUP_BAND_PLANES}))
+                  ELSE 0 END) AS BIGINT) AS bucket
+  FROM p GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT cand.vec_a, cand.vec_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+FROM cand JOIN e ea ON cand.vec_a = ea.vec_id
+          JOIN e eb ON cand.vec_b = eb.vec_id
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {NEAR_DUP_THRESHOLD!r}
 """
 
 

@@ -13,6 +13,16 @@ the same fixpoint for ANY processing order. This module pins that claim:
    several different processing orders. When every order reaches the
    same fixpoint (the confluent case the goldens assert), the Spark
    operator must reach it too.
+3. For H6 (link contraction) sampling orders is UNSOUND — a case can
+   be order-dependent while a handful of sampled orders coincide
+   (seed 3 here splits 50/50 over 500 orders yet 4 samples agreed).
+   ``link_fixpoints`` instead exhaustively enumerates EVERY fixpoint
+   reachable by contracting live short links one at a time in any
+   order — a superset of the reference's sweep orders AND of the
+   engine's batch rounds (a vertex-disjoint matching is realizable
+   as a sequential prefix: contracting one matching edge never
+   changes another's endpoints or distance). A singleton result is a
+   proof of order-insensitivity; anything else is out of contract.
 """
 
 import random
@@ -216,14 +226,56 @@ def test_under_delta_nodes_confluence(spark, seed):
     assert got == next(iter(outs))
 
 
+class _StateSpaceTooBig(Exception):
+    pass
+
+
+def link_fixpoints(nodes, links, delta, cap=50000):
+    """Every fixpoint reachable by contracting live short links in ANY
+    order (memoized DFS over the reachable state space — sound, not
+    sampled). Node count strictly decreases per contraction, so the
+    recursion is acyclic and bounded. Returns None if the space
+    exceeds ``cap`` states (then the case is skipped, not asserted).
+    """
+    memo = {}
+
+    def dfs(state):
+        if state in memo:
+            return memo[state]
+        if len(memo) > cap:
+            raise _StateSpaceTooBig
+        g = SeqGraph(state[0], state[1])
+        shorts = [(u, v) for u, v in sorted(g.edges) if g.dist(u, v) < delta]
+        if not shorts:
+            memo[state] = frozenset([state])
+            return memo[state]
+        out = set()
+        for u, v in shorts:
+            h = SeqGraph(state[0], state[1])
+            h.contract_link(u, v)
+            out |= dfs(h.state())
+        memo[state] = frozenset(out)
+        return memo[state]
+
+    try:
+        return dfs(SeqGraph(nodes, links).state())
+    except _StateSpaceTooBig:
+        return None
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_under_delta_links_confluence(spark, seed):
     delta = 8.0
     nodes, links = random_graph(seed)
-    outs = seq_outcomes(nodes, links, lambda g, r: g.under_delta_links(delta, r))
-    if len(outs) != 1:
+    fps = link_fixpoints(nodes, links, delta)
+    if fps is None:
+        pytest.skip("state space over cap")
+    # every sampled sequential order must land inside the reachable set
+    for out in seq_outcomes(nodes, links, lambda g, r: g.under_delta_links(delta, r)):
+        assert out in fps
+    if len(fps) != 1:
         pytest.skip("order-dependent case (outside the parity contract)")
     got = spark_state(
         remove_under_delta_links(graph_from_tuples(spark, nodes, links), delta)
     )
-    assert got == next(iter(outs))
+    assert got == next(iter(fps))
