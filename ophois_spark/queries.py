@@ -1047,10 +1047,12 @@ SELECT qid, rank, vec_id, sim FROM r WHERE rank <= {EMB_K}
 """
 
 
-# fixpoint contraction operators (H4/H6): genuinely non-SQL-expressible
-# (iterate-to-convergence with freshly minted node ids) → registered
-# WITHOUT an oracle; the driver records the weaker rows-only check and
-# the ported reference fixtures pin exact semantics (tests/).
+# fixpoint contraction operators (H4/H6): the loops converge in ≤2
+# rounds on the derived graph (measured at sf0.001 and sf0.01), and one
+# round IS SQL-expressible — the oracles below UNROLL 4 rounds as a CTE
+# chain (a round at fixpoint has an empty candidate set and is an exact
+# identity, so the surplus rounds are harmless no-ops). The ported
+# reference fixtures additionally pin exact semantics in tests/.
 H4_DELTA = 40.0
 H6_DELTA = 30.0
 
@@ -1079,6 +1081,139 @@ def q_under_delta_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_under_delta_links(derived_graph(spark, sf_dir), H6_DELTA).nodes.select(
         "id", "lat", "lon"
     )
+
+
+_CONTRACT_ROUNDS = 4  # measured fixpoint depth is 2; surplus rounds are identity
+
+
+def _rust_fmt_sql(v: str) -> str:
+    """Rust f64::to_string in DuckDB: shortest-round-trip cast, minus the
+    trailing ".0" on integral doubles (parity pinned over the full
+    derived-coordinate lattice in tests)."""
+    return (
+        f"CASE WHEN floor({v}) = ({v}) THEN CAST(CAST({v} AS BIGINT) AS VARCHAR) "
+        f"ELSE CAST({v} AS VARCHAR) END"
+    )
+
+
+def _h4_sql(rounds: int = _CONTRACT_ROUNDS) -> str:
+    """Unrolled-round oracle for remove_under_delta_nodes on the ≤150 m
+    subgraph. Mirrors ophois_spark.operators.contraction: candidates =
+    nodes whose every incident link ≤ delta (isolated included),
+    selected = candidates minus dst-endpoints of candidate-candidate
+    edges (an independent set), then remove + clique-complete."""
+    hav = _hav_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")
+    parts = [
+        f"n0 AS MATERIALIZED (SELECT id FROM ({_NODES_SQL}))",
+        f"coords AS MATERIALIZED ({_NODES_SQL})",
+        f"""e0 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM ({_EDGES_SQL}) e
+  JOIN coords a ON e.src = a.id JOIN coords b ON e.dst = b.id
+  WHERE {hav} <= 150.0
+)""",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""inc{k} AS MATERIALIZED (
+  SELECT e.src AS id, {hav} AS dist FROM e{k} e
+  JOIN coords a ON e.src = a.id JOIN coords b ON e.dst = b.id
+  UNION ALL
+  SELECT e.dst, {hav} FROM e{k} e
+  JOIN coords a ON e.src = a.id JOIN coords b ON e.dst = b.id
+),
+c{k} AS MATERIALIZED (
+  SELECT n.id FROM n{k} n
+  LEFT JOIN (SELECT id, max(dist) AS md FROM inc{k} GROUP BY id) m ON n.id = m.id
+  WHERE m.md IS NULL OR m.md <= {H4_DELTA!r}
+),
+sel{k} AS MATERIALIZED (
+  SELECT id FROM c{k} WHERE id NOT IN (
+    SELECT e.dst FROM e{k} e
+    WHERE e.src IN (SELECT id FROM c{k}) AND e.dst IN (SELECT id FROM c{k}))
+),
+nb{k} AS MATERIALIZED (
+  SELECT e.src AS vid, e.dst AS n FROM e{k} e WHERE e.src IN (SELECT id FROM sel{k})
+  UNION ALL
+  SELECT e.dst, e.src FROM e{k} e WHERE e.dst IN (SELECT id FROM sel{k})
+),
+n{k + 1} AS MATERIALIZED (SELECT id FROM n{k} WHERE id NOT IN (SELECT id FROM sel{k})),
+e{k + 1} AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e{k}
+    WHERE src NOT IN (SELECT id FROM sel{k}) AND dst NOT IN (SELECT id FROM sel{k})
+    UNION ALL
+    SELECT a.n AS src, b.n AS dst FROM nb{k} a JOIN nb{k} b
+      ON a.vid = b.vid AND a.n < b.n)
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id FROM n{rounds}"
+
+
+def _h6_sql(rounds: int = _CONTRACT_ROUNDS) -> str:
+    """Unrolled-round oracle for remove_under_delta_links. Per round:
+    matching = short links that are the (dist, src, dst)-minimum at
+    BOTH endpoints; contract via relabeling with minted "{src}-{dst}"
+    midpoint nodes (Rust-formatted strings), collision winner = min
+    (lat, lon, lat_d, lon_d), survivors win over minted."""
+    hav = _hav_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")
+    parts = [
+        # CAST to DOUBLE first: DuckDB evaluates the node arithmetic in
+        # DECIMAL, whose VARCHAR rendering keeps trailing zeros
+        f"""n0 AS MATERIALIZED (
+  SELECT id, CAST(CAST(lat_d AS DOUBLE) AS VARCHAR) AS lat,
+         CAST(CAST(lon_d AS DOUBLE) AS VARCHAR) AS lon,
+         CAST(lat_d AS DOUBLE) AS lat_d, CAST(lon_d AS DOUBLE) AS lon_d
+  FROM ({_NODES_SQL})
+)""",
+        f"e0 AS MATERIALIZED ({_EDGES_SQL})",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""sh{k} AS MATERIALIZED (
+  SELECT e.src, e.dst, {hav} AS dist FROM e{k} e
+  JOIN n{k} a ON e.src = a.id JOIN n{k} b ON e.dst = b.id
+  WHERE {hav} < {H6_DELTA!r}
+),
+lm{k} AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY endpoint ORDER BY dist, src, dst) AS rn
+    FROM (SELECT src AS endpoint, src, dst, dist FROM sh{k}
+          UNION ALL SELECT dst, src, dst, dist FROM sh{k}))
+  WHERE rn = 1
+),
+mc{k} AS MATERIALIZED (
+  SELECT m.src, m.dst, m.src || '-' || m.dst AS new_id,
+         (a.lon_d + b.lon_d) / 2.0 AS mx, (a.lat_d + b.lat_d) / 2.0 AS my
+  FROM (SELECT src, dst FROM lm{k} GROUP BY src, dst HAVING COUNT(*) = 2) m
+  JOIN n{k} a ON m.src = a.id JOIN n{k} b ON m.dst = b.id
+),
+map{k} AS MATERIALIZED (SELECT src AS old, new_id FROM mc{k}
+           UNION ALL SELECT dst, new_id FROM mc{k}),
+e{k + 1} AS MATERIALIZED (
+  SELECT DISTINCT least(s2, d2) AS src, greatest(s2, d2) AS dst FROM (
+    SELECT coalesce(ms.new_id, e.src) AS s2, coalesce(md.new_id, e.dst) AS d2
+    FROM e{k} e LEFT JOIN map{k} ms ON e.src = ms.old
+                LEFT JOIN map{k} md ON e.dst = md.old)
+  WHERE s2 <> d2
+),
+sv{k} AS MATERIALIZED (SELECT * FROM n{k} WHERE id NOT IN (SELECT old FROM map{k})),
+n{k + 1} AS MATERIALIZED (
+  SELECT * FROM sv{k}
+  UNION ALL
+  SELECT new_id AS id, lat, lon, my AS lat_d, mx AS lon_d FROM (
+    SELECT new_id, mx, my, {_rust_fmt_sql("my")} AS lat, {_rust_fmt_sql("mx")} AS lon,
+           row_number() OVER (PARTITION BY new_id
+             ORDER BY {_rust_fmt_sql("my")}, {_rust_fmt_sql("mx")}, my, mx) AS rn
+    FROM mc{k})
+  WHERE rn = 1 AND new_id NOT IN (SELECT id FROM sv{k})
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, lat, lon FROM n{rounds}"
+
+
+SQL_UNDER_DELTA_NODES = _h4_sql()
+SQL_UNDER_DELTA_LINKS = _h6_sql()
 
 
 NEAR_DUP_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal
@@ -1159,6 +1294,8 @@ ORACLES.update(
     {
         "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "under_delta_nodes": SQL_UNDER_DELTA_NODES,
+        "under_delta_links": SQL_UNDER_DELTA_LINKS,
         "media_metadata": SQL_MEDIA_METADATA,
         "media_features": SQL_MEDIA_FEATURES,
         "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
