@@ -29,13 +29,43 @@ def simhash60(tokens: list[str]) -> int:
     return int(((acc > 0).astype(np.int64) << idx).sum())
 
 
+def simhash60_batch(token_lists: list[list[str]]) -> list[int]:
+    """Batch twin of ``simhash60`` (pinned equal by tests) with a
+    shared token→±1-vector cache: each distinct token in the batch is
+    md5-hashed once, and repeated tokens inside a document fold in as
+    count × vector. Real text repeats tokens heavily (stopwords), so
+    this cuts the md5 calls by the corpus' repetition factor."""
+    idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+    cache: dict[str, np.ndarray] = {}
+    out: list[int] = []
+    for tokens in token_lists:
+        acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+        counts: dict[str, int] = {}
+        for t in tokens:
+            counts[t] = counts.get(t, 0) + 1
+        for t, c in counts.items():
+            v = cache.get(t)
+            if v is None:
+                v = ((md5_int60(t) >> idx) & 1) * 2 - 1
+                cache[t] = v
+            acc += c * v
+        out.append(int(((acc > 0).astype(np.int64) << idx).sum()))
+    return out
+
+
 def hamming60(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def minhash_sig(shingles: set[str], n_hashes: int = 16) -> list[str]:
-    """Same signatures as operators.dedup.minhash_signatures."""
-    return [
-        min(hashlib.md5(f"{j:02d}§{s}".encode()).hexdigest() for s in shingles)
-        for j in range(n_hashes)
-    ]
+def minhash_sig(shingles: set[str], n_hashes: int = 16) -> list[int]:
+    """Same signatures as operators.dedup.minhash_signatures: one md5
+    per shingle (first 7 hex chars → 28-bit int), permutation j is the
+    affine bijection (a_j·h + b_j) mod 2^31−1."""
+    p = 2147483647
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in shingles]
+    out = []
+    for j in range(n_hashes):
+        a = (1103515245 * (j + 1)) % p
+        b = (12345 + 777767777 * j) % p
+        out.append(min((a * h + b) % p for h in hs))
+    return out

@@ -8,11 +8,14 @@ Scale-path dedup primitives (graft checklist):
 - ``shingle_jaccard_pairs``  exact n-gram Jaccard over LSH candidates
 - ``simhash``                64-bit-ish (60-bit) sign-sum fingerprint
 
-Hash portability: every hash is md5 (available in Spark, DuckDB and
-hashlib), with the hex digest either compared as a string (MinHash —
-the lexicographic min of md5 hexes is a valid uniform min-hash) or its
-first 15 hex chars cast to a 60-bit integer (SimHash) — so each
-operator has an exact ANSI-SQL oracle twin.
+Hash portability: the only cryptographic hash is md5 (available in
+Spark, DuckDB and hashlib). MinHash hashes each shingle ONCE (first 7
+md5 hex chars → 28-bit int) and derives the 16 permutations as affine
+maps ``(a_j·h + b_j) mod P`` with P = 2^31−1 prime — exact bijections
+on [0, P), pure int64 arithmetic, bit-identical in SQL. That's 16×
+less hashing than an md5-per-(seed, shingle) design, the difference
+between the signature stage being hash-bound and being scan-bound at
+100 TB. SimHash uses the first 15 hex chars as a 60-bit integer.
 
 Shuffle shape at 10^12 docs: shingle explode is narrow; the signature
 aggregation shuffles on doc_id (near-unique — no skew); the LSH join
@@ -56,19 +59,57 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+MINHASH_P = 2147483647  # 2^31 − 1, prime
+
+
+def minhash_affine(j: int) -> tuple[int, int]:
+    """Deterministic (a_j, b_j) for permutation j; a_j ≠ 0 since P is
+    prime, P ∤ 1103515245 and j+1 < P."""
+    return (1103515245 * (j + 1)) % MINHASH_P, (12345 + 777767777 * j) % MINHASH_P
+
+
+def _minhash_sig_cols(shingle: Column, n_hashes: int) -> list[Column]:
+    """One md5 per shingle; permutation j = (a_j·h0 + b_j) mod P.
+    h0 < 2^28 and a_j < 2^31 keep every product inside int64."""
+    h0 = F.conv(F.substring(F.md5(shingle), 1, 7), 16, 10).cast("long")
+    out = []
+    for j in range(n_hashes):
+        a, b = minhash_affine(j)
+        out.append((F.lit(a) * h0 + F.lit(b)) % F.lit(MINHASH_P))
+    return out
+
+
+def _minhash_agg(
+    docs: DataFrame, n_hashes: int, k: int, shingles: DataFrame | None
+) -> DataFrame:
+    """(doc_id, s0..s{n-1}): all signature mins in ONE pass over the
+    shingle rows — n_hashes min-aggregates instead of an
+    explode(n_hashes) row blowup, so the shuffle is |docs| wide rows."""
+    sh = doc_shingles(docs, k) if shingles is None else shingles
+    cols = _minhash_sig_cols(F.col("shingle"), n_hashes)
+    return sh.groupBy("doc_id").agg(
+        *[F.min(c).alias(f"s{j}") for j, c in enumerate(cols)]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = N_HASHES, k: int = 3, shingles: DataFrame | None = None
 ) -> DataFrame:
-    """(doc_id, j, sig): sig_j = min over shingles of md5('0j§'+shingle).
-
-    Lexicographic min over md5 hex digests — a uniform permutation min
-    per seed j, portable across engines. Pass precomputed ``shingles``
-    to share the tokenize+shingle+distinct lineage with other consumers.
-    """
-    sh = doc_shingles(docs, k) if shingles is None else shingles
-    seeded = sh.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))))
-    h = F.md5(F.concat(F.lpad(F.col("j"), 2, "0"), F.lit("§"), F.col("shingle")))
-    return seeded.groupBy("doc_id", "j").agg(F.min(h).alias("sig"))
+    """(doc_id, j, sig): sig_j = min over shingles of the j-th affine
+    permutation of the shingle hash. Pass precomputed ``shingles`` to
+    share the tokenize+shingle+distinct lineage with other consumers.
+    (The row shape is unpivoted AFTER the one-pass agg — the explode
+    runs on |docs| rows, not |shingles|.)"""
+    agg = _minhash_agg(docs, n_hashes, k, shingles)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.col(f"s{j}").alias("sig"))
+            for j in range(n_hashes)
+        ]
+    )
+    return agg.select("doc_id", F.explode(pairs).alias("x")).select(
+        "doc_id", F.col("x.j").cast("int").alias("j"), "x.sig"
+    )
 
 
 def lsh_band_keys(
@@ -78,14 +119,22 @@ def lsh_band_keys(
     k: int = 3,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, band, band_key): band_key = md5 of the band's ordered sigs."""
-    sig = minhash_signatures(docs, n_hashes, k, shingles).withColumn(
-        "band", (F.col("j") / band_rows).cast("int")
+    """(doc_id, band, band_key): band_key = the band's sigs joined with
+    ':' — raw ints, no second-level hash needed for the equi-join."""
+    agg = _minhash_agg(docs, n_hashes, k, shingles)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band"),
+                F.concat_ws(
+                    ":", *[F.col(f"s{t * band_rows + r}") for r in range(band_rows)]
+                ).alias("band_key"),
+            )
+            for t in range(n_hashes // band_rows)
+        ]
     )
-    part = F.concat(F.lpad(F.col("j"), 2, "0"), F.lit(":"), F.col("sig"))
-    return (
-        sig.groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list(part)))).alias("band_key"))
+    return agg.select("doc_id", F.explode(bands).alias("x")).select(
+        "doc_id", F.col("x.band").cast("int").alias("band"), "x.band_key"
     )
 
 
@@ -109,23 +158,38 @@ def minhash_lsh_pairs(
 
 
 def shingle_jaccard_pairs(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Exact shingle-set Jaccard for every LSH candidate pair.
+    """Exact shingle-set Jaccard for every LSH candidate pair — ARRAY-FREE.
 
-    The tokenize+shingle+distinct lineage is computed ONCE (persisted)
-    and feeds both the MinHash signatures and the exact sets — without
-    the share it would run twice, doubling the dominant stages.
+    Intersections are counted on exploded (pair, shingle) rows: each
+    candidate pair joins its doc_a shingles against the (doc_b,
+    shingle) set and counts the matches. No ``collect_set`` arrays ever
+    travel through a join, so the shuffle payload per row stays
+    constant no matter how long documents get (the array formulation
+    carried both docs' full shingle sets through the pair join —
+    memory-quadratic in doc length at 100 TB).
+
+    The tokenize+shingle+distinct lineage is computed ONCE (persisted,
+    MEMORY_AND_DISK) feeding the MinHash signatures, the counts, and
+    the intersection; the cache block lives for the session (callers
+    looping over many corpora should ``spark.catalog.clearCache()``
+    between runs — a returned lazy DataFrame can't self-unpersist).
     """
     from pyspark import StorageLevel
 
     sh = doc_shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = minhash_lsh_pairs(docs, k=k, shingles=sh)
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("s"), F.count(F.lit(1)).alias("n")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
     j = (
-        pairs.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), F.col("n").alias("na")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb")), "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sa", "sb")).cast("long"))
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)).cast("long"))
+        .join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
     )
     return j.select(
         "doc_a",
@@ -140,24 +204,40 @@ def shingle_jaccard_pairs(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """60-bit SimHash over the token multiset, pure DataFrame ops.
+    """60-bit SimHash over the token multiset — Arrow-batched kernel.
 
     Per token: h = first 15 hex chars of md5 as int (60 bits); each bit
     contributes ±1; final bit b set iff the sum is > 0 (ties → 0,
-    deterministic). The explode(60)×tokens formulation stays JVM-side
-    and mirrors 1:1 into SQL; a numpy kernel (kernels/text.py) computes
-    the same value per partition for the 10^12-scale path.
+    deterministic). Executes via ``mapInPandas`` over
+    ``kernels.text.simhash60`` — one vectorized pass per document with
+    ZERO shuffle, instead of the explode(60)×tokens row blowup (the
+    Column formulation lives on as the DuckDB oracle twin; kernel↔SQL
+    equality is pinned by tests). Tokenization is the exact Python twin
+    of ``textops.tokens_col``: Spark ``trim`` strips spaces only, and
+    Java regex ``\\s`` is ASCII, hence ``strip(' ')`` + ASCII split.
+    NULL text yields no row (explode-of-null parity).
     """
-    toks = docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok"))
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    bits = toks.select(
-        "doc_id", h.alias("h"), F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b")
-    ).select("doc_id", "b", F.expr("(shiftright(h, b) & CAST(1 AS BIGINT)) * 2 - 1").alias("w"))
-    per_bit = bits.groupBy("doc_id", "b").agg(F.sum("w").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ophois_spark.kernels.text import simhash60_batch
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            toks: list[list[str]] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                ids.append(did)
+                toks.append(ws.split(text.strip(" ")))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "simhash": pd.Series(simhash60_batch(toks), dtype="int64")})
+
+    return docs.select(F.col("doc_id"), F.col(text_col).alias("text")).mapInPandas(
+        gen, "doc_id long, simhash long"
     )

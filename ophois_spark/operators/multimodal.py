@@ -50,7 +50,11 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     payload = F.encode(
         F.expr("repeat(md5(text), 1 + cast(doc_id % 7 as int))"), "UTF-8"
     )
-    return docs.select(
+    # NULL text would mint a NULL payload that crashes np.frombuffer in
+    # media_features — a media row without bytes carries no information,
+    # so drop it at the source (real WARC extractors skip bodyless
+    # records the same way)
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id", mtype.alias("media_type"), payload.alias("payload")
     )
 
@@ -107,6 +111,8 @@ def media_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, widths, heights, means, sizes = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue  # defense in depth vs NULL/empty blobs
                 buf = np.frombuffer(payload, dtype=np.uint8)
                 w, h, m = _fake_decode(buf)
                 ids.append(doc_id)

@@ -102,19 +102,20 @@ def point_in_polygon(
 ) -> DataFrame:
     """Filter points inside ``polygon`` [(lon, lat), …] — even-odd rule.
 
-    bbox prefilter (pushdown-friendly Column compare) then exact ray
-    cast: count edges crossing the horizontal ray; all pure Column
-    expressions folded by codegen — no UDF, no shuffle beyond the
-    broadcast of a tiny edge table.
+    bbox prefilter (pushdown-friendly Column compare), then exact ray
+    cast folded over an ARRAY LITERAL of polygon edges with
+    ``F.aggregate`` — one narrow per-row expression inside codegen.
+    ZERO shuffle (no join, no groupBy: the polygon ships inside the
+    plan itself), and duplicate input rows pass through unchanged
+    (the former groupBy-all-columns formulation silently collapsed
+    them and reshuffled the whole boxed set).
     """
     if len(polygon) < 3:
         raise ValueError("polygon needs >= 3 vertices")
-    spark = points.sparkSession
     edges = [
         (float(x1), float(y1), float(x2), float(y2))
         for (x1, y1), (x2, y2) in zip(polygon, polygon[1:] + polygon[:1])
     ]
-    edf = spark.createDataFrame(edges, "x1 double, y1 double, x2 double, y2 double")
     min_x = min(e[0] for e in edges)
     max_x = max(e[0] for e in edges)
     min_y = min(e[1] for e in edges)
@@ -124,21 +125,27 @@ def point_in_polygon(
     boxed = points.filter(
         (lon >= F.lit(min_x)) & (lon <= F.lit(max_x)) & (lat >= F.lit(min_y)) & (lat <= F.lit(max_y))
     )
-    crosses = (
-        ((F.col("y1") > lat) != (F.col("y2") > lat))
-        & (
-            lon
-            < (F.col("x2") - F.col("x1")) * (lat - F.col("y1")) / (F.col("y2") - F.col("y1"))
-            + F.col("x1")
-        )
+    edge_lits = F.array(
+        *[
+            F.struct(
+                F.lit(x1).alias("x1"),
+                F.lit(y1).alias("y1"),
+                F.lit(x2).alias("x2"),
+                F.lit(y2).alias("y2"),
+            )
+            for x1, y1, x2, y2 in edges
+        ]
     )
-    return (
-        boxed.crossJoin(F.broadcast(edf))
-        .groupBy(*points.columns)
-        .agg(F.sum(crosses.cast("int")).alias("_crossings"))
-        .filter(F.col("_crossings") % 2 == 1)
-        .drop("_crossings")
+    crossings = F.aggregate(
+        edge_lits,
+        F.lit(0),
+        lambda acc, e: acc
+        + (
+            ((e["y1"] > lat) != (e["y2"] > lat))
+            & (lon < (e["x2"] - e["x1"]) * (lat - e["y1"]) / (e["y2"] - e["y1"]) + e["x1"])
+        ).cast("int"),
     )
+    return boxed.filter(crossings % 2 == 1)
 
 
 # ---------------------------------------------------------------------------

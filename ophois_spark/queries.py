@@ -621,24 +621,32 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
-SQL_MINHASH_LSH_PAIRS = f"""
+def _minhash_pairs_sql() -> str:
+    from ophois_spark.operators.dedup import MINHASH_P, N_HASHES, minhash_affine
+
+    seeds = ", ".join(
+        f"({j}, {minhash_affine(j)[0]}, {minhash_affine(j)[1]})" for j in range(N_HASHES)
+    )
+    return f"""
 WITH sh AS ({_SHINGLES_SQL}),
-seeded AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS j FROM sh),
+seeds(j, a, b) AS (VALUES {seeds}),
+h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h0 FROM sh),
 sig AS (
-  SELECT doc_id, j,
-         min(md5(lpad(CAST(j AS VARCHAR), 2, '0') || '§' || shingle)) AS sig
-  FROM seeded GROUP BY doc_id, j
+  SELECT doc_id, j, min((a * h0 + b) % {MINHASH_P}) AS sig
+  FROM h CROSS JOIN seeds GROUP BY doc_id, j
 ),
 bands AS (
   SELECT doc_id, CAST(j // 2 AS INT) AS band,
-         md5(string_agg(lpad(CAST(j AS VARCHAR), 2, '0') || ':' || sig, '|'
-             ORDER BY lpad(CAST(j AS VARCHAR), 2, '0') || ':' || sig)) AS band_key
+         string_agg(CAST(sig AS VARCHAR), ':' ORDER BY j) AS band_key
   FROM sig GROUP BY doc_id, CAST(j // 2 AS INT)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 """
+
+
+SQL_MINHASH_LSH_PAIRS = _minhash_pairs_sql()
 
 
 def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1271,8 +1279,80 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {NEAR_DUP_THRESHOLD!r}
 """
 
 
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P1–P3 ingest path under the oracle gate: deterministic OSM-XML
+    pages derived from ``documents`` run through the REAL fused
+    format+extract kernel (``extract_page_records`` → mapInPandas over
+    ``kernels.osmxml``), while the oracle constructs the byte-exact
+    expected records independently from the format spec
+    (reference src/openstreetmap.rs:24-88). Exercises self-closing
+    nodes, multi-line node buffering (no-joiner concatenation),
+    multi-line ways with tag children, and non-XML noise pages that
+    must yield zero records."""
+    from ophois_spark.operators.extract import extract_page_records
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    a = (F.col("doc_id") % 997).cast("string")
+    b = ((F.col("doc_id") * 13) % 997).cast("string")
+    n1 = (F.col("doc_id") * 3 + 1).cast("string")
+    n2 = (F.col("doc_id") * 3 + 2).cast("string")
+    w = (F.col("doc_id") * 3 + 3).cast("string")
+    r1 = (F.col("doc_id") * 7 + 1).cast("string")
+    r2 = (F.col("doc_id") * 7 + 2).cast("string")
+    r3 = (F.col("doc_id") * 7 + 3).cast("string")
+    xml = F.concat_ws(
+        "\n",
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'),
+        F.lit("<osm>"),
+        F.format_string('  <node id="%s" lat="45.%s" lon="5.%s"/>', n1, a, b),
+        F.format_string('  <node id="%s" lat="46.%s"', n2, a),
+        F.format_string('    lon="6.%s">', b),
+        F.lit("  </node>"),
+        F.format_string('  <way id="%s">', w),
+        F.format_string('    <nd ref="%s"/>', r1),
+        F.format_string('    <nd ref="%s"/>', r2),
+        F.format_string('    <nd ref="%s"/>', r3),
+        F.lit('    <tag k="highway" v="residential"/>'),
+        F.lit("  </way>"),
+        F.lit("</osm>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("no map content, just prose"))
+        .otherwise(xml)
+        .alias("text"),
+    )
+    return extract_page_records(pages)
+
+
+def _xml_extract_sql() -> str:
+    from ophois_spark import SEPARATOR as S
+
+    return f"""
+WITH d AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id % 997 AS VARCHAR) AS a,
+         CAST((doc_id * 13) % 997 AS VARCHAR) AS b,
+         CAST(doc_id * 3 + 1 AS VARCHAR) AS n1,
+         CAST(doc_id * 3 + 2 AS VARCHAR) AS n2,
+         CAST(doc_id * 7 + 1 AS VARCHAR) AS r1,
+         CAST(doc_id * 7 + 2 AS VARCHAR) AS r2,
+         CAST(doc_id * 7 + 3 AS VARCHAR) AS r3
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT url, CAST(0 AS INT) AS pos, n1 || '{S}' || '45.' || a || '{S}' || '5.' || b AS line FROM d
+UNION ALL SELECT url, CAST(1 AS INT), n2 || '{S}' || '46.' || a || '{S}' || '6.' || b FROM d
+UNION ALL SELECT url, CAST(2 AS INT), r1 || '{S}' || r2 FROM d
+UNION ALL SELECT url, CAST(3 AS INT), r2 || '{S}' || r3 FROM d
+"""
+
+
+SQL_XML_EXTRACT = _xml_extract_sql()
+
+
 QUERIES.update(
     {
+        "xml_extract": q_xml_extract,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "under_delta_nodes": q_under_delta_nodes,
@@ -1292,6 +1372,7 @@ QUERIES.update(
 )
 ORACLES.update(
     {
+        "xml_extract": SQL_XML_EXTRACT,
         "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "under_delta_nodes": SQL_UNDER_DELTA_NODES,

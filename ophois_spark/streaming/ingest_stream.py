@@ -126,10 +126,25 @@ def stream_graph_snapshots(
         pages = pages.filter(F.col("lang") == lang)
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        stage = f"stream_batch_{batch_id}"
         # foreachBatch is at-least-once: on restart a batch can replay
         # after its commit but before the streaming checkpoint advanced.
-        # The snapshot log is the idempotency ledger — skip if committed.
+        # The snapshot log is the idempotency ledger. Keyed on batch
+        # CONTENT (source-file list), not batch_id alone — a fresh
+        # checkpoint over a reused snapshot root restarts ids at 0, and
+        # an id-only key would silently skip new batches whose id
+        # happens to match an old commit.
+        import hashlib
+
+        try:
+            files = sorted(batch_df.inputFiles())
+        except Exception:
+            files = []
+        sig = (
+            hashlib.md5("\n".join(files).encode()).hexdigest()[:12]
+            if files
+            else "nofiles"
+        )
+        stage = f"stream_batch_{batch_id}_{sig}"
         existing = log.find_stage(stage)
         if existing is not None:
             if on_batch is not None:

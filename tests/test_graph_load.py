@@ -86,6 +86,20 @@ def test_order_size_golden(spark):
     assert (row["n_nodes"], row["n_links"]) == (26, 30)
 
 
+def test_write_metrics_file_sink(spark, tmp_path):
+    # reference metrics() file sink (src/metrics.rs:8-24,69-75):
+    # ./{dir}/{order_size,degrees,lengths}_{param} with the golden bodies
+    from ophois_spark.operators.metrics import write_metrics
+
+    g = graph_from_tuples(spark, CAILLES_NODES, CAILLES_LINKS)
+    out = write_metrics(g, "cailles", str(tmp_path))
+    assert sorted(out) == ["degrees_cailles", "lengths_cailles", "order_size_cailles"]
+    assert (tmp_path / "order_size_cailles").read_text() == "26 30"
+    assert (tmp_path / "degrees_cailles").read_text() == "1 5\n2 12\n3 5\n4 4\n"
+    lengths = (tmp_path / "lengths_cailles").read_text()
+    assert lengths.startswith("1 5\n2 3\n") and lengths.endswith("34 1\n87 1\n")
+
+
 def test_degree_zero_counted(spark):
     g = graph_from_tuples(spark, [("i", "48.0", "2.0")], [])
     assert distribution_lines(degree_distribution(g), "degree", "n_nodes") == ["0 1"]

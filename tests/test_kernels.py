@@ -210,3 +210,15 @@ def test_haversine_formula_shape_matches_reference_structure():
     d = haversine(2.3484976, 48.8275185, 2.3486683, 48.8275416)
     assert 12.0 < d < 13.0  # ~12.7 m
     assert math.isclose(d, haversine_np([2.3484976], [48.8275185], [2.3486683], [48.8275416])[0])
+
+
+def test_simhash60_batch_equals_scalar():
+    from ophois_spark.kernels.text import simhash60, simhash60_batch
+
+    lists = [
+        "the quick brown fox the the quick".split(),
+        [],
+        [""],
+        "unique tokens only here".split(),
+    ]
+    assert simhash60_batch(lists) == [simhash60(t) for t in lists]

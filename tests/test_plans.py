@@ -61,13 +61,16 @@ def test_cell_index_is_pure_codegen(spark):
     assert "WholeStageCodegen" in plan_str(df, mode="codegen")
 
 
-def test_pip_broadcasts_tiny_polygon(spark):
+def test_pip_has_no_exchange(spark):
+    """The polygon rides inside the plan as an array literal: the PIP
+    stage must be scan→filter only — no exchange, no join, no agg."""
     from ophois_spark.queries import PIP_POLYGON
     from ophois_spark.queries import derived_nodes
     from ophois_spark.operators.spatial import point_in_polygon
 
     plan = plan_str(point_in_polygon(derived_nodes(spark, SF), PIP_POLYGON))
-    assert "Broadcast" in plan  # polygon edge table broadcast, never shuffled
+    for op in ("Exchange", "Join", "Aggregate"):
+        assert op not in plan, f"unexpected {op} in PIP plan:\n{plan}"
 
 
 def test_knn_has_no_cartesian_product(spark):
