@@ -122,11 +122,17 @@ def remove_under_delta_nodes(g: StreetGraph, delta: float, max_iter: int = 100) 
     an order-insensitive fixpoint, which this loop reaches
     deterministically.
     """
+    g = g.checkpointed()  # round-1 jobs must not re-derive the input lineage
     for _ in range(max_iter):
+        # eager-checkpoint the candidate set: it is tiny, but its
+        # pipeline (dist join + agg) would otherwise re-evaluate in
+        # every consumer below (emptiness probe + nodes checkpoint +
+        # edges checkpoint = 3 recomputes per round)
         cand = (
             _max_incident_dist(g)
             .filter(F.col("max_dist").isNull() | (F.col("max_dist") <= delta))
             .select("id")
+            .localCheckpoint(eager=True)
         )
         if cand.isEmpty():
             return g
@@ -135,7 +141,7 @@ def remove_under_delta_nodes(g: StreetGraph, delta: float, max_iter: int = 100) 
             cand.withColumnRenamed("id", "src"), "src", "left_semi"
         ).join(cand.withColumnRenamed("id", "dst"), "dst", "left_semi")
         losers = cand_edges.select(F.col("dst").alias("id")).distinct()
-        selected = cand.join(losers, "id", "left_anti")
+        selected = cand.join(losers, "id", "left_anti").localCheckpoint(eager=True)
         g = replace_nodes_by_links(g, selected).checkpointed()
     raise RuntimeError(f"remove_under_delta_nodes did not converge in {max_iter} rounds")
 
@@ -210,9 +216,18 @@ def remove_under_delta_links(g: StreetGraph, delta: float, max_iter: int = 100) 
     endpoints. Newly minted midpoint nodes can create new short links,
     so reconverge until none remain — the reference's outer while-loop.
     """
+    g = g.checkpointed()  # round-1 jobs must not re-derive the input lineage
     for _ in range(max_iter):
-        short = g.edges_with_coords().filter(F.col("dist_m") < delta).select(
-            "src", "dst", "dist_m"
+        # short-link set and matching are tiny: eager-checkpoint them so
+        # the dist join / window pipeline runs once per round instead of
+        # re-evaluating under every downstream job (emptiness probe +
+        # the two graph-checkpoint jobs, each referencing the matching
+        # several times through contract_edges)
+        short = (
+            g.edges_with_coords()
+            .filter(F.col("dist_m") < delta)
+            .select("src", "dst", "dist_m")
+            .localCheckpoint(eager=True)
         )
         if short.isEmpty():
             return g
@@ -230,6 +245,7 @@ def remove_under_delta_links(g: StreetGraph, delta: float, max_iter: int = 100) 
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") == 2)
             .select("src", "dst")
+            .localCheckpoint(eager=True)
         )
         g = contract_edges(g, matching).checkpointed()
     raise RuntimeError(f"remove_under_delta_links did not converge in {max_iter} rounds")
