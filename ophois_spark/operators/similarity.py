@@ -146,10 +146,13 @@ def near_dup_pairs(
     vectors join back in AFTER the distinct — so the shuffle payload
     is bounded too.
     """
+    # eager checkpoint: the self-join would otherwise evaluate the
+    # n_bands×band_planes projection folds twice (once per side); the
+    # (vid, band, bucket) table is tiny relative to the vectors
     bb = embeddings.select(
         F.col(id_col).alias("vid"),
         F.posexplode(band_buckets_col(n_bands, band_planes)).alias("band", "bucket"),
-    )
+    ).localCheckpoint(eager=True)
     cand = (
         bb.alias("a")
         .join(bb.alias("b"), ["band", "bucket"])
