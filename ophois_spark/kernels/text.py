@@ -57,15 +57,22 @@ def hamming60(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+MINHASH_P = 2147483647  # 2^31 − 1, prime — THE definition (dedup imports it)
+
+
+def minhash_affine(j: int) -> tuple[int, int]:
+    """Deterministic (a_j, b_j) for MinHash permutation j; a_j ≠ 0
+    since P is prime, P ∤ 1103515245 and j+1 < P."""
+    return (1103515245 * (j + 1)) % MINHASH_P, (12345 + 777767777 * j) % MINHASH_P
+
+
 def minhash_sig(shingles: set[str], n_hashes: int = 16) -> list[int]:
     """Same signatures as operators.dedup.minhash_signatures: one md5
     per shingle (first 7 hex chars → 28-bit int), permutation j is the
     affine bijection (a_j·h + b_j) mod 2^31−1."""
-    p = 2147483647
     hs = [int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in shingles]
     out = []
     for j in range(n_hashes):
-        a = (1103515245 * (j + 1)) % p
-        b = (12345 + 777767777 * j) % p
-        out.append(min((a * h + b) % p for h in hs))
+        a, b = minhash_affine(j)
+        out.append(min((a * h + b) % MINHASH_P for h in hs))
     return out

@@ -59,13 +59,9 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-MINHASH_P = 2147483647  # 2^31 − 1, prime
-
-
-def minhash_affine(j: int) -> tuple[int, int]:
-    """Deterministic (a_j, b_j) for permutation j; a_j ≠ 0 since P is
-    prime, P ∤ 1103515245 and j+1 < P."""
-    return (1103515245 * (j + 1)) % MINHASH_P, (12345 + 777767777 * j) % MINHASH_P
+# single source of truth for the affine-permutation family: the numpy/
+# hashlib kernel twin — re-exported here for the SQL oracle builder
+from ophois_spark.kernels.text import MINHASH_P, minhash_affine  # noqa: E402
 
 
 def _minhash_sig_cols(shingle: Column, n_hashes: int) -> list[Column]:
@@ -120,17 +116,27 @@ def lsh_band_keys(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_key): band_key = the band's sigs joined with
-    ':' — raw ints, no second-level hash needed for the equi-join."""
+    ':' — raw ints, no second-level hash needed for the equi-join. When
+    band_rows doesn't divide n_hashes the trailing band carries the
+    remaining sigs (shorter band ⇒ higher collision rate, never a
+    silently dropped signature)."""
     agg = _minhash_agg(docs, n_hashes, k, shingles)
+    n_bands = -(-n_hashes // band_rows)  # ceil
     bands = F.array(
         *[
             F.struct(
                 F.lit(t).alias("band"),
                 F.concat_ws(
-                    ":", *[F.col(f"s{t * band_rows + r}") for r in range(band_rows)]
+                    ":",
+                    *[
+                        F.col(f"s{j}")
+                        for j in range(
+                            t * band_rows, min((t + 1) * band_rows, n_hashes)
+                        )
+                    ],
                 ).alias("band_key"),
             )
-            for t in range(n_hashes // band_rows)
+            for t in range(n_bands)
         ]
     )
     return agg.select("doc_id", F.explode(bands).alias("x")).select(

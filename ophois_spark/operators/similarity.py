@@ -63,17 +63,20 @@ def cosine_topk(
 def plane_weight(j: Column | int, d: Column | int) -> Column:
     """Deterministic integer hyperplane weight in [-3, 3].
 
-    LCG-hash family: ``(((1103515245*(d + 64*j) + 12345) mod 2^31)
-    mod 7) - 3``. Every (j, d) cell is hashed independently, so planes
-    stay distinct for arbitrarily many j — unlike a plain
-    ``(a*d + b*j) mod 7`` family, which repeats with period 7 in j and
-    caps the table at 7 distinct hyperplanes. Pure int64 arithmetic,
-    bit-identical in Spark and DuckDB (both use truncated ``%`` with
-    non-negative operands here).
+    Two-stage LCG hash: ``h1 = (1103515245·(d+1) + 12345) mod 2^31``,
+    then ``w = (((h1·(2j+1) + j) mod 2^31) mod 7) - 3``. The per-plane
+    odd multiplier decorrelates planes without any (j, d) → (j', d')
+    aliasing family — a ``d + S·j`` stride would make plane j+1 an
+    S-shifted window of plane j for dims > S, and a plain
+    ``(a·d + b·j) mod 7`` family repeats with period 7 in j (only 7
+    distinct planes). All products stay inside int64 for any embedding
+    width (h1 < 2^31, 2j+1 ≤ 127); bit-identical in Spark and DuckDB
+    (both use truncated ``%`` with non-negative operands here).
     """
     jj = (F.lit(j) if isinstance(j, int) else j).cast("long")
     dd = (F.lit(d) if isinstance(d, int) else d).cast("long")
-    h = (F.lit(1103515245).cast("long") * (dd + jj * 64) + 12345) % 2147483648
+    h1 = (F.lit(1103515245).cast("long") * (dd + 1) + 12345) % 2147483648
+    h = (h1 * (jj * 2 + 1) + jj) % 2147483648
     return (h % 7 - 3).cast("double")
 
 
@@ -146,13 +149,18 @@ def near_dup_pairs(
     vectors join back in AFTER the distinct — so the shuffle payload
     is bounded too.
     """
-    # eager checkpoint: the self-join would otherwise evaluate the
-    # n_bands×band_planes projection folds twice (once per side); the
-    # (vid, band, bucket) table is tiny relative to the vectors
+    # lazy persist: the self-join would otherwise evaluate the
+    # n_bands×band_planes projection folds twice (once per side). No
+    # job runs at construction time (plan composition stays lazy); the
+    # first action materializes the tiny (vid, band, bucket) table and
+    # both join sides read the cache. Callers looping over many corpora
+    # own the cache lifetime (spark.catalog.clearCache()).
+    from pyspark import StorageLevel
+
     bb = embeddings.select(
         F.col(id_col).alias("vid"),
         F.posexplode(band_buckets_col(n_bands, band_planes)).alias("band", "bucket"),
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         bb.alias("a")
         .join(bb.alias("b"), ["band", "bucket"])

@@ -719,8 +719,11 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_buckets(load(spark, sf_dir, "embeddings"))
 
 
-# plane weight mirror of similarity.plane_weight (LCG-hash family)
-_W_SQL = "((((1103515245 * (d + 64 * j) + 12345) % 2147483648) % 7) - 3)"
+# plane weight mirror of similarity.plane_weight (two-stage LCG hash)
+_W_SQL = (
+    "(((((1103515245 * (d + 1) + 12345) % 2147483648) * (2 * j + 1) + j)"
+    " % 2147483648) % 7 - 3)"
+)
 
 SQL_EMBEDDING_LSH_BUCKETS = f"""
 WITH z AS (
@@ -1091,7 +1094,13 @@ def q_under_delta_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CONTRACT_ROUNDS = 4  # measured fixpoint depth is 2; surplus rounds are identity
+# measured fixpoint depth: 2 rounds at sf0.01 (the gated SF), 3 at
+# sf0.1; surplus rounds are exact identities. A pytest guard
+# (tests/test_contraction.py::test_oracle_unroll_depth_covers_gated_sf)
+# runs the engine loops with max_iter=_CONTRACT_ROUNDS at sf0.01 so a
+# data change that deepens the fixpoint fails loudly in CI instead of
+# surfacing as a silent oracle-too-shallow hash mismatch.
+_CONTRACT_ROUNDS = 6
 
 
 def _rust_fmt_sql(v: str) -> str:

@@ -145,7 +145,10 @@ def stream_graph_snapshots(
             else "nofiles"
         )
         stage = f"stream_batch_{batch_id}_{sig}"
-        existing = log.find_stage(stage)
+        # legacy ledgers (pre-content-keying) committed as
+        # "stream_batch_{id}"; honor them so an upgraded restart doesn't
+        # re-commit a batch that was already snapshotted under the old key
+        existing = log.find_stage(stage) or log.find_stage(f"stream_batch_{batch_id}")
         if existing is not None:
             if on_batch is not None:
                 on_batch(batch_id, existing)

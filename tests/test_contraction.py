@@ -154,3 +154,32 @@ def test_contract_edges_adjacent_merges_relabel_consistently(spark):
     out = contract_edges(g, matching)
     assert sorted(r["id"] for r in out.nodes.collect()) == ["a-b", "c-d"]
     assert [(r["src"], r["dst"]) for r in out.edges.collect()] == [("a-b", "c-d")]
+
+
+def test_oracle_unroll_depth_covers_gated_sf(spark):
+    """The H4/H6 DuckDB oracles unroll _CONTRACT_ROUNDS rounds; the
+    engine's true fixpoint must converge within that depth at the
+    correctness-gated scale factor, else the gate would report a false
+    mismatch. Running the loops with max_iter=_CONTRACT_ROUNDS raises
+    RuntimeError if the unroll is too shallow."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ophois_spark.operators.contraction import (
+        remove_under_delta_links,
+        remove_under_delta_nodes,
+    )
+    from ophois_spark.operators.graph import StreetGraph
+    from ophois_spark.queries import _CONTRACT_ROUNDS, H4_DELTA, H6_DELTA, derived_graph
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    g = derived_graph(spark, sf)
+    short = g.edges_with_coords().filter(F.col("dist_m") <= 150.0).select("src", "dst")
+    remove_under_delta_nodes(
+        StreetGraph(g.nodes, short), H4_DELTA, max_iter=_CONTRACT_ROUNDS
+    ).nodes.count()
+    remove_under_delta_links(g, H6_DELTA, max_iter=_CONTRACT_ROUNDS).nodes.count()
