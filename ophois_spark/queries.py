@@ -1288,6 +1288,31 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {NEAR_DUP_THRESHOLD!r}
 """
 
 
+def q_graph_show(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — ``Graph::show`` sink format (reference src/graph.rs:104-121):
+    one ``line`` per node (``id␟lat␟lon``) and per canonical link
+    (``src␟dst``); set-equality parity (the reference prints in
+    HashMap order)."""
+    from ophois_spark.sources.graph_io import show_records
+
+    return show_records(derived_graph(spark, sf_dir))
+
+
+def _graph_show_sql() -> str:
+    from ophois_spark import SEPARATOR as S
+
+    return f"""
+WITH nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL})
+SELECT id || '{S}' || CAST(CAST(lat_d AS DOUBLE) AS VARCHAR)
+          || '{S}' || CAST(CAST(lon_d AS DOUBLE) AS VARCHAR) AS line FROM nodes
+UNION ALL
+SELECT src || '{S}' || dst FROM edges
+"""
+
+
+SQL_GRAPH_SHOW = _graph_show_sql()
+
+
 def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/P1–P3 ingest path under the oracle gate: deterministic OSM-XML
     pages derived from ``documents`` run through the REAL fused
@@ -1361,6 +1386,7 @@ SQL_XML_EXTRACT = _xml_extract_sql()
 
 QUERIES.update(
     {
+        "graph_show": q_graph_show,
         "xml_extract": q_xml_extract,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1381,6 +1407,7 @@ QUERIES.update(
 )
 ORACLES.update(
     {
+        "graph_show": SQL_GRAPH_SHOW,
         "xml_extract": SQL_XML_EXTRACT,
         "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
