@@ -135,6 +135,48 @@ def media_features(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Image-resize stage over raw bytes: deterministic ``factor``×
+    downsample of the fake-decoded pixel stream (keep every
+    ``factor``-th byte), emitting the new dims + an md5 signature of
+    the resized buffer. Real codecs replace ``_fake_decode``/the slice
+    with a proper decode+interpolate; the Spark-side plumbing — Arrow
+    batch in, typed feature row out, bytes never on the driver — is
+    exactly what a production resize stage uses.
+    """
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, rws, rhs, sigs = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) < 2:
+                    continue
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                w, h, _ = _fake_decode(buf)
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                rws.append(max(1, w // factor))
+                rhs.append(max(1, h // factor))
+                sigs.append(hashlib.md5(buf[::factor].tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "resized_w": pd.Series(rws, dtype="int32"),
+                    "resized_h": pd.Series(rhs, dtype="int32"),
+                    "resized_sig": pd.Series(sigs, dtype="object"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        gen,
+        "doc_id long, width int, height int, resized_w int, resized_h int, resized_sig string",
+    )
+
+
 def sample_frames(media: DataFrame, every: int = 3) -> DataFrame:
     """Frame sampling for video-like payloads: every ``every``-th frame.
 

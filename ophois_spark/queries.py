@@ -975,6 +975,36 @@ FROM m
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: deterministic 2× downsample of the
+    fake-decoded pixel stream (see operators.multimodal.resize_media) —
+    the codec is a stub, the Arrow plumbing and signature are real."""
+    from ophois_spark.operators.multimodal import resize_media
+
+    return resize_media(_media(spark, sf_dir), factor=2)
+
+
+SQL_MEDIA_RESIZE = f"""
+WITH m AS ({_MEDIA_SQL}),
+dims AS (
+  SELECT doc_id, h,
+         CAST(1 + ascii(substr(h, 1, 1)) % 64 AS INT) AS width,
+         CAST(1 + ascii(substr(h, 2, 1)) % 64 AS INT) AS height
+  FROM m
+),
+resized AS (
+  SELECT doc_id, md5(string_agg(substr(h, i, 1), '' ORDER BY i)) AS resized_sig
+  FROM (SELECT doc_id, h, unnest(generate_series(1, length(h), 2)) AS i FROM dims)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.width, d.height,
+       CAST(greatest(1, d.width // 2) AS INT) AS resized_w,
+       CAST(greatest(1, d.height // 2) AS INT) AS resized_h,
+       r.resized_sig
+FROM dims d JOIN resized r ON d.doc_id = r.doc_id
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophois_spark.operators.multimodal import media_features
 
@@ -1394,6 +1424,7 @@ QUERIES.update(
         "under_delta_links": q_under_delta_links,
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
         "media_frame_sample": q_media_frame_sample,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
@@ -1415,6 +1446,7 @@ ORACLES.update(
         "under_delta_links": SQL_UNDER_DELTA_LINKS,
         "media_metadata": SQL_MEDIA_METADATA,
         "media_features": SQL_MEDIA_FEATURES,
+        "media_resize": SQL_MEDIA_RESIZE,
         "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
         "doc_quality": SQL_DOC_QUALITY,
         "doc_lang_id": SQL_DOC_LANG_ID,

@@ -86,3 +86,22 @@ def test_real_decoders_are_stubbed():
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")
+
+
+def test_resize_media_dims_and_signature(spark):
+    from ophois_spark.operators.multimodal import media_from_documents, resize_media
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in resize_media(media_from_documents(docs)).collect()}
+    assert set(rows) == {1, 2}  # NULL text dropped at the media source
+    for did, text in [(1, "alpha"), (2, "beta")]:
+        payload = (hashlib.md5(text.encode()).hexdigest() * (1 + did % 7)).encode()
+        r = rows[did]
+        assert r["width"] == 1 + payload[0] % 64
+        assert r["height"] == 1 + payload[1] % 64
+        assert r["resized_w"] == max(1, r["width"] // 2)
+        assert r["resized_h"] == max(1, r["height"] // 2)
+        assert r["resized_sig"] == hashlib.md5(payload[::2]).hexdigest()

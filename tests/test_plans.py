@@ -95,3 +95,26 @@ def test_edge_coord_join_is_hash_join(spark):
     # (the fixture's 1-row scalar count join broadcasts as a BNLJ by
     # design; what must never appear is an unbroadcast cartesian)
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_assign_broadcasts_fixed_centroids(spark):
+    """The quantizer is a fixed-size set: assignment must broadcast it
+    (O(N·k) with a boundable broadcast), never shuffle-join or fall
+    back to a cartesian product over the full table."""
+    from ophois_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_str(ivf_assign(emb, ivf_centroids(emb, 8)))
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_near_dup_candidates_are_equi_join(spark):
+    """Banded LSH candidates join on (band, bucket) — an equi hash
+    join; a cartesian fallback would be the O(N²) design the banding
+    exists to avoid."""
+    from ophois_spark.operators.similarity import near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_str(near_dup_pairs(emb, 0.35))
+    assert "CartesianProduct" not in plan
