@@ -1,7 +1,13 @@
 from ophois_spark.streaming.ingest_stream import (
     stream_dedup_nodes,
     stream_graph_snapshots,
+    stream_node_registry,
     stream_page_records,
 )
 
-__all__ = ["stream_page_records", "stream_dedup_nodes", "stream_graph_snapshots"]
+__all__ = [
+    "stream_page_records",
+    "stream_dedup_nodes",
+    "stream_graph_snapshots",
+    "stream_node_registry",
+]

@@ -164,3 +164,66 @@ def stream_graph_snapshots(
         .trigger(availableNow=available_now)
         .start()
     )
+
+
+def stream_node_registry(
+    pages_stream: DataFrame, separator: str = SEPARATOR
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): a
+    first-wins node registry with per-id occurrence counts — the
+    reference's insert-if-absent node semantics (src/graph.rs:123-125)
+    carried as keyed state over an unbounded page stream.
+
+    State per node id: (lat, lon, n_seen). The coordinates are pinned
+    by the FIRST arrival (earlier micro-batch wins; within a batch the
+    deterministic (url, pos) minimum stands in for stdin order, same
+    contract as the batch dedup) and ``n_seen`` accumulates across
+    batches/restarts via the state store. Output mode "update": one row
+    per id per batch it appears in, carrying the pinned coords and the
+    running count. State size is O(distinct node ids) — the same
+    cardinality the batch dedup shuffles; add a timeout if ids are
+    unbounded in your stream.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    records = extract_page_records(pages_stream, separator)
+    fields = F.split(F.col("line"), separator)
+    nodes = records.filter(F.size(fields) == 3).select(
+        fields[0].alias("id"),
+        fields[1].alias("lat"),
+        fields[2].alias("lon"),
+        "url",
+        "pos",
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        first = None  # (url, pos, lat, lon) minimum within this batch
+        n_batch = 0
+        for pdf in pdfs:
+            n_batch += len(pdf)
+            for row in pdf.itertuples(index=False):
+                cand = (row.url, row.pos, row.lat, row.lon)
+                if first is None or cand[:2] < first[:2]:
+                    first = cand
+        if state.exists:
+            lat0, lon0, n0 = state.get
+        else:
+            lat0, lon0, n0 = first[2], first[3], 0
+        n_total = n0 + n_batch
+        state.update((lat0, lon0, n_total))
+        yield pd.DataFrame(
+            {"id": [key[0]], "lat": [lat0], "lon": [lon0], "n_seen": [n_total]}
+        )
+
+    return nodes.groupBy("id").applyInPandasWithState(
+        update,
+        outputStructType="id string, lat string, lon string, n_seen long",
+        stateStructType="lat string, lon string, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -121,3 +121,72 @@ def test_stream_snapshot_per_batch(spark, pages_dir, tmp_path):
     for m in snaps:
         t = m["tables"]["records"]
         assert sum(t["partition_row_counts"]) == t["row_count"]
+
+
+def test_stream_node_registry_stateful_first_wins(spark, pages_dir, tmp_path):
+    """applyInPandasWithState: coords pinned by first arrival, n_seen
+    accumulates across batches AND across a checkpointed restart."""
+    from ophois_spark.streaming import stream_node_registry
+    from ophois_spark.streaming.ingest_stream import read_page_stream
+
+    ckpt = str(tmp_path / "ckpt_registry")
+
+    def drain(name):
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        rows = {}
+
+        def collect(batch_df, _bid):
+            for r in batch_df.collect():
+                rows[r["id"]] = r
+
+        pages = read_page_stream(spark, pages_dir).filter(F.col("lang") == "en")
+        q = (
+            stream_node_registry(pages)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    got = drain("registry_run1")
+
+    # batch truth: per-id occurrence counts and the full coord multiset
+    records = extract_page_records(
+        spark.read.parquet(pages_dir).filter(F.col("lang") == "en")
+    )
+    fields = F.split(F.col("line"), "␟")
+    nodes = records.filter(F.size(fields) == 3).select(
+        fields[0].alias("id"), fields[1].alias("lat"), fields[2].alias("lon")
+    )
+    counts = {r["id"]: r["n"] for r in nodes.groupBy("id").agg(F.count("*").alias("n")).collect()}
+    coord_sets = {
+        r["id"]: set(zip(r["lats"], r["lons"]))
+        for r in nodes.groupBy("id")
+        .agg(F.collect_list("lat").alias("lats"), F.collect_list("lon").alias("lons"))
+        .collect()
+    }
+    assert set(got) == set(counts)
+    for nid, row in got.items():
+        assert row["n_seen"] == counts[nid]
+        assert (row["lat"], row["lon"]) in coord_sets[nid]
+
+    # restart with new arrivals: state restores, counts accumulate
+    extra = synth_pages(spark, 4, grid=4).filter(F.col("lang") == "en")
+    extra.coalesce(1).write.mode("append").parquet(pages_dir)
+    got2 = drain("registry_run2")  # update rows only for ids in the delta
+    extra_counts = {
+        r["id"]: r["n"]
+        for r in extract_page_records(extra)
+        .select(F.split(F.col("line"), "␟").alias("f"))
+        .filter(F.size("f") == 3)
+        .select(F.col("f")[0].alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got2) == set(extra_counts)
+    for nid, row in got2.items():
+        assert row["n_seen"] == counts.get(nid, 0) + extra_counts[nid]
