@@ -118,3 +118,29 @@ def test_near_dup_candidates_are_equi_join(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = plan_str(near_dup_pairs(emb, 0.35))
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located storage: nodes and edges bucketed+sorted on the join
+    key must SortMergeJoin with NO Exchange and no per-side Sort — the
+    write-once shuffle that every subsequent hot join amortizes."""
+    from ophois_spark.queries import derived_graph
+    from ophois_spark.sources.bucketed import bucketed_src_coords, write_bucketed_graph
+
+    db = "bucketed_test_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{tmp_path}/wh'")
+    # tiny test tables auto-broadcast, which would hide the bucketing;
+    # at the scale bucketing targets neither side broadcasts
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_graph(derived_graph(spark, SF), f"{db}.g", n_buckets=4)
+        joined = bucketed_src_coords(spark, f"{db}.g")
+        plan = plan_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        assert n == derived_graph(spark, SF).edges.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
