@@ -1,20 +1,31 @@
 """Bucketed graph storage — co-located joins with ZERO shuffle.
 
-At 10^12-row scale the recurring cost of the engine's hot joins
-(edges ⋈ nodes on the node id: ``edges_with_coords``, degree counting,
-semi/anti membership) is the exchange of both sides on every query.
+At 10^12-row scale the recurring cost of the engine's hot src-keyed
+join (edges ⋈ nodes on the node id) is the exchange of both sides on
+every query.
 Bucketing pays that shuffle ONCE at write time: both tables are
-hash-partitioned into the same number of buckets on the join key and
-sorted within buckets, so Catalyst plans a SortMergeJoin with no
-Exchange and no per-bucket Sort on either side (asserted by
-``tests/test_plans.py::test_bucketed_join_has_no_exchange``).
+hash-partitioned into the same number of buckets on the join key, so
+Catalyst plans the src-side join as a SortMergeJoin with NO Exchange on
+either scan (asserted by
+``tests/test_plans.py::test_bucketed_join_has_no_exchange``). A cheap
+per-bucket Sort remains at read time under default configs (Spark only
+reuses the write-time ``sortBy`` order when
+``spark.sql.legacy.bucketedTableScan.outputOrdering`` is enabled AND
+each bucket is one file — which the repartition below guarantees); the
+expensive part eliminated is the network exchange, not the local sort.
+
+Scope honestly stated: bucketing on (nodes.id, edges.src) removes the
+exchange for src-keyed joins only. A dst-side join or the degree
+aggregation (which explodes both endpoints) still shuffles — cover
+those with a second, both-directions bucketed edge table if they
+dominate your workload.
 
 This is the managed-table counterpart of the snapshot layer's plain
 parquet: use snapshots for lineage/resume, bucketed tables for the
 steady-state serving copy a long-lived cluster queries repeatedly.
 Bucket count rule of thumb at scale: total_size / bucket_count ≈
-128-512 MB per bucket file per partition; co-located joins require the
-SAME bucket count on both tables.
+128-512 MB per bucket FILE; co-located joins require the SAME bucket
+count on both tables.
 """
 
 from __future__ import annotations
@@ -30,20 +41,26 @@ def write_bucketed_graph(
     """Persist nodes/edges as bucketed+sorted managed tables.
 
     nodes bucketed on ``id``, edges on ``src`` — the key of the
-    engine's hottest join (``edges_with_coords`` joins src first; the
-    dst side reuses the co-partitioning after the first merge). Returns
-    the two table names.
+    engine's hottest join. Returns the two table names.
     """
+    from pyspark.sql import functions as F
+
     nodes_t, edges_t = f"{prefix}_nodes", f"{prefix}_edges"
+    # repartition on the bucket key first: without it every upstream
+    # task writes up to n_buckets files (tasks x buckets small files at
+    # scale); with it each bucket is exactly one file, which is also the
+    # precondition for sorted-scan reuse
     (
-        g.nodes.write.bucketBy(n_buckets, "id")
+        g.nodes.repartition(n_buckets, F.col("id"))
+        .write.bucketBy(n_buckets, "id")
         .sortBy("id")
         .mode("overwrite")
         .format("parquet")
         .saveAsTable(nodes_t)
     )
     (
-        g.edges.write.bucketBy(n_buckets, "src")
+        g.edges.repartition(n_buckets, F.col("src"))
+        .write.bucketBy(n_buckets, "src")
         .sortBy("src")
         .mode("overwrite")
         .format("parquet")

@@ -139,8 +139,13 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         plan = plan_str(joined)
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, plan
-        n = joined.count()
-        assert n == derived_graph(spark, SF).edges.count()
+        # same inner-join semantics, unbucketed — robust even if the
+        # fixture ever grows dangling edge endpoints
+        g = derived_graph(spark, SF)
+        expected = g.edges.join(
+            g.nodes.selectExpr("id AS src"), "src"
+        ).count()
+        assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
