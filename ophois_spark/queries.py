@@ -1143,12 +1143,111 @@ def _rust_fmt_sql(v: str) -> str:
     )
 
 
+def _h4_chain(p: str, rounds: int, coords: str = "coords", delta: float = H4_DELTA) -> list[str]:
+    """Unrolled H4 round CTEs with name prefix ``p``: expects
+    ``{p}n0`` (id), ``{p}e0`` (src, dst) and a ``coords`` CTE
+    (id, lat_d, lon_d) to exist; produces ``{p}n{rounds}`` /
+    ``{p}e{rounds}``. Mirrors ophois_spark.operators.contraction:
+    candidates = nodes whose every incident link ≤ delta (isolated
+    included), selected = candidates minus dst-endpoints of
+    candidate-candidate edges (an independent set), then remove +
+    clique-complete."""
+    hav = _hav_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")
+    parts = []
+    for k in range(rounds):
+        parts.append(
+            f"""{p}inc{k} AS MATERIALIZED (
+  SELECT e.src AS id, {hav} AS dist FROM {p}e{k} e
+  JOIN {coords} a ON e.src = a.id JOIN {coords} b ON e.dst = b.id
+  UNION ALL
+  SELECT e.dst, {hav} FROM {p}e{k} e
+  JOIN {coords} a ON e.src = a.id JOIN {coords} b ON e.dst = b.id
+),
+{p}c{k} AS MATERIALIZED (
+  SELECT n.id FROM {p}n{k} n
+  LEFT JOIN (SELECT id, max(dist) AS md FROM {p}inc{k} GROUP BY id) m ON n.id = m.id
+  WHERE m.md IS NULL OR m.md <= {delta!r}
+),
+{p}sel{k} AS MATERIALIZED (
+  SELECT id FROM {p}c{k} WHERE id NOT IN (
+    SELECT e.dst FROM {p}e{k} e
+    WHERE e.src IN (SELECT id FROM {p}c{k}) AND e.dst IN (SELECT id FROM {p}c{k}))
+),
+{p}nb{k} AS MATERIALIZED (
+  SELECT e.src AS vid, e.dst AS n FROM {p}e{k} e WHERE e.src IN (SELECT id FROM {p}sel{k})
+  UNION ALL
+  SELECT e.dst, e.src FROM {p}e{k} e WHERE e.dst IN (SELECT id FROM {p}sel{k})
+),
+{p}n{k + 1} AS MATERIALIZED (SELECT id FROM {p}n{k} WHERE id NOT IN (SELECT id FROM {p}sel{k})),
+{p}e{k + 1} AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM {p}e{k}
+    WHERE src NOT IN (SELECT id FROM {p}sel{k}) AND dst NOT IN (SELECT id FROM {p}sel{k})
+    UNION ALL
+    SELECT a.n AS src, b.n AS dst FROM {p}nb{k} a JOIN {p}nb{k} b
+      ON a.vid = b.vid AND a.n < b.n)
+)"""
+        )
+    return parts
+
+
+def _h6_chain(p: str, rounds: int, delta: float = H6_DELTA) -> list[str]:
+    """Unrolled H6 round CTEs with name prefix ``p``: expects ``{p}n0``
+    (id, lat, lon, lat_d, lon_d) and ``{p}e0`` (src, dst); produces
+    ``{p}n{rounds}``. Per round: matching = short links that are the
+    (dist, src, dst)-minimum at BOTH endpoints; contract via relabeling
+    with minted "{src}-{dst}" midpoint nodes (Rust-formatted strings),
+    collision winner = min (lat, lon, lat_d, lon_d), survivors win
+    over minted."""
+    hav = _hav_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")
+    parts = []
+    for k in range(rounds):
+        parts.append(
+            f"""{p}sh{k} AS MATERIALIZED (
+  SELECT e.src, e.dst, {hav} AS dist FROM {p}e{k} e
+  JOIN {p}n{k} a ON e.src = a.id JOIN {p}n{k} b ON e.dst = b.id
+  WHERE {hav} < {delta!r}
+),
+{p}lm{k} AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY endpoint ORDER BY dist, src, dst) AS rn
+    FROM (SELECT src AS endpoint, src, dst, dist FROM {p}sh{k}
+          UNION ALL SELECT dst, src, dst, dist FROM {p}sh{k}))
+  WHERE rn = 1
+),
+{p}mc{k} AS MATERIALIZED (
+  SELECT m.src, m.dst, m.src || '-' || m.dst AS new_id,
+         (a.lon_d + b.lon_d) / 2.0 AS mx, (a.lat_d + b.lat_d) / 2.0 AS my
+  FROM (SELECT src, dst FROM {p}lm{k} GROUP BY src, dst HAVING COUNT(*) = 2) m
+  JOIN {p}n{k} a ON m.src = a.id JOIN {p}n{k} b ON m.dst = b.id
+),
+{p}map{k} AS MATERIALIZED (SELECT src AS old, new_id FROM {p}mc{k}
+           UNION ALL SELECT dst, new_id FROM {p}mc{k}),
+{p}e{k + 1} AS MATERIALIZED (
+  SELECT DISTINCT least(s2, d2) AS src, greatest(s2, d2) AS dst FROM (
+    SELECT coalesce(ms.new_id, e.src) AS s2, coalesce(md.new_id, e.dst) AS d2
+    FROM {p}e{k} e LEFT JOIN {p}map{k} ms ON e.src = ms.old
+                LEFT JOIN {p}map{k} md ON e.dst = md.old)
+  WHERE s2 <> d2
+),
+{p}sv{k} AS MATERIALIZED (SELECT * FROM {p}n{k} WHERE id NOT IN (SELECT old FROM {p}map{k})),
+{p}n{k + 1} AS MATERIALIZED (
+  SELECT * FROM {p}sv{k}
+  UNION ALL
+  SELECT new_id AS id, lat, lon, my AS lat_d, mx AS lon_d FROM (
+    SELECT new_id, mx, my, {_rust_fmt_sql("my")} AS lat, {_rust_fmt_sql("mx")} AS lon,
+           row_number() OVER (PARTITION BY new_id
+             ORDER BY {_rust_fmt_sql("my")}, {_rust_fmt_sql("mx")}, my, mx) AS rn
+    FROM {p}mc{k})
+  WHERE rn = 1 AND new_id NOT IN (SELECT id FROM {p}sv{k})
+)"""
+        )
+    return parts
+
+
 def _h4_sql(rounds: int = _CONTRACT_ROUNDS) -> str:
-    """Unrolled-round oracle for remove_under_delta_nodes on the ≤150 m
-    subgraph. Mirrors ophois_spark.operators.contraction: candidates =
-    nodes whose every incident link ≤ delta (isolated included),
-    selected = candidates minus dst-endpoints of candidate-candidate
-    edges (an independent set), then remove + clique-complete."""
+    """remove_under_delta_nodes oracle on the ≤150 m subgraph."""
     hav = _hav_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")
     parts = [
         f"n0 AS MATERIALIZED (SELECT id FROM ({_NODES_SQL}))",
@@ -1158,51 +1257,12 @@ def _h4_sql(rounds: int = _CONTRACT_ROUNDS) -> str:
   JOIN coords a ON e.src = a.id JOIN coords b ON e.dst = b.id
   WHERE {hav} <= 150.0
 )""",
-    ]
-    for k in range(rounds):
-        parts.append(
-            f"""inc{k} AS MATERIALIZED (
-  SELECT e.src AS id, {hav} AS dist FROM e{k} e
-  JOIN coords a ON e.src = a.id JOIN coords b ON e.dst = b.id
-  UNION ALL
-  SELECT e.dst, {hav} FROM e{k} e
-  JOIN coords a ON e.src = a.id JOIN coords b ON e.dst = b.id
-),
-c{k} AS MATERIALIZED (
-  SELECT n.id FROM n{k} n
-  LEFT JOIN (SELECT id, max(dist) AS md FROM inc{k} GROUP BY id) m ON n.id = m.id
-  WHERE m.md IS NULL OR m.md <= {H4_DELTA!r}
-),
-sel{k} AS MATERIALIZED (
-  SELECT id FROM c{k} WHERE id NOT IN (
-    SELECT e.dst FROM e{k} e
-    WHERE e.src IN (SELECT id FROM c{k}) AND e.dst IN (SELECT id FROM c{k}))
-),
-nb{k} AS MATERIALIZED (
-  SELECT e.src AS vid, e.dst AS n FROM e{k} e WHERE e.src IN (SELECT id FROM sel{k})
-  UNION ALL
-  SELECT e.dst, e.src FROM e{k} e WHERE e.dst IN (SELECT id FROM sel{k})
-),
-n{k + 1} AS MATERIALIZED (SELECT id FROM n{k} WHERE id NOT IN (SELECT id FROM sel{k})),
-e{k + 1} AS MATERIALIZED (
-  SELECT DISTINCT src, dst FROM (
-    SELECT src, dst FROM e{k}
-    WHERE src NOT IN (SELECT id FROM sel{k}) AND dst NOT IN (SELECT id FROM sel{k})
-    UNION ALL
-    SELECT a.n AS src, b.n AS dst FROM nb{k} a JOIN nb{k} b
-      ON a.vid = b.vid AND a.n < b.n)
-)"""
-        )
+    ] + _h4_chain("", rounds)
     return "WITH " + ",\n".join(parts) + f"\nSELECT id FROM n{rounds}"
 
 
 def _h6_sql(rounds: int = _CONTRACT_ROUNDS) -> str:
-    """Unrolled-round oracle for remove_under_delta_links. Per round:
-    matching = short links that are the (dist, src, dst)-minimum at
-    BOTH endpoints; contract via relabeling with minted "{src}-{dst}"
-    midpoint nodes (Rust-formatted strings), collision winner = min
-    (lat, lon, lat_d, lon_d), survivors win over minted."""
-    hav = _hav_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")
+    """remove_under_delta_links oracle on the full derived graph."""
     parts = [
         # CAST to DOUBLE first: DuckDB evaluates the node arithmetic in
         # DECIMAL, whose VARCHAR rendering keeps trailing zeros
@@ -1213,54 +1273,107 @@ def _h6_sql(rounds: int = _CONTRACT_ROUNDS) -> str:
   FROM ({_NODES_SQL})
 )""",
         f"e0 AS MATERIALIZED ({_EDGES_SQL})",
-    ]
-    for k in range(rounds):
-        parts.append(
-            f"""sh{k} AS MATERIALIZED (
-  SELECT e.src, e.dst, {hav} AS dist FROM e{k} e
-  JOIN n{k} a ON e.src = a.id JOIN n{k} b ON e.dst = b.id
-  WHERE {hav} < {H6_DELTA!r}
-),
-lm{k} AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT src, dst,
-           row_number() OVER (PARTITION BY endpoint ORDER BY dist, src, dst) AS rn
-    FROM (SELECT src AS endpoint, src, dst, dist FROM sh{k}
-          UNION ALL SELECT dst, src, dst, dist FROM sh{k}))
-  WHERE rn = 1
-),
-mc{k} AS MATERIALIZED (
-  SELECT m.src, m.dst, m.src || '-' || m.dst AS new_id,
-         (a.lon_d + b.lon_d) / 2.0 AS mx, (a.lat_d + b.lat_d) / 2.0 AS my
-  FROM (SELECT src, dst FROM lm{k} GROUP BY src, dst HAVING COUNT(*) = 2) m
-  JOIN n{k} a ON m.src = a.id JOIN n{k} b ON m.dst = b.id
-),
-map{k} AS MATERIALIZED (SELECT src AS old, new_id FROM mc{k}
-           UNION ALL SELECT dst, new_id FROM mc{k}),
-e{k + 1} AS MATERIALIZED (
-  SELECT DISTINCT least(s2, d2) AS src, greatest(s2, d2) AS dst FROM (
-    SELECT coalesce(ms.new_id, e.src) AS s2, coalesce(md.new_id, e.dst) AS d2
-    FROM e{k} e LEFT JOIN map{k} ms ON e.src = ms.old
-                LEFT JOIN map{k} md ON e.dst = md.old)
-  WHERE s2 <> d2
-),
-sv{k} AS MATERIALIZED (SELECT * FROM n{k} WHERE id NOT IN (SELECT old FROM map{k})),
-n{k + 1} AS MATERIALIZED (
-  SELECT * FROM sv{k}
-  UNION ALL
-  SELECT new_id AS id, lat, lon, my AS lat_d, mx AS lon_d FROM (
-    SELECT new_id, mx, my, {_rust_fmt_sql("my")} AS lat, {_rust_fmt_sql("mx")} AS lon,
-           row_number() OVER (PARTITION BY new_id
-             ORDER BY {_rust_fmt_sql("my")}, {_rust_fmt_sql("mx")}, my, mx) AS rn
-    FROM mc{k})
-  WHERE rn = 1 AND new_id NOT IN (SELECT id FROM sv{k})
-)"""
-        )
+    ] + _h6_chain("", rounds)
     return "WITH " + ",\n".join(parts) + f"\nSELECT id, lat, lon FROM n{rounds}"
 
 
 SQL_UNDER_DELTA_NODES = _h4_sql()
 SQL_UNDER_DELTA_LINKS = _h6_sql()
+
+
+SIMPLIFY_DELTA = 30.0  # the reference CLI uses ONE delta for H4 and H6
+
+
+def q_simplify_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE main query (``ophois simplify --delta``,
+    src/main.rs:66-74) end-to-end under the oracle gate: largest
+    component → degree-2 chain contraction → under-delta node fixpoint
+    → under-delta link fixpoint; returns the surviving nodes with their
+    (possibly minted, Rust-formatted) coordinates."""
+    from ophois_spark.operators.components import largest_component
+    from ophois_spark.operators.contraction import (
+        remove_degree_two_nodes,
+        remove_under_delta_links,
+        remove_under_delta_nodes,
+    )
+
+    g = derived_graph(spark, sf_dir)
+    g = largest_component(g)
+    g = remove_degree_two_nodes(g)
+    g = remove_under_delta_nodes(g, SIMPLIFY_DELTA)
+    g = remove_under_delta_links(g, SIMPLIFY_DELTA)
+    return g.nodes.select("id", "lat", "lon")
+
+
+def _simplify_sql(rounds: int = _CONTRACT_ROUNDS) -> str:
+    """Composed oracle for the whole simplify pipeline: recursive-CTE
+    component labels (largest wins, ties → smallest label), the deg-2
+    closed form (chains → endpoint edges, cycles vanish), then the
+    prefixed H4 ("a") and H6 ("b") unrolled chains at SIMPLIFY_DELTA."""
+    r = rounds
+    parts = [
+        f"coords AS MATERIALIZED ({_NODES_SQL})",
+        f"edges_all AS MATERIALIZED ({_EDGES_SQL})",
+        """bi AS (SELECT src AS a, dst AS b FROM edges_all
+       UNION ALL SELECT dst, src FROM edges_all)""",
+        """rr(id, comp) AS (
+  SELECT id, id FROM coords
+  UNION
+  SELECT bi.b, rr.comp FROM rr JOIN bi ON rr.id = bi.a
+)""",
+        "labels AS MATERIALIZED (SELECT id, min(comp) AS comp FROM rr GROUP BY id)",
+        """winner AS MATERIALIZED (
+  SELECT comp FROM (SELECT comp, COUNT(*) AS n FROM labels GROUP BY comp)
+  ORDER BY n DESC, comp LIMIT 1)""",
+        "kn AS MATERIALIZED (SELECT l.id FROM labels l JOIN winner w ON l.comp = w.comp)",
+        # edges never cross components: filtering on src suffices (same
+        # shortcut as operators.components.largest_component)
+        "ke AS MATERIALIZED (SELECT src, dst FROM edges_all WHERE src IN (SELECT id FROM kn))",
+        """ends2 AS (SELECT src AS id FROM ke UNION ALL SELECT dst FROM ke)""",
+        """deg2t AS MATERIALIZED (
+  SELECT n.id, COUNT(e.id) AS degree
+  FROM kn n LEFT JOIN ends2 e ON n.id = e.id GROUP BY n.id)""",
+        "s2 AS MATERIALIZED (SELECT id FROM deg2t WHERE degree = 2)",
+        """ess AS (SELECT src, dst FROM ke
+        WHERE src IN (SELECT id FROM s2) AND dst IN (SELECT id FROM s2))""",
+        "bi2 AS (SELECT src AS a, dst AS b FROM ess UNION ALL SELECT dst, src FROM ess)",
+        """r2(id, comp) AS (
+  SELECT id, id FROM s2
+  UNION
+  SELECT bi2.b, r2.comp FROM r2 JOIN bi2 ON r2.id = bi2.a
+)""",
+        "lab2 AS MATERIALIZED (SELECT id, min(comp) AS comp FROM r2 GROUP BY id)",
+        """boundary AS (
+  SELECT e.src AS sid, e.dst AS outside FROM ke e
+  WHERE e.src IN (SELECT id FROM s2) AND e.dst NOT IN (SELECT id FROM s2)
+  UNION ALL
+  SELECT e.dst, e.src FROM ke e
+  WHERE e.dst IN (SELECT id FROM s2) AND e.src NOT IN (SELECT id FROM s2))""",
+        """new_edges AS (
+  SELECT min(b.outside) AS src, max(b.outside) AS dst
+  FROM boundary b JOIN lab2 ON b.sid = lab2.id
+  GROUP BY lab2.comp HAVING min(b.outside) <> max(b.outside))""",
+        "an0 AS MATERIALIZED (SELECT id FROM kn WHERE id NOT IN (SELECT id FROM s2))",
+        """ae0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ke
+    WHERE src NOT IN (SELECT id FROM s2) AND dst NOT IN (SELECT id FROM s2)
+    UNION ALL SELECT src, dst FROM new_edges))""",
+    ]
+    parts += _h4_chain("a", r, coords="coords", delta=SIMPLIFY_DELTA)
+    parts += [
+        f"""bn0 AS MATERIALIZED (
+  SELECT c.id, CAST(CAST(c.lat_d AS DOUBLE) AS VARCHAR) AS lat,
+         CAST(CAST(c.lon_d AS DOUBLE) AS VARCHAR) AS lon,
+         CAST(c.lat_d AS DOUBLE) AS lat_d, CAST(c.lon_d AS DOUBLE) AS lon_d
+  FROM coords c JOIN an{r} n ON c.id = n.id)""",
+        f"be0 AS MATERIALIZED (SELECT src, dst FROM ae{r})",
+    ]
+    parts += _h6_chain("b", r, delta=SIMPLIFY_DELTA)
+    return "WITH RECURSIVE " + ",\n".join(parts) + f"\nSELECT id, lat, lon FROM bn{r}"
+
+
+SQL_SIMPLIFY_PIPELINE = _simplify_sql()
 
 
 NEAR_DUP_THRESHOLD = 0.35  # synthetic embeddings are near-orthogonal
@@ -1422,6 +1535,7 @@ QUERIES.update(
         "embedding_near_dup": q_embedding_near_dup,
         "under_delta_nodes": q_under_delta_nodes,
         "under_delta_links": q_under_delta_links,
+        "simplify_pipeline": q_simplify_pipeline,
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
@@ -1444,6 +1558,7 @@ ORACLES.update(
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "under_delta_nodes": SQL_UNDER_DELTA_NODES,
         "under_delta_links": SQL_UNDER_DELTA_LINKS,
+        "simplify_pipeline": SQL_SIMPLIFY_PIPELINE,
         "media_metadata": SQL_MEDIA_METADATA,
         "media_features": SQL_MEDIA_FEATURES,
         "media_resize": SQL_MEDIA_RESIZE,

@@ -183,3 +183,13 @@ def test_oracle_unroll_depth_covers_gated_sf(spark):
         StreetGraph(g.nodes, short), H4_DELTA, max_iter=_CONTRACT_ROUNDS
     ).nodes.count()
     remove_under_delta_links(g, H6_DELTA, max_iter=_CONTRACT_ROUNDS).nodes.count()
+
+    # the composed simplify oracle unrolls the same depth over the
+    # LC+deg2 graph at SIMPLIFY_DELTA — pin that variant too
+    from ophois_spark.operators.components import largest_component
+    from ophois_spark.operators.contraction import remove_degree_two_nodes
+    from ophois_spark.queries import SIMPLIFY_DELTA
+
+    gs = remove_degree_two_nodes(largest_component(derived_graph(spark, sf)))
+    gs = remove_under_delta_nodes(gs, SIMPLIFY_DELTA, max_iter=_CONTRACT_ROUNDS)
+    remove_under_delta_links(gs, SIMPLIFY_DELTA, max_iter=_CONTRACT_ROUNDS).nodes.count()
