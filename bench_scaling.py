@@ -244,10 +244,36 @@ def main() -> int:
             shutil.rmtree(work, ignore_errors=True)
 
 
+_LOG_MARKER = "## Measurement log (accumulated across runs)"
+
+
 def _write_report(s: dict) -> None:
     lo, hi, full = s["low"], s["high"], s["full"]
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    path = "BENCH/BASELINE.md"
+    # the log section survives regeneration: each run APPENDS its row,
+    # so the report never asserts measurements the current run didn't
+    # make and every historical experiment stays disclosed
+    prior_rows = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if _LOG_MARKER in old:
+            prior_rows = old.split(_LOG_MARKER, 1)[1].strip("\n")
+    new_row = (
+        f"| {lo['cpus']} -> {hi['cpus']} | {s['n_pages']} | {s['reps']} "
+        f"| {lo['t_total_s']} | {hi['t_total_s']} | {s['value']:.3f} |"
+    )
+    if prior_rows:
+        log_section = _LOG_MARKER + "\n" + prior_rows + "\n" + new_row + "\n"
+    else:
+        log_section = (
+            _LOG_MARKER
+            + "\n\n| N -> 4N cores | pages | reps | N best s | 4N best s | efficiency |\n"
+            + "|---|---|---|---|---|---|\n"
+            + new_row
+            + "\n"
+        )
+    with open(path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured scaling evidence
 
@@ -265,15 +291,15 @@ noise from host contention; per-level measured-pass times:
 {s['all_runs']}).
 
 Why N={lo['cpus']}/4N={hi['cpus']}: the shared-host VM throttles high
-concurrency unpredictably — this round the SAME code + input measured
-`local[32]` slower than `local[{lo['cpus']}]` while a pure-ALU
-multiprocessing probe scaled 23.5x to 32 procs, i.e. host interference,
-not engine serialization (round 1 on a quieter window measured 0.916 at
-2 -> 8). N -> 4N is therefore measured in the lowest-concurrency regime
-the host scales cleanly, and the `local[32]` row is reported for
-completeness — on a real 4N-executor cluster each executor brings its
-own memory channels and scheduler, which is the regime the engine's
-partitioning is designed for.
+concurrency unpredictably (across rounds the SAME code has measured
+`local[32]` anywhere from fastest to slower than `local[1]` while a
+pure-ALU multiprocessing probe scales ~23x — host interference, not
+engine serialization; every experiment is disclosed in the measurement
+log below). N -> 4N is measured in the lowest-concurrency regime the
+host currently scales cleanly, and the `local[{full['cpus']}]` row is
+reported for completeness — on a real 4N-executor cluster each executor
+brings its own memory channels and scheduler, which is the regime the
+engine's partitioning is designed for.
 
 Job = graph construction (fused Arrow-UDF XML extract -> min_by node
 dedup -> canonical edge dedup + endpoint semi-joins) + tiling (cell
@@ -295,7 +321,8 @@ at zoom 14).
 Reproduce this exact experiment:
 `OPHOIS_SCALE_N={lo['cpus']} OPHOIS_SCALE_4N={hi['cpus']} OPHOIS_SCALE_PAGES={s['n_pages']} OPHOIS_SCALE_REPS={s['reps']} python bench_scaling.py`
 (other env knobs: OPHOIS_SCALE_INPUT to reuse a generated input dir).
-"""
+
+{log_section}"""
         )
 
 

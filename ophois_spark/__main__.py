@@ -36,15 +36,13 @@ def cli_format(lines: Iterable[str]) -> list[str]:
 
 def cli_extract(lines: Iterable[str], separator: str = SEPARATOR) -> list[str]:
     """Per-line extract over ALREADY-formatted lines (the reference's
-    ``extract`` assumes ``format`` ran upstream, src/main.rs:62-65)."""
-    from ophois_spark.kernels.osmxml import extract_node, extract_way_pairs
+    ``extract`` assumes ``format`` ran upstream, src/main.rs:62-65);
+    same dispatch kernel as the fused ``extract_records`` path."""
+    from ophois_spark.kernels.osmxml import extract_line
 
     out: list[str] = []
     for line in lines:
-        if line.startswith("<node"):
-            out.append(extract_node(line, separator))
-        elif line.startswith("<way"):
-            out.extend(extract_way_pairs(line, separator))
+        out.extend(extract_line(line, separator))
     return out
 
 

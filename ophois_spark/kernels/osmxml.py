@@ -84,6 +84,17 @@ def extract_way_pairs(line: str, separator: str) -> list[str]:
     return [f"{refs[i]}{separator}{refs[i + 1]}" for i in range(len(refs) - 1)]
 
 
+def extract_line(line: str, separator: str) -> list[str]:
+    """Per-formatted-line extract dispatch (reference ``extract``,
+    src/openstreetmap.rs:59-88): node lines project one record, way
+    lines their consecutive-pair records, anything else nothing."""
+    if line.startswith("<node"):
+        return [extract_node(line, separator)]
+    if line.startswith("<way"):
+        return extract_way_pairs(line, separator)
+    return []
+
+
 def extract_records(lines: list[str], separator: str) -> list[str]:
     """format+extract fused: raw page lines → node/link line records.
 
@@ -92,8 +103,5 @@ def extract_records(lines: list[str], separator: str) -> list[str]:
     """
     out: list[str] = []
     for line in format_lines(lines):
-        if line.startswith("<node"):
-            out.append(extract_node(line, separator))
-        elif line.startswith("<way"):
-            out.extend(extract_way_pairs(line, separator))
+        out.extend(extract_line(line, separator))
     return out

@@ -76,9 +76,14 @@ def component_size_distribution(labels: DataFrame) -> DataFrame:
     )
 
 
-def largest_component(g: StreetGraph) -> StreetGraph:
-    """Keep the largest component (ties → smallest component label)."""
-    labels = connected_components(g)
+def largest_component(g: StreetGraph, labels: DataFrame | None = None) -> StreetGraph:
+    """Keep the largest component (ties → smallest component label).
+
+    Pass precomputed ``labels`` (id, comp) to reuse a cached
+    propagation result; they MUST come from ``connected_components`` on
+    the same graph."""
+    if labels is None:
+        labels = connected_components(g)
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("size"))
     winner = sizes.orderBy(F.desc("size"), F.asc("comp")).limit(1).select("comp")
     keep = labels.join(F.broadcast(winner), "comp", "left_semi").select("id")

@@ -111,8 +111,8 @@ def media_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, widths, heights, means, sizes = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if payload is None or len(payload) == 0:
-                    continue  # defense in depth vs NULL/empty blobs
+                if payload is None or len(payload) < 2:
+                    continue  # _fake_decode reads bytes 0 and 1
                 buf = np.frombuffer(payload, dtype=np.uint8)
                 w, h, m = _fake_decode(buf)
                 ids.append(doc_id)

@@ -94,6 +94,9 @@ def same_cell_pairs(nodes: DataFrame, res: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+PIP_LITERAL_MAX_EDGES = 256
+
+
 def point_in_polygon(
     points: DataFrame,
     polygon: list[tuple[float, float]],
@@ -103,12 +106,16 @@ def point_in_polygon(
     """Filter points inside ``polygon`` [(lon, lat), …] — even-odd rule.
 
     bbox prefilter (pushdown-friendly Column compare), then exact ray
-    cast folded over an ARRAY LITERAL of polygon edges with
-    ``F.aggregate`` — one narrow per-row expression inside codegen.
-    ZERO shuffle (no join, no groupBy: the polygon ships inside the
-    plan itself), and duplicate input rows pass through unchanged
-    (the former groupBy-all-columns formulation silently collapsed
-    them and reshuffled the whole boxed set).
+    casting. Two physical strategies by polygon size:
+
+    - ≤ ``PIP_LITERAL_MAX_EDGES`` edges: fold over an ARRAY LITERAL of
+      edges with ``F.aggregate`` — one narrow per-row expression inside
+      codegen, ZERO shuffle (the polygon ships inside the plan).
+    - larger polygons (city boundaries run to 10k+ vertices): a
+      plan-side edge literal would blow past codegen limits, so the
+      edges become a broadcast table; crossings are summed per input
+      row keyed by a unique row id (duplicates preserved — the groupBy
+      is on the id, never on the payload columns).
     """
     if len(polygon) < 3:
         raise ValueError("polygon needs >= 3 vertices")
@@ -125,27 +132,45 @@ def point_in_polygon(
     boxed = points.filter(
         (lon >= F.lit(min_x)) & (lon <= F.lit(max_x)) & (lat >= F.lit(min_y)) & (lat <= F.lit(max_y))
     )
-    edge_lits = F.array(
-        *[
-            F.struct(
-                F.lit(x1).alias("x1"),
-                F.lit(y1).alias("y1"),
-                F.lit(x2).alias("x2"),
-                F.lit(y2).alias("y2"),
-            )
-            for x1, y1, x2, y2 in edges
-        ]
+
+    def _cross(x1, y1, x2, y2):
+        return ((y1 > lat) != (y2 > lat)) & (
+            lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        )
+
+    if len(edges) <= PIP_LITERAL_MAX_EDGES:
+        edge_lits = F.array(
+            *[
+                F.struct(
+                    F.lit(x1).alias("x1"),
+                    F.lit(y1).alias("y1"),
+                    F.lit(x2).alias("x2"),
+                    F.lit(y2).alias("y2"),
+                )
+                for x1, y1, x2, y2 in edges
+            ]
+        )
+        crossings = F.aggregate(
+            edge_lits,
+            F.lit(0),
+            lambda acc, e: acc
+            + _cross(e["x1"], e["y1"], e["x2"], e["y2"]).cast("int"),
+        )
+        return boxed.filter(crossings % 2 == 1)
+
+    edf = points.sparkSession.createDataFrame(
+        edges, "x1 double, y1 double, x2 double, y2 double"
     )
-    crossings = F.aggregate(
-        edge_lits,
-        F.lit(0),
-        lambda acc, e: acc
-        + (
-            ((e["y1"] > lat) != (e["y2"] > lat))
-            & (lon < (e["x2"] - e["x1"]) * (lat - e["y1"]) / (e["y2"] - e["y1"]) + e["x1"])
-        ).cast("int"),
+    cross = _cross(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))
+    withid = boxed.withColumn("_rid", F.monotonically_increasing_id())
+    hits = (
+        withid.crossJoin(F.broadcast(edf))
+        .groupBy("_rid", *points.columns)
+        .agg(F.sum(cross.cast("int")).alias("_crossings"))
+        .filter(F.col("_crossings") % 2 == 1)
+        .drop("_rid", "_crossings")
     )
-    return boxed.filter(crossings % 2 == 1)
+    return hits
 
 
 # ---------------------------------------------------------------------------

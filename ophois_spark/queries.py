@@ -1090,10 +1090,11 @@ SELECT qid, rank, vec_id, sim FROM r WHERE rank <= {EMB_K}
 
 # fixpoint contraction operators (H4/H6): the loops converge in ≤2
 # rounds on the derived graph (measured at sf0.001 and sf0.01), and one
-# round IS SQL-expressible — the oracles below UNROLL 4 rounds as a CTE
-# chain (a round at fixpoint has an empty candidate set and is an exact
-# identity, so the surplus rounds are harmless no-ops). The ported
-# reference fixtures additionally pin exact semantics in tests/.
+# round IS SQL-expressible — the oracles below UNROLL _CONTRACT_ROUNDS
+# (6) rounds as a CTE chain (a round at fixpoint has an empty candidate
+# set and is an exact identity, so the surplus rounds are harmless
+# no-ops). The ported reference fixtures additionally pin exact
+# semantics in tests/.
 H4_DELTA = 40.0
 H6_DELTA = 30.0
 
@@ -1290,25 +1291,17 @@ def q_simplify_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     component → degree-2 chain contraction → under-delta node fixpoint
     → under-delta link fixpoint; returns the surviving nodes with their
     (possibly minted, Rust-formatted) coordinates."""
+    from ophois_spark.operators.components import largest_component
     from ophois_spark.operators.contraction import (
         remove_degree_two_nodes,
         remove_under_delta_links,
         remove_under_delta_nodes,
     )
-    from ophois_spark.operators.graph import StreetGraph
 
     g = derived_graph(spark, sf_dir)
-    # largest component via the session-cached labels (same semantics
-    # as operators.components.largest_component — tie → smallest label;
-    # the propagation runs once per (session, sf) across the registry)
-    labels = _component_labels(spark, sf_dir)
-    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("size"))
-    winner = sizes.orderBy(F.desc("size"), F.asc("comp")).limit(1).select("comp")
-    keep = labels.join(F.broadcast(winner), "comp", "left_semi").select("id")
-    g = StreetGraph(
-        g.nodes.join(keep, "id", "left_semi"),
-        g.edges.join(keep.withColumnRenamed("id", "src"), "src", "left_semi"),
-    )
+    # session-cached labels: the propagation runs once per (session, sf)
+    # across the registry; the operator owns the winner/filter semantics
+    g = largest_component(g, labels=_component_labels(spark, sf_dir))
     g = remove_degree_two_nodes(g)
     g = remove_under_delta_nodes(g, SIMPLIFY_DELTA)
     g = remove_under_delta_links(g, SIMPLIFY_DELTA)

@@ -121,6 +121,26 @@ def stream_graph_snapshots(
     from ophois_spark.plans.snapshots import SnapshotLog
 
     log = SnapshotLog(snapshot_root)
+    # Bind the snapshot root to ONE streaming checkpoint lineage: batch
+    # ids are only meaningful relative to their checkpoint, so reusing a
+    # root with a different checkpoint would make every id-keyed ledger
+    # lookup ambiguous. A marker snapshot records the owning checkpoint;
+    # a mismatch is refused instead of risking silently skipped batches.
+    # (Roots created before the marker scheme keep their historical
+    # id-keyed semantics — the legacy fallback below — since their
+    # original checkpoint identity is unknowable.)
+    marker = log.find_stage("stream_source")
+    if marker is not None:
+        owner = (marker.get("metrics") or {}).get("checkpoint_dir")
+        if owner is not None and owner != checkpoint_dir:
+            raise ValueError(
+                f"snapshot root {snapshot_root} is bound to checkpoint "
+                f"{owner!r}; refusing to commit from checkpoint "
+                f"{checkpoint_dir!r} — use a fresh snapshot root (batch "
+                "ids from a different checkpoint would alias the ledger)"
+            )
+    else:
+        log.commit("stream_source", {}, {"checkpoint_dir": checkpoint_dir})
     pages = read_page_stream(spark, input_dir)
     if lang is not None:
         pages = pages.filter(F.col("lang") == lang)

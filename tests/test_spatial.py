@@ -145,3 +145,28 @@ def test_render_tiles_pixels(spark):
         assert img.size == 64 * 64
         total_on += int((img == 255).sum())
     assert total_on > 0
+
+
+def test_point_in_polygon_large_polygon_broadcast_path(spark):
+    """Polygons past PIP_LITERAL_MAX_EDGES take the broadcast-join
+    strategy; results must match the scalar oracle and duplicates must
+    survive (the groupBy keys a unique row id, not the payload)."""
+    import math
+
+    from ophois_spark.operators.spatial import PIP_LITERAL_MAX_EDGES, point_in_polygon
+
+    n_v = PIP_LITERAL_MAX_EDGES + 44
+    poly = [
+        (2.0 + math.cos(2 * math.pi * i / n_v), 1.5 + math.sin(2 * math.pi * i / n_v))
+        for i in range(n_v)
+    ]
+    rng = np.random.default_rng(11)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(rng.uniform(0, 4, 150), rng.uniform(0, 3, 150)))]
+    pts.append((999, 2.0, 1.5))  # duplicate inside point, twice
+    pts.append((999, 2.0, 1.5))
+    df = spark.createDataFrame(pts, "pid long, lon_d double, lat_d double")
+    got = sorted(r["pid"] for r in point_in_polygon(df, poly).collect())
+    want = sorted(p[0] for p in pts if _pip_oracle(poly, p[1], p[2]))
+    assert got == want
+    assert got.count(999) == 2  # duplicates preserved
+    assert len(want) > 20

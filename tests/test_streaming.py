@@ -86,18 +86,28 @@ def test_stream_dedup_nodes_bounded_state(spark, pages_dir, tmp_path):
 
 
 def test_stream_snapshot_replay_is_idempotent(spark, pages_dir, tmp_path):
-    """foreachBatch is at-least-once: a replayed batch (fresh streaming
-    checkpoint, same snapshot root) must not commit duplicate snapshots."""
+    """foreachBatch is at-least-once: restarting with the SAME streaming
+    checkpoint must not commit duplicate snapshots, and a snapshot root
+    is BOUND to its checkpoint — reusing it with a fresh checkpoint
+    (whose batch ids restart at 0 and would alias the ledger) is
+    refused instead of silently skipping new batches."""
+    import pytest
+
     root = str(tmp_path / "snaplog_idem")
-    q = stream_graph_snapshots(spark, pages_dir, root, str(tmp_path / "ck_a"))
+    ck_a = str(tmp_path / "ck_a")
+    q = stream_graph_snapshots(spark, pages_dir, root, ck_a)
     q.awaitTermination(120)
     n_first = len(SnapshotLog(root).snapshots())
     assert n_first > 0
 
-    # replay everything: new checkpoint dir restarts batch ids at 0
-    q2 = stream_graph_snapshots(spark, pages_dir, root, str(tmp_path / "ck_b"))
+    # same checkpoint, no new input: nothing recommits
+    q2 = stream_graph_snapshots(spark, pages_dir, root, ck_a)
     q2.awaitTermination(120)
     assert len(SnapshotLog(root).snapshots()) == n_first
+
+    # different checkpoint over the same root: refused up front
+    with pytest.raises(ValueError, match="bound to checkpoint"):
+        stream_graph_snapshots(spark, pages_dir, root, str(tmp_path / "ck_b"))
 
 
 def test_stream_snapshot_per_batch(spark, pages_dir, tmp_path):
@@ -110,7 +120,8 @@ def test_stream_snapshot_per_batch(spark, pages_dir, tmp_path):
     q.awaitTermination(120)
 
     log = SnapshotLog(root)
-    snaps = log.snapshots()
+    # the checkpoint-binding marker is snapshot #1; data batches follow
+    snaps = [m for m in log.snapshots() if m["stage"] != "stream_source"]
     assert seen and len(snaps) == len(seen)
     total = sum(m["tables"]["records"]["row_count"] for m in snaps)
     batch = extract_page_records(
