@@ -176,13 +176,15 @@ def shingle_jaccard_pairs(docs: DataFrame, k: int = 3) -> DataFrame:
 
     The tokenize+shingle+distinct lineage is computed ONCE (persisted,
     MEMORY_AND_DISK) feeding the MinHash signatures, the counts, and
-    the intersection; the cache block lives for the session (callers
-    looping over many corpora should ``spark.catalog.clearCache()``
-    between runs — a returned lazy DataFrame can't self-unpersist).
+    the intersection. The block lives in the named cache slot
+    ``shingle_jaccard.shingles`` (plans/cache.py): re-invoking this
+    function unpersists the previous corpus's block, so looping over
+    many corpora holds at most one; ``cache.release(...)`` frees it
+    explicitly.
     """
-    from pyspark import StorageLevel
+    from ophois_spark.plans.cache import swap_cached
 
-    sh = doc_shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = swap_cached("shingle_jaccard.shingles", doc_shingles(docs, k))
     pairs = minhash_lsh_pairs(docs, k=k, shingles=sh)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (

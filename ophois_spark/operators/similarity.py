@@ -153,14 +153,18 @@ def near_dup_pairs(
     # n_bands×band_planes projection folds twice (once per side). No
     # job runs at construction time (plan composition stays lazy); the
     # first action materializes the tiny (vid, band, bucket) table and
-    # both join sides read the cache. Callers looping over many corpora
-    # own the cache lifetime (spark.catalog.clearCache()).
-    from pyspark import StorageLevel
+    # both join sides read the cache. The block lives in the named slot
+    # ``near_dup.bands`` (plans/cache.py): re-invocation unpersists the
+    # previous corpus's block; cache.release(...) frees it explicitly.
+    from ophois_spark.plans.cache import swap_cached
 
-    bb = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(band_buckets_col(n_bands, band_planes)).alias("band", "bucket"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bb = swap_cached(
+        "near_dup.bands",
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(band_buckets_col(n_bands, band_planes)).alias("band", "bucket"),
+        ),
+    )
     cand = (
         bb.alias("a")
         .join(bb.alias("b"), ["band", "bucket"])

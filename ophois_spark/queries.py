@@ -622,11 +622,20 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs_sql() -> str:
-    from ophois_spark.operators.dedup import MINHASH_P, N_HASHES, minhash_affine
+    from ophois_spark.operators.dedup import (
+        BAND_ROWS,
+        MINHASH_P,
+        N_HASHES,
+        minhash_affine,
+    )
 
     seeds = ", ".join(
         f"({j}, {minhash_affine(j)[0]}, {minhash_affine(j)[1]})" for j in range(N_HASHES)
     )
+    # band layout mirrors dedup.lsh_band_keys: band = j // BAND_ROWS,
+    # which is exactly the ceil(n/band_rows)-bands-with-short-trailing-
+    # band layout the engine builds (sig j lands in band t iff
+    # t*band_rows <= j < min((t+1)*band_rows, n)).
     return f"""
 WITH sh AS ({_SHINGLES_SQL}),
 seeds(j, a, b) AS (VALUES {seeds}),
@@ -636,9 +645,9 @@ sig AS (
   FROM h CROSS JOIN seeds GROUP BY doc_id, j
 ),
 bands AS (
-  SELECT doc_id, CAST(j // 2 AS INT) AS band,
+  SELECT doc_id, CAST(j // {BAND_ROWS} AS INT) AS band,
          string_agg(CAST(sig AS VARCHAR), ':' ORDER BY j) AS band_key
-  FROM sig GROUP BY doc_id, CAST(j // 2 AS INT)
+  FROM sig GROUP BY doc_id, CAST(j // {BAND_ROWS} AS INT)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -1317,6 +1326,31 @@ def _simplify_sql(rounds: int = _CONTRACT_ROUNDS) -> str:
     parts = [
         f"coords AS MATERIALIZED ({_NODES_SQL})",
         f"edges_all AS MATERIALIZED ({_EDGES_SQL})",
+    ] + _lc_deg2_chain()
+    parts += _h4_chain("a", r, coords="coords", delta=SIMPLIFY_DELTA)
+    parts += [
+        f"""bn0 AS MATERIALIZED (
+  SELECT c.id, CAST(CAST(c.lat_d AS DOUBLE) AS VARCHAR) AS lat,
+         CAST(CAST(c.lon_d AS DOUBLE) AS VARCHAR) AS lon,
+         CAST(c.lat_d AS DOUBLE) AS lat_d, CAST(c.lon_d AS DOUBLE) AS lon_d
+  FROM coords c JOIN an{r} n ON c.id = n.id)""",
+        f"be0 AS MATERIALIZED (SELECT src, dst FROM ae{r})",
+    ]
+    parts += _h6_chain("b", r, delta=SIMPLIFY_DELTA)
+    return "WITH RECURSIVE " + ",\n".join(parts) + f"\nSELECT id, lat, lon FROM bn{r}"
+
+
+def _lc_deg2_chain() -> list[str]:
+    """Largest-component + degree-2 closed-form CTE prefix.
+
+    Expects base CTEs ``coords(id, …)`` and ``edges_all(src, dst)``;
+    yields ``an0`` (surviving node ids) and ``ae0`` (surviving edges).
+    Pinned against ``largest_component`` + ``remove_degree_two_nodes``
+    on random graphs by tests/test_oracle_generators.py — the closed
+    form's corner cases (pure cycles vanish, chains whose both ends
+    attach to one outside node drop their edge) are covered there, not
+    just on the derived graph the gate runs."""
+    return [
         """bi AS (SELECT src AS a, dst AS b FROM edges_all
        UNION ALL SELECT dst, src FROM edges_all)""",
         """rr(id, comp) AS (
@@ -1363,17 +1397,6 @@ def _simplify_sql(rounds: int = _CONTRACT_ROUNDS) -> str:
     WHERE src NOT IN (SELECT id FROM s2) AND dst NOT IN (SELECT id FROM s2)
     UNION ALL SELECT src, dst FROM new_edges))""",
     ]
-    parts += _h4_chain("a", r, coords="coords", delta=SIMPLIFY_DELTA)
-    parts += [
-        f"""bn0 AS MATERIALIZED (
-  SELECT c.id, CAST(CAST(c.lat_d AS DOUBLE) AS VARCHAR) AS lat,
-         CAST(CAST(c.lon_d AS DOUBLE) AS VARCHAR) AS lon,
-         CAST(c.lat_d AS DOUBLE) AS lat_d, CAST(c.lon_d AS DOUBLE) AS lon_d
-  FROM coords c JOIN an{r} n ON c.id = n.id)""",
-        f"be0 AS MATERIALIZED (SELECT src, dst FROM ae{r})",
-    ]
-    parts += _h6_chain("b", r, delta=SIMPLIFY_DELTA)
-    return "WITH RECURSIVE " + ",\n".join(parts) + f"\nSELECT id, lat, lon FROM bn{r}"
 
 
 SQL_SIMPLIFY_PIPELINE = _simplify_sql()

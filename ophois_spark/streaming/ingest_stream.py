@@ -27,6 +27,7 @@ adds no new shuffle shape.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -109,6 +110,7 @@ def stream_graph_snapshots(
     lang: str | None = "en",
     available_now: bool = True,
     on_batch: Callable[[int, dict], None] | None = None,
+    allow_legacy_ledger: bool = False,
 ):
     """Micro-batch ingest committing an Iceberg-style snapshot per batch.
 
@@ -118,21 +120,23 @@ def stream_graph_snapshots(
     (streaming checkpoint) and the snapshot log keeps every batch's
     per-partition row counts (north_rule lineage).
     """
+    import re
+
     from ophois_spark.plans.snapshots import SnapshotLog
 
     log = SnapshotLog(snapshot_root)
     # Bind the snapshot root to ONE streaming checkpoint lineage: batch
     # ids are only meaningful relative to their checkpoint, so reusing a
     # root with a different checkpoint would make every id-keyed ledger
-    # lookup ambiguous. A marker snapshot records the owning checkpoint;
-    # a mismatch is refused instead of risking silently skipped batches.
-    # (Roots created before the marker scheme keep their historical
-    # id-keyed semantics — the legacy fallback below — since their
-    # original checkpoint identity is unknowable.)
+    # lookup ambiguous. A marker snapshot records the owning checkpoint
+    # (realpath-normalized: the same directory spelled relative vs
+    # absolute must compare equal); a mismatch is refused instead of
+    # risking silently skipped batches.
+    ckpt_real = os.path.realpath(checkpoint_dir)
     marker = log.find_stage("stream_source")
     if marker is not None:
         owner = (marker.get("metrics") or {}).get("checkpoint_dir")
-        if owner is not None and owner != checkpoint_dir:
+        if owner is not None and os.path.realpath(owner) != ckpt_real:
             raise ValueError(
                 f"snapshot root {snapshot_root} is bound to checkpoint "
                 f"{owner!r}; refusing to commit from checkpoint "
@@ -140,7 +144,24 @@ def stream_graph_snapshots(
                 "ids from a different checkpoint would alias the ledger)"
             )
     else:
-        log.commit("stream_source", {}, {"checkpoint_dir": checkpoint_dir})
+        # Roots created before the marker scheme hold id-only
+        # ``stream_batch_{id}`` ledger entries whose original checkpoint
+        # is unknowable. Honoring them from an arbitrary checkpoint is
+        # exactly the aliasing content-keying prevents (fresh checkpoints
+        # restart ids at 0 and silently skip new batches), so refuse
+        # unless the caller explicitly opts in to the legacy semantics.
+        legacy_pat = re.compile(r"^stream_batch_\d+$")
+        has_legacy = any(legacy_pat.match(m["stage"]) for m in log.snapshots())
+        if has_legacy and not allow_legacy_ledger:
+            raise ValueError(
+                f"snapshot root {snapshot_root} holds legacy id-only "
+                "stream_batch_* ledger entries with no checkpoint marker; "
+                "resuming it from an arbitrary checkpoint could silently "
+                "skip batches whose ids alias old commits. Pass "
+                "allow_legacy_ledger=True only if this checkpoint is the "
+                "root's original one; otherwise use a fresh snapshot root."
+            )
+        log.commit("stream_source", {}, {"checkpoint_dir": ckpt_real})
     pages = read_page_stream(spark, input_dir)
     if lang is not None:
         pages = pages.filter(F.col("lang") == lang)
@@ -166,9 +187,12 @@ def stream_graph_snapshots(
         )
         stage = f"stream_batch_{batch_id}_{sig}"
         # legacy ledgers (pre-content-keying) committed as
-        # "stream_batch_{id}"; honor them so an upgraded restart doesn't
-        # re-commit a batch that was already snapshotted under the old key
-        existing = log.find_stage(stage) or log.find_stage(f"stream_batch_{batch_id}")
+        # "stream_batch_{id}"; those keys are only honored when the
+        # caller vouched for the checkpoint via allow_legacy_ledger —
+        # otherwise the start-up refusal above already rejected the root
+        existing = log.find_stage(stage)
+        if existing is None and allow_legacy_ledger:
+            existing = log.find_stage(f"stream_batch_{batch_id}")
         if existing is not None:
             if on_batch is not None:
                 on_batch(batch_id, existing)
@@ -187,7 +211,9 @@ def stream_graph_snapshots(
 
 
 def stream_node_registry(
-    pages_stream: DataFrame, separator: str = SEPARATOR
+    pages_stream: DataFrame,
+    separator: str = SEPARATOR,
+    state_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): a
     first-wins node registry with per-id occurrence counts — the
@@ -201,8 +227,15 @@ def stream_node_registry(
     batches/restarts via the state store. Output mode "update": one row
     per id per batch it appears in, carrying the pinned coords and the
     running count. State size is O(distinct node ids) — the same
-    cardinality the batch dedup shuffles; add a timeout if ids are
-    unbounded in your stream.
+    cardinality the batch dedup shuffles; for streams whose id space is
+    unbounded, pass ``state_timeout_ms`` to evict ids idle longer than
+    that processing-time horizon (evicted ids that reappear re-pin and
+    restart their count — the bounded-state trade, same contract as the
+    watermark dedup).
+
+    The per-batch minimum is computed with vectorized pandas reductions
+    (column-wise ``min``/``idxmin``), never a Python row loop — each
+    Arrow chunk costs O(n) C-side.
     """
     from collections.abc import Iterator
 
@@ -222,28 +255,43 @@ def stream_node_registry(
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         first = None  # (url, pos, lat, lon) minimum within this batch
         n_batch = 0
         for pdf in pdfs:
             n_batch += len(pdf)
-            for row in pdf.itertuples(index=False):
-                cand = (row.url, row.pos, row.lat, row.lon)
-                if first is None or cand[:2] < first[:2]:
-                    first = cand
+            if not len(pdf):
+                continue
+            # lexicographic (url, pos) min, vectorized: restrict to the
+            # min-url rows, then idxmin over pos within them
+            at_min_url = pdf[pdf["url"] == pdf["url"].min()]
+            row = at_min_url.loc[at_min_url["pos"].idxmin()]
+            cand = (row["url"], row["pos"], row["lat"], row["lon"])
+            if first is None or cand[:2] < first[:2]:
+                first = cand
         if state.exists:
             lat0, lon0, n0 = state.get
         else:
             lat0, lon0, n0 = first[2], first[3], 0
         n_total = n0 + n_batch
         state.update((lat0, lon0, n_total))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame(
             {"id": [key[0]], "lat": [lat0], "lon": [lon0], "n_seen": [n_total]}
         )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return nodes.groupBy("id").applyInPandasWithState(
         update,
         outputStructType="id string, lat string, lon string, n_seen long",
         stateStructType="lat string, lon string, n_seen long",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -16,7 +16,7 @@ from ophois_spark.operators.contraction import (
     remove_under_delta_links,
     remove_under_delta_nodes,
 )
-from ophois_spark.queries import _h4_chain, _h6_chain
+from ophois_spark.queries import _h4_chain, _h6_chain, _lc_deg2_chain
 from ophois_spark.sources.graph_io import graph_from_tuples
 
 ROUNDS = 8  # small graphs can chain deeper than the derived graph
@@ -72,6 +72,70 @@ def test_h4_chain_matches_engine_on_random_graph(spark, seed):
     sql = "WITH " + ",\n".join(parts) + f"\nSELECT id FROM n{ROUNDS}"
     want = sorted(r[0] for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def _mk_nodes(ids):
+    return [
+        (i, format_f64(48.8274 + k * 1e-5), format_f64(2.3487 + k * 1e-5))
+        for k, i in enumerate(sorted(ids))
+    ]
+
+
+# corner graphs the derived data can't be relied on to contain:
+# - "lollipop": a deg-2 chain whose BOTH boundary ends attach to the
+#   same outside node X — the contracted edge must be dropped (min==max)
+# - "cycle_wins": the largest component is a pure deg-2 cycle — after
+#   contraction it vanishes entirely (empty survivors is legal)
+# - "chain": plain path, contracts to one endpoint edge
+_CORNER_GRAPHS = {
+    "lollipop": (
+        ["X", "Y1", "m", "s1", "s2"],
+        [("X", "s1"), ("m", "s1"), ("m", "s2"), ("X", "s2"), ("X", "Y1")],
+    ),
+    "cycle_wins": (
+        ["c1", "c2", "c3", "c4", "c5", "t1", "t2"],
+        [("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c5"), ("c1", "c5"), ("t1", "t2")],
+    ),
+    "chain": (
+        ["A", "B", "s1", "s2", "s3"],
+        [("A", "s1"), ("s1", "s2"), ("s2", "s3"), ("B", "s3")],
+    ),
+}
+
+
+@pytest.mark.parametrize(
+    "case", [*(f"seed{s}" for s in range(6)), *_CORNER_GRAPHS]
+)
+def test_lc_deg2_prefix_matches_engine(spark, case):
+    """Pin the simplify oracle's largest-component + degree-2 closed
+    form (the _lc_deg2_chain prefix of _simplify_sql) against
+    largest_component + remove_degree_two_nodes on random graphs AND
+    crafted corner graphs (lollipop chains, pure-cycle components) —
+    the gate alone only ever exercises the closed form on the derived
+    graph (ADVICE r2)."""
+    from ophois_spark.operators.components import largest_component
+    from ophois_spark.operators.contraction import remove_degree_two_nodes
+
+    if case.startswith("seed"):
+        nodes, links = random_graph(int(case[4:]))
+    else:
+        ids, links = _CORNER_GRAPHS[case]
+        nodes, links = _mk_nodes(ids), sorted(links)
+    g = remove_degree_two_nodes(largest_component(graph_from_tuples(spark, nodes, links)))
+    got_nodes = sorted(r["id"] for r in g.nodes.collect())
+    got_edges = sorted((r["src"], r["dst"]) for r in g.edges.collect())
+
+    base, ewhere = _base_ctes(nodes, links)
+    parts = base + [
+        f"edges_all AS (SELECT src, dst FROM raw_e{ewhere})",
+    ] + _lc_deg2_chain()
+    pre = "WITH RECURSIVE " + ",\n".join(parts)
+    want_nodes = sorted(r[0] for r in duckdb.sql(pre + "\nSELECT id FROM an0").fetchall())
+    want_edges = sorted(
+        (r[0], r[1]) for r in duckdb.sql(pre + "\nSELECT src, dst FROM ae0").fetchall()
+    )
+    assert got_nodes == want_nodes
+    assert got_edges == want_edges
 
 
 @pytest.mark.parametrize("seed", range(6))
