@@ -388,12 +388,18 @@ def tile_pyramid(
 
 
 def render_tiles(edges_with_coords: DataFrame, zoom: int, tile_px: int = 256) -> DataFrame:
-    """Rasterize edges per tile → (zoom, tile_x, tile_y, n_edges, pixels).
+    """Rasterize edges per tile → (zoom, tile_x, tile_y, n_edges,
+    lit_px, pixels).
 
     ``pixels`` is a tile_px×tile_px uint8 grid (PNG-less — no imaging
-    libs in the sandbox; the bytes are the raster). Bresenham runs
-    vectorized-ish in numpy inside ``applyInPandas`` — one task per
-    tile group, the engine's raster↔vector bridge.
+    libs in the sandbox; the bytes are the raster); ``lit_px`` counts
+    its set pixels — the SQL-expressible projection the DuckDB oracle
+    gates (queries._render_sql reconstructs the identical clip + DDA
+    walk). The DDA rounds via ``floor(x + 0.5)`` — NOT numpy's banker's
+    ``.round()`` — precisely so every float op has an exact DuckDB
+    twin. Liang-Barsky clip + line walk run in numpy inside
+    ``applyInPandas`` — one task per tile group, the engine's
+    raster↔vector bridge.
     """
     n = 1 << zoom
     tiles = tile_assignment(edges_with_coords, zoom)
@@ -431,8 +437,8 @@ def render_tiles(edges_with_coords: DataFrame, zoom: int, tile_px: int = 256) ->
             ca, cb = a + t0 * dx, b + t0 * dy
             cc, cd = a + t1 * dx, b + t1 * dy
             steps = int(max(abs(cc - ca), abs(cd - cb))) + 1
-            xs = np.linspace(ca, cc, steps).round().astype(np.int64)
-            ys = np.linspace(cb, cd, steps).round().astype(np.int64)
+            xs = np.floor(np.linspace(ca, cc, steps) + 0.5).astype(np.int64)
+            ys = np.floor(np.linspace(cb, cd, steps) + 0.5).astype(np.int64)
             keep = (xs >= 0) & (xs < tile_px) & (ys >= 0) & (ys < tile_px)
             img[ys[keep], xs[keep]] = 255
         return pd.DataFrame(
@@ -441,10 +447,12 @@ def render_tiles(edges_with_coords: DataFrame, zoom: int, tile_px: int = 256) ->
                 "tile_x": [zx],
                 "tile_y": [zy],
                 "n_edges": [len(pdf)],
+                "lit_px": [int((img != 0).sum())],
                 "pixels": [img.tobytes()],
             }
         )
 
     return tiles.groupBy("tile_x", "tile_y").applyInPandas(
-        raster, "zoom int, tile_x long, tile_y long, n_edges long, pixels binary"
+        raster,
+        "zoom int, tile_x long, tile_y long, n_edges long, lit_px long, pixels binary",
     )

@@ -489,6 +489,110 @@ base AS (SELECT tile_x, tile_y, COUNT(*) AS n FROM t GROUP BY 1, 2)
 SQL_TILE_PYRAMID = _pyramid_sql()
 
 
+RENDER_PX = 256
+RENDER_ZOOM = 16  # ~2.4 m/px at 256px: tens of tiles over the fixture city
+
+
+def q_render_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster tile rendering, gated on its SQL-expressible projection:
+    per-tile set-pixel counts. The engine rasterizes (Liang-Barsky clip
+    + DDA walk, numpy inside applyInPandas — spatial.render_tiles) and
+    the oracle reconstructs the identical float pipeline in DuckDB;
+    the binary pixel buffer itself stays pytest-verified (raster bytes
+    aren't SQL)."""
+    from ophois_spark.operators.spatial import render_tiles
+
+    g = derived_graph(spark, sf_dir)
+    r = render_tiles(g.edges_with_coords(), RENDER_ZOOM, RENDER_PX)
+    return r.select("zoom", "tile_x", "tile_y", "n_edges", "lit_px")
+
+
+def _render_sql() -> str:
+    """DuckDB twin of spatial.render_tiles' clip + DDA walk.
+
+    Every float op mirrors the numpy kernel exactly (same IEEE ops in
+    the same order): pixel-space projection, Liang-Barsky t0/t1 via
+    one-sided divisions, numpy-linspace semantics (last sample = exact
+    endpoint; single-sample segments stay at the start), floor(x+0.5)
+    rounding. Scale constants are embedded as CAST('<repr>' AS DOUBLE)
+    so DuckDB string-parses them instead of double-rounding a DECIMAL
+    literal."""
+    n = 1 << RENDER_ZOOM
+    px = RENDER_PX
+    t = px - 1  # clip box upper bound, as in the kernel
+    sx = repr(px / (360.0 / n))
+    sy = repr(px / (180.0 / n))
+
+    def lin(start: str, stop: str) -> str:
+        return (
+            f"CASE WHEN i = steps - 1 THEN "
+            f"(CASE WHEN steps = 1 THEN {start} ELSE {stop} END) "
+            f"ELSE i * (({stop} - {start}) / (steps - 1)) + {start} END"
+        )
+
+    return f"""
+WITH nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+j AS (
+  SELECT e.src, e.dst, a.lon_d AS slon, a.lat_d AS slat, b.lon_d AS dlon, b.lat_d AS dlat,
+         greatest(0, least({n - 1}, CAST(floor((least(a.lon_d, b.lon_d) + 180.0) / 360.0 * {n}) AS BIGINT))) AS tx0,
+         greatest(0, least({n - 1}, CAST(floor((greatest(a.lon_d, b.lon_d) + 180.0) / 360.0 * {n}) AS BIGINT))) AS tx1,
+         greatest(0, least({n - 1}, CAST(floor((least(a.lat_d, b.lat_d) + 90.0) / 180.0 * {n}) AS BIGINT))) AS ty0,
+         greatest(0, least({n - 1}, CAST(floor((greatest(a.lat_d, b.lat_d) + 90.0) / 180.0 * {n}) AS BIGINT))) AS ty1
+  FROM edges e JOIN nodes a ON e.src = a.id JOIN nodes b ON e.dst = b.id
+),
+tx AS (SELECT *, unnest(generate_series(tx0, tx1)) AS tile_x FROM j),
+tt AS (SELECT *, unnest(generate_series(ty0, ty1)) AS tile_y FROM tx),
+ep AS (
+  SELECT tile_x, tile_y,
+         (slon - (CAST(tile_x AS DOUBLE) / {n} * 360.0 - 180.0)) * CAST('{sx}' AS DOUBLE) AS a,
+         (slat - (CAST(tile_y AS DOUBLE) / {n} * 180.0 - 90.0)) * CAST('{sy}' AS DOUBLE) AS b,
+         (dlon - (CAST(tile_x AS DOUBLE) / {n} * 360.0 - 180.0)) * CAST('{sx}' AS DOUBLE) AS c,
+         (dlat - (CAST(tile_y AS DOUBLE) / {n} * 180.0 - 90.0)) * CAST('{sy}' AS DOUBLE) AS d
+  FROM tt
+),
+cl AS (SELECT *, c - a AS dx, d - b AS dy FROM ep),
+cl2 AS (
+  SELECT *,
+    NOT ((dx = 0 AND (a < 0 OR {t} - a < 0)) OR (dy = 0 AND (b < 0 OR {t} - b < 0))) AS ok,
+    GREATEST(0.0,
+      CASE WHEN dx > 0 THEN a / (-dx) WHEN dx < 0 THEN ({t} - a) / dx ELSE 0.0 END,
+      CASE WHEN dy > 0 THEN b / (-dy) WHEN dy < 0 THEN ({t} - b) / dy ELSE 0.0 END) AS t0,
+    LEAST(1.0,
+      CASE WHEN dx > 0 THEN ({t} - a) / dx WHEN dx < 0 THEN a / (-dx) ELSE 1.0 END,
+      CASE WHEN dy > 0 THEN ({t} - b) / dy WHEN dy < 0 THEN b / (-dy) ELSE 1.0 END) AS t1
+  FROM cl
+),
+seg AS (
+  SELECT tile_x, tile_y,
+         a + t0 * dx AS ca, b + t0 * dy AS cb, a + t1 * dx AS cc, b + t1 * dy AS cd
+  FROM cl2 WHERE ok AND t0 <= t1
+),
+stp AS (
+  SELECT *, CAST(floor(GREATEST(abs(cc - ca), abs(cd - cb))) AS BIGINT) + 1 AS steps FROM seg
+),
+walk AS (SELECT *, unnest(generate_series(0, steps - 1)) AS i FROM stp),
+pix AS (
+  SELECT DISTINCT tile_x, tile_y,
+         CAST(floor(({lin("ca", "cc")}) + 0.5) AS BIGINT) AS ix,
+         CAST(floor(({lin("cb", "cd")}) + 0.5) AS BIGINT) AS iy
+  FROM walk
+),
+lit AS (
+  SELECT tile_x, tile_y, COUNT(*) AS lit_px FROM pix
+  WHERE ix >= 0 AND ix < {px} AND iy >= 0 AND iy < {px}
+  GROUP BY 1, 2
+),
+cnt AS (SELECT tile_x, tile_y, COUNT(*) AS n_edges FROM tt GROUP BY 1, 2)
+SELECT CAST({RENDER_ZOOM} AS INT) AS zoom, c.tile_x, c.tile_y,
+       CAST(c.n_edges AS BIGINT) AS n_edges,
+       CAST(COALESCE(l.lit_px, 0) AS BIGINT) AS lit_px
+FROM cnt c LEFT JOIN lit l ON c.tile_x = l.tile_x AND c.tile_y = l.tile_y
+"""
+
+
+SQL_RENDER_TILES = _render_sql()
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets rollup: event counts by (day, event_type) with the
     per-day and grand totals — date_trunc + ROLLUP in one pass."""
@@ -519,6 +623,7 @@ QUERIES.update(
         "pip_clip": q_pip_clip,
         "tile_assignment": q_tile_assignment,
         "tile_pyramid": q_tile_pyramid,
+        "render_tiles": q_render_tiles,
         "events_rollup": q_events_rollup,
     }
 )
@@ -528,6 +633,7 @@ ORACLES.update(
         "pip_clip": SQL_PIP_CLIP,
         "tile_assignment": SQL_TILE_ASSIGNMENT,
         "tile_pyramid": SQL_TILE_PYRAMID,
+        "render_tiles": SQL_RENDER_TILES,
         "events_rollup": SQL_EVENTS_ROLLUP,
     }
 )

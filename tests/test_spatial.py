@@ -143,6 +143,9 @@ def test_render_tiles_pixels(spark):
     for t in out:
         img = np.frombuffer(t["pixels"], dtype=np.uint8)
         assert img.size == 64 * 64
+        # lit_px is the gated projection of the raster — must agree
+        # with the actual pixel buffer
+        assert t["lit_px"] == int((img != 0).sum())
         total_on += int((img == 255).sum())
     assert total_on > 0
 
