@@ -188,14 +188,19 @@ def knn_join(
 ) -> DataFrame:
     """k nearest nodes per query point, exact.
 
-    Round r joins each unresolved query to all node cells within
-    Chebyshev ring r (ring doubles per round). A query resolves when it
-    has ≥ k candidates whose k-th distance is ≤ the lower bound of any
-    cell beyond the ring (r × min cell extent in metres at the query's
-    latitude). Stragglers after ``max_ring`` fall back to an exact
-    brute-force join. Output: (qid, rank, id, dist_m) with rank 1..k by
-    (dist rounded to 1e-6 m, id) — rounding puts the ordering far above
-    cross-backend libm noise while keeping it total.
+    Round r joins each unresolved query to the node cells in the
+    Chebyshev ANNULUS (r_prev, r] only (ring doubles per round); the
+    previous round's top-k survivors are carried forward and re-ranked
+    against the annulus candidates — top-k(inner ∪ annulus) ≡
+    top-k(top-k(inner) ∪ annulus), so inner cells are never re-joined
+    (a full-block rejoin would re-rank the whole (2r+1)² block every
+    round). A query resolves when it has ≥ k candidates whose k-th
+    distance is ≤ the lower bound of any cell beyond the ring (r × min
+    cell extent in metres at the query's latitude). Stragglers after
+    ``max_ring`` fall back to an exact brute-force join. Output:
+    (qid, rank, id, dist_m) with rank 1..k by (dist rounded to 1e-6 m,
+    id) — rounding puts the ordering far above cross-backend libm noise
+    while keeping it total.
 
     Reference analogue: none (graft-mandated, north_star "kNN
     nearest-node snapping via cell-ring expansion").
@@ -212,14 +217,18 @@ def knn_join(
     ).withColumns({"qix": qix.cast("long"), "qiy": qiy.cast("long")})
 
     results = []
-    r = 1
+    carry = None  # previous round's top-k rows for still-pending queries
+    r, r_prev = 1, -1  # round 1's "annulus" includes the centre cell (Chebyshev 0)
     while r <= max_ring:
         # wrap x, clamp-filter y; dedup (qid, cell): when 2r+1 > n the
         # modulo maps distinct dx onto the same column — without the
-        # dedup a node would join (and rank) multiple times per query
+        # dedup a node would join (and rank) multiple times per query.
+        # Only annulus cells (Chebyshev > r_prev) join; inner cells'
+        # useful candidates already live in `carry`.
         ring = (
             pending.withColumn("dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
             .withColumn("dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .filter(F.greatest(F.abs(F.col("dx")), F.abs(F.col("dy"))) > r_prev)
             .withColumn("nx", ((F.col("qix") + F.col("dx")) % n + n) % n)
             .withColumn("ny", F.col("qiy") + F.col("dy"))
             .filter((F.col("ny") >= 0) & (F.col("ny") < n))
@@ -227,10 +236,20 @@ def knn_join(
             .select("qid", "q_lat", "q_lon", "cell")
             .dropDuplicates(["qid", "cell"])
         )
-        cand = ring.join(nodes_c, "cell").withColumn(
-            "dist_m",
-            haversine_m(F.col("q_lon"), F.col("q_lat"), F.col("n_lon"), F.col("n_lat")),
+        cand = (
+            ring.join(nodes_c, "cell")
+            .withColumn(
+                "dist_m",
+                haversine_m(F.col("q_lon"), F.col("q_lat"), F.col("n_lon"), F.col("n_lat")),
+            )
+            .select("qid", "q_lat", "id", "dist_m")
         )
+        if carry is not None:
+            # (qid, id) dedup: under modulo wrap an annulus (dx, dy) can
+            # alias a cell already visited in an earlier round — the same
+            # node must not occupy two ranks (values are identical, any
+            # survivor is fine)
+            cand = cand.unionByName(carry).dropDuplicates(["qid", "id"])
         w = Window.partitionBy("qid").orderBy(F.round("dist_m", 6), "id")
         topk = (
             cand.withColumn("rank", F.row_number().over(w))
@@ -261,7 +280,12 @@ def knn_join(
         if pending.isEmpty():
             pending = None
             break
-        r *= 2
+        carry = (
+            topk.join(resolved_q, "qid", "left_anti")
+            .select("qid", "q_lat", "id", "dist_m")
+            .localCheckpoint(eager=True)
+        )
+        r_prev, r = r, r * 2
 
     if pending is not None and not pending.isEmpty():
         # exact brute-force fallback for stragglers (sparse regions)
