@@ -62,6 +62,31 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # -- ANN recall@k vs the exact baseline --------------------------------
+    # quantifies the approximation the ANN paths trade for scale: recall =
+    # |ANN top-k ∩ exact top-k| / |exact top-k| over the bench query set
+    from pyspark.sql import functions as F2
+    from ophois_spark.operators.similarity import ann_topk, cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.localCheckpoint(eager=True)
+    qset = emb.filter(F2.col("vec_id") % 50 == 0)
+    recall_k = 10
+    exact = cosine_topk(emb, qset, recall_k).select("qid", "vec_id")
+    exact = exact.localCheckpoint(eager=True)
+    n_exact = exact.count()
+    ann_recall: dict[str, float] = {}
+    for variant, df in {
+        "ivf_hash_nprobe2": ivf_topk(emb, qset, recall_k, nprobe=2),
+        "ivf_kmeans_nprobe2": ivf_topk(emb, qset, recall_k, nprobe=2, trained=True),
+        "ivf_kmeans_nprobe8": ivf_topk(emb, qset, recall_k, nprobe=8, trained=True),
+        "lsh_bucket": ann_topk(emb, qset, recall_k),
+    }.items():
+        t0 = time.perf_counter()
+        hits = df.select("qid", "vec_id").join(exact, ["qid", "vec_id"]).count()
+        ann_recall[variant] = round(hits / n_exact, 4)
+        timings[f"recall_{variant}"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -76,6 +101,7 @@ def main() -> None:
                 "graph_edges": n_edges,
                 "pages_per_sec": round(pages_per_sec, 1),
                 "edges_per_sec": round(edges_per_sec, 1),
+                "ann_recall_at_10": ann_recall,
                 "cpus": cpus,
             }
         )

@@ -218,6 +218,46 @@ def ivf_centroids(
     )
 
 
+def ivf_centroids_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Trained coarse quantizer: Lloyd iterations expressed entirely as
+    DataFrame operations — assign = the existing broadcast cosine
+    argmax (``ivf_assign``), update = per-cluster elementwise mean via
+    ``dim`` avg() aggregates in ONE hash aggregation (map-side partial
+    combine; the shuffle carries |clusters|×dim partial sums, never
+    vectors). Seeded from the deterministic md5-hash sample
+    (``ivf_centroids``) so runs start identically; float summation
+    order inside avg() is still executor-nondeterministic, so trained
+    centroids are for recall/cost (bench), while the deterministic
+    quantizer remains the oracle-gated path. Empty clusters keep their
+    previous centroid. Scale: each iteration is one O(N·k) assign + one
+    scan-bound aggregation — the standard IVF build loop at 10^12 rows.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col("embedding")).alias("v")
+    ).localCheckpoint(eager=True)
+    dim = len(base.select("v").first()["v"])
+    cents = ivf_centroids(embeddings, n_centroids, id_col).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        assign = ivf_assign(base.withColumnRenamed("v", "embedding"), cents)
+        means = (
+            base.join(assign, "vec_id")
+            .groupBy("cid")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+            .select("cid", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("mv"))
+        )
+        cents = (
+            cents.join(means, "cid", "left")
+            .select("cid", F.coalesce("mv", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_assign(
     embeddings: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -248,11 +288,18 @@ def ivf_topk(
     nprobe: int = 2,
     n_centroids: int = N_CENTROIDS,
     id_col: str = "vec_id",
+    trained: bool = False,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` nearest inverted lists per query,
     exact cosine re-rank inside them — the standard scale path (search
-    cost ~ nprobe/n_centroids of brute force)."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col)
+    cost ~ nprobe/n_centroids of brute force). ``trained=True`` swaps
+    the deterministic hash-sample quantizer for k-means centroids
+    (``ivf_centroids_kmeans``) — better-balanced lists and recall;
+    bench.py reports recall@k for both against ``cosine_topk``."""
+    if trained:
+        cents = ivf_centroids_kmeans(embeddings, n_centroids, id_col=id_col)
+    else:
+        cents = ivf_centroids(embeddings, n_centroids, id_col)
     assign = ivf_assign(embeddings, cents, id_col)
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col("embedding")).alias("qv"))
 

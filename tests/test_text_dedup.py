@@ -75,6 +75,32 @@ def test_ann_recall_against_bruteforce(spark):
     assert recall4 >= recall8
 
 
+def test_ivf_kmeans_quantizer_contract(spark):
+    """Trained (Lloyd) IVF centroids: well-formed centroid table seeded
+    from the hash sample, and ivf_topk(trained=True) honors the top-k
+    contract. Recall improvement is measured (not asserted — float-sum
+    nondeterminism) in bench.py's ann_recall_at_10 report."""
+    import math
+
+    from ophois_spark.operators.similarity import ivf_centroids_kmeans, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    cents = ivf_centroids_kmeans(emb, n_centroids=8, n_iter=2).collect()
+    assert 1 <= len(cents) <= 8
+    for r in cents:
+        assert len(r["cv"]) == dim
+        assert all(math.isfinite(x) for x in r["cv"])
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    out = ivf_topk(emb, q, k=5, nprobe=2, n_centroids=8, trained=True).toPandas()
+    assert set(out["rank"].unique()) <= {1, 2, 3, 4, 5}
+    per_q = out.groupby("qid")["rank"].apply(lambda s: sorted(s.tolist()))
+    assert all(r == list(range(1, len(r) + 1)) for r in per_q)
+    # rank-1 is the query itself (it lives in its own probed list)
+    r1 = out[out["rank"] == 1]
+    assert (r1["qid"] == r1["vec_id"]).all()
+
+
 def test_lsh_buckets_distribution(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     b = lsh_buckets(emb)
