@@ -163,6 +163,17 @@ def test_stream_snapshot_per_batch(spark, pages_dir, tmp_path):
         t = m["tables"]["records"]
         assert sum(t["partition_row_counts"]) == t["row_count"]
 
+    # end-to-end stream == batch: the UNION of the committed snapshot
+    # tables is row-for-row identical to batch ingest of the same pages
+    # (not just count-equal) — the Kappa contract the module claims
+    streamed = None
+    for m in snaps:
+        part = log.load_tables(spark, m)["records"]
+        streamed = part if streamed is None else streamed.unionByName(part)
+    got = sorted(map(tuple, streamed.select("url", "pos", "line").collect()))
+    want = sorted(map(tuple, batch.select("url", "pos", "line").collect()))
+    assert got == want
+
 
 def test_stream_node_registry_stateful_first_wins(spark, pages_dir, tmp_path):
     """applyInPandasWithState: coords pinned by first arrival, n_seen
