@@ -480,3 +480,63 @@ def render_tiles(edges_with_coords: DataFrame, zoom: int, tile_px: int = 256) ->
         raster,
         "zoom int, tile_x long, tile_y long, n_edges long, lit_px long, pixels binary",
     )
+
+
+def raster_to_points(
+    tiles: DataFrame, zoom: int, tile_px: int = 256
+) -> DataFrame:
+    """Inverse of ``render_tiles`` — the raster→vector half of the
+    bridge: decode each tile's uint8 pixel grid back into geographic
+    points, one row per lit pixel.
+
+    Geometry is the exact preimage of the renderer: ``render_tiles``
+    maps ``lon`` to pixel space as ``x = (lon - lon0) * sx`` and lights
+    ``ix = floor(x + 0.5)``, so pixel ``ix`` covers ``x ∈ [ix-0.5,
+    ix+0.5)`` and its CENTER is ``x = ix`` exactly — the decoded point
+    is ``lon0 + ix / sx`` with no half-pixel fudge, bit-identical to
+    the DuckDB oracle twin (queries._raster_points_sql reuses the
+    renderer oracle's pixel CTE). Round trip: render → decode yields
+    exactly ``lit_px`` points per tile, every one inside the tile bbox
+    (pinned by tests).
+
+    Scale shape: ``mapInPandas`` over the tile rows — embarrassingly
+    parallel, no shuffle, no driver collection; each 256×256 grid
+    decodes via one ``np.nonzero``. At 10^12 docs the tile table is the
+    small derived artifact (bounded by the zoom level's tile count),
+    so this is never the bottleneck stage.
+    """
+    from collections.abc import Iterator
+
+    n = 1 << zoom
+    sx = tile_px / (360.0 / n)
+    sy = tile_px / (180.0 / n)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for zx, zy, buf in zip(pdf["tile_x"], pdf["tile_y"], pdf["pixels"]):
+                img = np.frombuffer(buf, dtype=np.uint8).reshape(tile_px, tile_px)
+                iy, ix = np.nonzero(img)  # row-major: [y, x] as rendered
+                lon0 = zx / n * 360.0 - 180.0
+                lat0 = zy / n * 180.0 - 90.0
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "zoom": np.int32(zoom),
+                            "tile_x": np.int64(zx),
+                            "tile_y": np.int64(zy),
+                            "px_x": ix.astype(np.int64),
+                            "px_y": iy.astype(np.int64),
+                            "lon_d": lon0 + ix / sx,
+                            "lat_d": lat0 + iy / sy,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return tiles.select("tile_x", "tile_y", "pixels").mapInPandas(
+        decode,
+        "zoom int, tile_x long, tile_y long, px_x long, px_y long, "
+        "lon_d double, lat_d double",
+    )

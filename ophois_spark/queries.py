@@ -507,8 +507,11 @@ def q_render_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("zoom", "tile_x", "tile_y", "n_edges", "lit_px")
 
 
-def _render_sql() -> str:
-    """DuckDB twin of spatial.render_tiles' clip + DDA walk.
+def _render_pix_cte() -> str:
+    """Shared CTE chain reconstructing spatial.render_tiles' pixel set
+    (clip + DDA walk) in DuckDB, ending at the ``pix`` relation —
+    consumed by both the renderer oracle (per-tile lit counts) and the
+    raster_to_points oracle (per-pixel rows).
 
     Every float op mirrors the numpy kernel exactly (same IEEE ops in
     the same order): pixel-space projection, Liang-Barsky t0/t1 via
@@ -576,7 +579,14 @@ pix AS (
          CAST(floor(({lin("ca", "cc")}) + 0.5) AS BIGINT) AS ix,
          CAST(floor(({lin("cb", "cd")}) + 0.5) AS BIGINT) AS iy
   FROM walk
-),
+)"""
+
+
+def _render_sql() -> str:
+    """Renderer oracle: per-tile lit-pixel counts over the shared
+    pixel CTE (see _render_pix_cte)."""
+    px = RENDER_PX
+    return f"""{_render_pix_cte()},
 lit AS (
   SELECT tile_x, tile_y, COUNT(*) AS lit_px FROM pix
   WHERE ix >= 0 AND ix < {px} AND iy >= 0 AND iy < {px}
@@ -591,6 +601,43 @@ FROM cnt c LEFT JOIN lit l ON c.tile_x = l.tile_x AND c.tile_y = l.tile_y
 
 
 SQL_RENDER_TILES = _render_sql()
+
+
+def q_raster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector bridge: render the graph's tiles, then decode the
+    binary pixel grids back into geographic points (one row per lit
+    pixel, exact preimage centers — spatial.raster_to_points). Gated
+    end-to-end including the decoded lon/lat doubles: the oracle never
+    sees the raster bytes, it reconstructs the pixel set from the
+    vector edges, so a hash match proves render→decode is lossless."""
+    from ophois_spark.operators.spatial import raster_to_points, render_tiles
+
+    g = derived_graph(spark, sf_dir)
+    r = render_tiles(g.edges_with_coords(), RENDER_ZOOM, RENDER_PX)
+    return raster_to_points(r, RENDER_ZOOM, RENDER_PX)
+
+
+def _raster_points_sql() -> str:
+    """Per-pixel twin of spatial.raster_to_points: pixel ix decodes to
+    ``lon0 + ix / sx`` (the floor(x+0.5) preimage center is x = ix
+    exactly), same op order as the numpy kernel."""
+    n = 1 << RENDER_ZOOM
+    px = RENDER_PX
+    sx = repr(px / (360.0 / n))
+    sy = repr(px / (180.0 / n))
+    return f"""{_render_pix_cte()}
+SELECT CAST({RENDER_ZOOM} AS INT) AS zoom, tile_x, tile_y,
+       ix AS px_x, iy AS px_y,
+       (CAST(tile_x AS DOUBLE) / {n} * 360.0 - 180.0)
+         + CAST(ix AS DOUBLE) / CAST('{sx}' AS DOUBLE) AS lon_d,
+       (CAST(tile_y AS DOUBLE) / {n} * 180.0 - 90.0)
+         + CAST(iy AS DOUBLE) / CAST('{sy}' AS DOUBLE) AS lat_d
+FROM pix
+WHERE ix >= 0 AND ix < {px} AND iy >= 0 AND iy < {px}
+"""
+
+
+SQL_RASTER_POINTS = _raster_points_sql()
 
 
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,6 +671,7 @@ QUERIES.update(
         "tile_assignment": q_tile_assignment,
         "tile_pyramid": q_tile_pyramid,
         "render_tiles": q_render_tiles,
+        "raster_points": q_raster_points,
         "events_rollup": q_events_rollup,
     }
 )
@@ -634,6 +682,7 @@ ORACLES.update(
         "tile_assignment": SQL_TILE_ASSIGNMENT,
         "tile_pyramid": SQL_TILE_PYRAMID,
         "render_tiles": SQL_RENDER_TILES,
+        "raster_points": SQL_RASTER_POINTS,
         "events_rollup": SQL_EVENTS_ROLLUP,
     }
 )

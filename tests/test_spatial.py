@@ -8,6 +8,7 @@ from ophois_spark.operators.spatial import (
     knn_bruteforce,
     knn_join,
     point_in_polygon,
+    raster_to_points,
     render_tiles,
     same_cell_pairs,
     tile_assignment,
@@ -148,6 +149,38 @@ def test_render_tiles_pixels(spark):
         assert t["lit_px"] == int((img != 0).sum())
         total_on += int((img == 255).sum())
     assert total_on > 0
+
+
+def test_raster_to_points_roundtrip(spark):
+    """render → decode is lossless: one decoded point per lit pixel,
+    every point inside its tile's bbox, and re-projecting the decoded
+    lon/lat through the renderer's pixel mapping lands back on exactly
+    the same (px_x, px_y)."""
+    zoom, px = 8, 64
+    e = spark.createDataFrame(
+        [("u", "v", 0.01, 45.01, 0.02, 45.02), ("v", "w", 0.02, 45.02, 0.03, 45.01)],
+        "src string, dst string, src_lon_d double, src_lat_d double, dst_lon_d double, dst_lat_d double",
+    )
+    tiles = render_tiles(e, zoom=zoom, tile_px=px)
+    lit = {(t["tile_x"], t["tile_y"]): t["lit_px"] for t in tiles.collect()}
+    pts = raster_to_points(tiles, zoom=zoom, tile_px=px).collect()
+    # count parity per tile
+    got = {}
+    for p in pts:
+        got[(p["tile_x"], p["tile_y"])] = got.get((p["tile_x"], p["tile_y"]), 0) + 1
+    assert got == {k: v for k, v in lit.items() if v > 0}
+    n = 1 << zoom
+    sx = px / (360.0 / n)
+    sy = px / (180.0 / n)
+    for p in pts:
+        lon0 = p["tile_x"] / n * 360.0 - 180.0
+        lat0 = p["tile_y"] / n * 180.0 - 90.0
+        # bbox containment
+        assert lon0 <= p["lon_d"] < lon0 + 360.0 / n
+        assert lat0 <= p["lat_d"] < lat0 + 180.0 / n
+        # exact pixel round-trip through the renderer's mapping
+        assert int(np.floor((p["lon_d"] - lon0) * sx + 0.5)) == p["px_x"]
+        assert int(np.floor((p["lat_d"] - lat0) * sy + 0.5)) == p["px_y"]
 
 
 def test_point_in_polygon_large_polygon_broadcast_path(spark):
