@@ -8,11 +8,12 @@ component label, and the fixtures have a unique maximum).
 Spark-native algorithms (A/B pair, equivalence pinned on random
 graphs):
 
-- large-star/small-star contraction (default) — O(log n) alternations
-  regardless of diameter; each round is a handful of shuffles over a
-  shrinking edge set.
 - min-label propagation with pointer jumping (label := label(label)) —
-  ~O(log diameter) rounds; kept as the comparator.
+  ~O(log diameter) rounds; the default (measured faster at sf0.1,
+  see connected_components).
+- large-star/small-star contraction — O(log n) alternations regardless
+  of diameter; each round is a handful of shuffles over a shrinking
+  edge set. Kept as the comparator / high-diameter option.
 
 Lineage is truncated per round with localCheckpoint in both.
 """
@@ -27,15 +28,18 @@ from ophois_spark.operators.graph import StreetGraph
 
 def connected_components(g: StreetGraph, max_iter: int = 60) -> DataFrame:
     """→ labels DataFrame (id, comp) where comp = min node id in
-    component. Default algorithm: large-star/small-star contraction
-    (``connected_components_star``) — measured at sf0.1 it converges in
-    fewer driver rounds (4 vs 5) at equal-or-better wall time than the
-    label-propagation loop, and its round count is independent of graph
-    diameter (street networks are high-diameter). The label-prop +
-    pointer-jump variant remains below as
-    ``connected_components_labelprop`` (A/B comparator; equivalence
-    pinned on random graphs by tests)."""
-    return connected_components_star(g, max_iter=max_iter)
+    component. Default algorithm: min-label propagation with pointer
+    jumping — A/B-measured against large-star/small-star contraction at
+    sf0.1 (graph cached, interleaved reps): label-prop 8.1-8.6 s vs
+    star 11.0-14.0 s. Star converges in one fewer driver round (4 vs 5)
+    but each of its rounds rewrites the full edge relation through two
+    extra shuffles, while pointer jumping keeps label-prop's round
+    count ~O(log diameter) too — so fewer rounds does not buy wall
+    time here. ``connected_components_star`` remains available for
+    graphs where per-round edge contraction pays (very high diameter
+    with rapidly shrinking edge sets); equivalence of the two is pinned
+    on random graphs + a long chain by tests."""
+    return connected_components_labelprop(g, max_iter=max_iter)
 
 
 def connected_components_labelprop(g: StreetGraph, max_iter: int = 60) -> DataFrame:
