@@ -21,7 +21,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ophois_spark.queries import ORACLES, QUERIES
-from ophois_spark.session import get_session
+from ophois_spark.session import get_spark
 
 SF_DIR = os.environ.get("OPHOIS_PREFLIGHT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
@@ -37,7 +37,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     names = sys.argv[1:] or sorted(QUERIES)
-    spark = get_session()
+    spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
