@@ -173,6 +173,127 @@ def point_in_polygon(
     return hits
 
 
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int,
+    lon_col: str = "lon_d",
+    lat_col: str = "lat_d",
+    broadcast_polygons: bool = True,
+) -> DataFrame:
+    """Containment JOIN: every (point, polygon) pair where the polygon
+    contains the point — the many-polygon form of admin-boundary
+    clipping (north_rule "point-in-polygon admin-boundary clipping"
+    over a whole boundary TABLE, not one literal ring).
+
+    ``polygons`` schema: ``(poly_id, xs: array<double>, ys:
+    array<double>)`` — vertices in ring order, closing edge implicit.
+
+    100 TB shape (vs calling :func:`point_in_polygon` per polygon,
+    which is one full scan of ``points`` PER polygon):
+
+    1. per polygon: bbox from ``array_min/max``, then a **cell cover**
+       at ``res`` — ``sequence(ix_lo..ix_hi) × sequence(iy_lo..iy_hi)``
+       exploded JVM-side. Cover size is bounded by choosing ``res``
+       near the polygon's own scale (admin boundaries → tens of cells).
+    2. points get the same-res cell id (integer Column math).
+    3. ONE equi hash join on the cell key — broadcast when the exploded
+       cover fits (country/region admin sets easily do; default), a
+       shuffle hash join otherwise. Never a cross join; candidate
+       volume is |points-in-covered-cells| × local polygon density.
+    4. bbox refine, then the exact even-odd ray cast: candidates join
+       the (broadcast) exploded EDGE table on poly_id, per-edge crossing
+       flags are summed per candidate row — all plain Column exprs in
+       whole-stage codegen, map-side partial agg collapses the ×edges
+       blowup before the one candidate-sized shuffle. (A ray-cast fold
+       over the xs/ys arrays would avoid that shuffle, but a
+       higher-order-function predicate whose lambda references BOTH
+       join sides trips a Catalyst mis-push in Spark 4.1 —
+       INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND: the filter is duplicated
+       below the join where the point columns don't exist — so the
+       refine deliberately mirrors :func:`point_in_polygon`'s
+       broadcast-edge strategy instead.)
+
+    A point inside k overlapping polygons yields k output rows.
+    ``points`` must not already carry ``poly_id``/helper column names.
+    Antimeridian-crossing rings are out of contract (admin clipping
+    over web-extracted street data; lon spans are degrees, not the
+    dateline): such a ring still returns CORRECT rows — its bbox just
+    degenerates to near-global lon span, so its cover explodes and the
+    row is slow, never silently wrong.
+    """
+    n = 1 << res
+    xs, ys = F.col("xs"), F.col("ys")
+    p = polygons.select(
+        "poly_id",
+        "xs",
+        "ys",
+        F.array_min(xs).alias("_xmin"),
+        F.array_max(xs).alias("_xmax"),
+        F.array_min(ys).alias("_ymin"),
+        F.array_max(ys).alias("_ymax"),
+    ).filter(F.size(xs) >= 3)
+    # integer grid ranges of the bbox corners (same floor/wrap/clamp as
+    # cell_expr so the cover is a superset of every member point's cell)
+    ix_lo = F.floor((F.col("_xmin") + 180.0) / 360.0 * n).cast("long")
+    ix_hi = F.floor((F.col("_xmax") + 180.0) / 360.0 * n).cast("long")
+    iy_lo = F.greatest(
+        F.lit(0), F.least(F.lit(n - 1), F.floor((F.col("_ymin") + 90.0) / 180.0 * n).cast("long"))
+    )
+    iy_hi = F.greatest(
+        F.lit(0), F.least(F.lit(n - 1), F.floor((F.col("_ymax") + 90.0) / 180.0 * n).cast("long"))
+    )
+    cover = (
+        p.withColumn("_ix", F.explode(F.sequence(ix_lo, ix_hi)))
+        .withColumn("_iy", F.explode(F.sequence(iy_lo, iy_hi)))
+        .withColumn("_cell", cell_from_xy(F.col("_ix") % n, F.col("_iy"), res))
+        .drop("_ix", "_iy", "xs", "ys")
+    )
+    # exploded edge table: one row per polygon edge (closing edge included)
+    i = F.col("_i")
+    sz = F.size(xs)
+    edges = (
+        polygons.filter(F.size(xs) >= 3)
+        .select("poly_id", "xs", "ys", F.explode(F.sequence(F.lit(0), sz - 1)).alias("_i"))
+        .select(
+            "poly_id",
+            F.element_at(xs, i + 1).alias("_x1"),
+            F.element_at(ys, i + 1).alias("_y1"),
+            F.element_at(xs, ((i + 1) % sz) + 1).alias("_x2"),
+            F.element_at(ys, ((i + 1) % sz) + 1).alias("_y2"),
+        )
+    )
+    if broadcast_polygons:
+        cover = F.broadcast(cover)
+        edges = F.broadcast(edges)
+
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    cand = (
+        points.withColumn("_cell", cell_expr(lon, lat, res))
+        .join(cover, "_cell")
+        .filter(
+            (lon >= F.col("_xmin"))
+            & (lon <= F.col("_xmax"))
+            & (lat >= F.col("_ymin"))
+            & (lat <= F.col("_ymax"))
+        )
+        .drop("_cell", "_xmin", "_xmax", "_ymin", "_ymax")
+        .withColumn("_rid", F.monotonically_increasing_id())
+    )
+    x1, y1, x2, y2 = (F.col(c) for c in ("_x1", "_y1", "_x2", "_y2"))
+    cross = ((y1 > lat) != (y2 > lat)) & (
+        lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+    )
+    out_cols = points.columns + ["poly_id"]
+    return (
+        cand.join(edges, "poly_id")
+        .groupBy("_rid", *out_cols)
+        .agg(F.sum(cross.cast("int")).alias("_crossings"))
+        .filter(F.col("_crossings") % 2 == 1)
+        .select(*out_cols)
+    )
+
+
 # ---------------------------------------------------------------------------
 # kNN via cell-ring expansion
 # ---------------------------------------------------------------------------

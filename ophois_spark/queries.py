@@ -18,6 +18,7 @@ floored/rounded far above the ~1-ulp libm noise before comparison.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -425,6 +426,92 @@ SELECT id FROM hits WHERE crossings % 2 = 1
 SQL_PIP_CLIP = _pip_sql()
 
 
+def _make_pip_polygons() -> list[tuple[str, list[float], list[float]]]:
+    """Deterministic synthetic admin-boundary table: 12 regular rings
+    (5-7 vertices, radii 0.0012-0.002 deg) scattered over the derived
+    node lattice, plus a 13th ring offset from P00 so overlapping
+    polygons (one point -> two admin rows) are exercised. Vertices are
+    plain Python doubles injected identically into the Spark DataFrame
+    and the DuckDB VALUES oracle."""
+    polys = []
+    for k in range(12):
+        cx = 5.0 + (((k * 37) % 18) + 1) * 0.001
+        cy = 45.0 + (((k * 53) % 18) + 1) * 0.001
+        r = 0.0012 + (k % 3) * 0.0004
+        nv = 5 + (k % 3)
+        xs = [cx + r * math.cos(2.0 * math.pi * i / nv) for i in range(nv)]
+        ys = [cy + r * math.sin(2.0 * math.pi * i / nv) for i in range(nv)]
+        polys.append((f"P{k:02d}", xs, ys))
+    xs0, ys0 = polys[0][1], polys[0][2]
+    polys.append(("P12", [x + 0.0006 for x in xs0], [y + 0.0006 for y in ys0]))
+    return polys
+
+
+PIP_POLYGONS = _make_pip_polygons()
+
+
+def q_pip_admin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-polygon admin clipping (north_rule): ONE cell-keyed equi
+    join of all points against the whole boundary table — never a scan
+    per polygon, never a cross join."""
+    from ophois_spark.operators.spatial import pip_join
+
+    polys = spark.createDataFrame(
+        PIP_POLYGONS, "poly_id string, xs array<double>, ys array<double>"
+    )
+    nodes = derived_nodes(spark, sf_dir)
+    return pip_join(nodes, polys, res=CELL_RES).select("id", "poly_id")
+
+
+def _pip_join_sql() -> str:
+    """Oracle: bbox candidate join + the same even-odd crossing sum.
+
+    The engine's cell cover is a superset of each polygon's bbox and
+    both sides apply the exact bbox refine, so bbox-join (DuckDB) and
+    cell-join (engine) select identical candidate sets; float literals
+    go through CAST(VARCHAR AS DOUBLE) to dodge DuckDB's DECIMAL
+    double-rounding on long literals."""
+    rows = []
+    for pid, xs, ys in PIP_POLYGONS:
+        nv = len(xs)
+        for i in range(nv):
+            x1, y1 = xs[i], ys[i]
+            x2, y2 = xs[(i + 1) % nv], ys[(i + 1) % nv]
+            rows.append(
+                f"('{pid}', CAST('{x1!r}' AS DOUBLE), CAST('{y1!r}' AS DOUBLE),"
+                f" CAST('{x2!r}' AS DOUBLE), CAST('{y2!r}' AS DOUBLE))"
+            )
+    vals = ",\n    ".join(rows)
+    return f"""
+WITH nodes AS ({_NODES_SQL}),
+poly(poly_id, x1, y1, x2, y2) AS (VALUES {vals}),
+bbox AS (
+  SELECT poly_id,
+         MIN(LEAST(x1, x2)) AS xmin, MAX(GREATEST(x1, x2)) AS xmax,
+         MIN(LEAST(y1, y2)) AS ymin, MAX(GREATEST(y1, y2)) AS ymax
+  FROM poly GROUP BY poly_id
+),
+cand AS (
+  SELECT n.id, n.lon_d, n.lat_d, b.poly_id
+  FROM nodes n JOIN bbox b
+    ON n.lon_d >= b.xmin AND n.lon_d <= b.xmax
+   AND n.lat_d >= b.ymin AND n.lat_d <= b.ymax
+),
+hits AS (
+  SELECT c.id, c.poly_id,
+         SUM(CASE WHEN ((p.y1 > c.lat_d) <> (p.y2 > c.lat_d))
+                   AND (c.lon_d < (p.x2 - p.x1) * (c.lat_d - p.y1) / (p.y2 - p.y1) + p.x1)
+             THEN 1 ELSE 0 END) AS crossings
+  FROM cand c JOIN poly p ON p.poly_id = c.poly_id
+  GROUP BY c.id, c.poly_id
+)
+SELECT id, poly_id FROM hits WHERE crossings % 2 = 1
+"""
+
+
+SQL_PIP_ADMIN_JOIN = _pip_join_sql()
+
+
 def q_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster tile assignment: every edge → the tiles its bbox overlaps
     (the per-tile edge assignment the north_star pins for parity)."""
@@ -668,6 +755,7 @@ QUERIES.update(
     {
         "knn_nodes": q_knn_nodes,
         "pip_clip": q_pip_clip,
+        "pip_admin_join": q_pip_admin_join,
         "tile_assignment": q_tile_assignment,
         "tile_pyramid": q_tile_pyramid,
         "render_tiles": q_render_tiles,
@@ -679,6 +767,7 @@ ORACLES.update(
     {
         "knn_nodes": SQL_KNN_NODES,
         "pip_clip": SQL_PIP_CLIP,
+        "pip_admin_join": SQL_PIP_ADMIN_JOIN,
         "tile_assignment": SQL_TILE_ASSIGNMENT,
         "tile_pyramid": SQL_TILE_PYRAMID,
         "render_tiles": SQL_RENDER_TILES,

@@ -149,3 +149,15 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_pip_join_is_broadcast_equi_join(spark):
+    """Admin-boundary clipping against a polygon TABLE must plan as
+    broadcast equi-joins (cell cover, then edge refine) — never a
+    cartesian product — and stay out of Python eval."""
+    from ophois_spark.queries import q_pip_admin_join
+
+    plan = plan_str(q_pip_admin_join(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -206,3 +206,43 @@ def test_point_in_polygon_large_polygon_broadcast_path(spark):
     assert got == want
     assert got.count(999) == 2  # duplicates preserved
     assert len(want) > 20
+
+
+def test_pip_join_matches_scalar_oracle(spark):
+    """Multi-polygon containment join: every (point, polygon) pair from
+    the cell-cover equi-join must match the scalar even-odd oracle —
+    including a point inside TWO overlapping polygons (two rows) and a
+    duplicated point row (kept twice; the groupBy keys a row id)."""
+    import math
+
+    from ophois_spark.operators.spatial import pip_join
+
+    polys = []
+    for k, (cx, cy) in enumerate([(1.0, 1.0), (3.0, 2.0), (1.3, 1.2)]):
+        nv = 5 + k
+        xs = [cx + 0.7 * math.cos(2 * math.pi * i / nv) for i in range(nv)]
+        ys = [cy + 0.7 * math.sin(2 * math.pi * i / nv) for i in range(nv)]
+        polys.append((f"P{k}", xs, ys))
+    pdf = spark.createDataFrame(polys, "poly_id string, xs array<double>, ys array<double>")
+    rng = np.random.default_rng(7)
+    pts = [
+        (i, float(x), float(y))
+        for i, (x, y) in enumerate(zip(rng.uniform(0, 4.5, 300), rng.uniform(0, 3.5, 300)))
+    ]
+    pts.append((999, 1.15, 1.1))  # inside P0 AND P2, twice
+    pts.append((999, 1.15, 1.1))
+    df = spark.createDataFrame(pts, "pid long, lon_d double, lat_d double")
+    want = sorted(
+        (p[0], pid)
+        for p in pts
+        for pid, xs, ys in polys
+        if _pip_oracle(list(zip(xs, ys)), p[1], p[2])
+    )
+    for bcast in (True, False):
+        got = sorted(
+            (r["pid"], r["poly_id"])
+            for r in pip_join(df, pdf, res=8, broadcast_polygons=bcast).collect()
+        )
+        assert got == want, f"broadcast={bcast}"
+    assert want.count((999, "P0")) == 2 and want.count((999, "P2")) == 2
+    assert len({pid for _, pid in want}) == 3 and len(want) > 30
