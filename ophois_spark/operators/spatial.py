@@ -187,7 +187,12 @@ def pip_join(
     over a whole boundary TABLE, not one literal ring).
 
     ``polygons`` schema: ``(poly_id, xs: array<double>, ys:
-    array<double>)`` — vertices in ring order, closing edge implicit.
+    array<double>)`` — one row per RING, vertices in ring order,
+    closing edge implicit. A ``poly_id`` may span multiple rows:
+    multipolygon parts and holes both work with no ring-role flags,
+    because containment is even-odd over the crossing total of ALL the
+    polygon's edges (inside a part = odd; inside a hole = outer + hole
+    crossings = even).
 
     100 TB shape (vs calling :func:`point_in_polygon` per polygon,
     which is one full scan of ``points`` PER polygon):
@@ -224,15 +229,16 @@ def pip_join(
     """
     n = 1 << res
     xs, ys = F.col("xs"), F.col("ys")
-    p = polygons.select(
-        "poly_id",
-        "xs",
-        "ys",
-        F.array_min(xs).alias("_xmin"),
-        F.array_max(xs).alias("_xmax"),
-        F.array_min(ys).alias("_ymin"),
-        F.array_max(ys).alias("_ymax"),
-    ).filter(F.size(xs) >= 3)
+    rings = polygons.filter(F.size(xs) >= 3)
+    # poly-level bbox across all its rings (tiny shuffle on the small
+    # polygon side only; one cover per poly_id even when rings overlap
+    # cells, so no duplicate candidate pairs downstream)
+    p = rings.groupBy("poly_id").agg(
+        F.min(F.array_min(xs)).alias("_xmin"),
+        F.max(F.array_max(xs)).alias("_xmax"),
+        F.min(F.array_min(ys)).alias("_ymin"),
+        F.max(F.array_max(ys)).alias("_ymax"),
+    )
     # integer grid ranges of the bbox corners (same floor/wrap/clamp as
     # cell_expr so the cover is a superset of every member point's cell)
     ix_lo = F.floor((F.col("_xmin") + 180.0) / 360.0 * n).cast("long")
@@ -247,14 +253,13 @@ def pip_join(
         p.withColumn("_ix", F.explode(F.sequence(ix_lo, ix_hi)))
         .withColumn("_iy", F.explode(F.sequence(iy_lo, iy_hi)))
         .withColumn("_cell", cell_from_xy(F.col("_ix") % n, F.col("_iy"), res))
-        .drop("_ix", "_iy", "xs", "ys")
+        .drop("_ix", "_iy")
     )
-    # exploded edge table: one row per polygon edge (closing edge included)
+    # exploded edge table: one row per ring edge (closing edge included)
     i = F.col("_i")
     sz = F.size(xs)
     edges = (
-        polygons.filter(F.size(xs) >= 3)
-        .select("poly_id", "xs", "ys", F.explode(F.sequence(F.lit(0), sz - 1)).alias("_i"))
+        rings.select("poly_id", "xs", "ys", F.explode(F.sequence(F.lit(0), sz - 1)).alias("_i"))
         .select(
             "poly_id",
             F.element_at(xs, i + 1).alias("_x1"),

@@ -246,3 +246,30 @@ def test_pip_join_matches_scalar_oracle(spark):
         assert got == want, f"broadcast={bcast}"
     assert want.count((999, "P0")) == 2 and want.count((999, "P2")) == 2
     assert len({pid for _, pid in want}) == 3 and len(want) > 30
+
+
+def test_pip_join_multipolygon_with_hole(spark):
+    """A poly_id spanning several ring rows is one polygon: a square
+    with a square hole plus a disjoint second part. Points inside a
+    part are contained (odd crossings), points inside the hole are NOT
+    (outer + hole = even) — no ring-role flags needed."""
+    from ophois_spark.operators.spatial import pip_join
+
+    rings = [
+        ("M", [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0]),   # outer
+        ("M", [1.0, 3.0, 3.0, 1.0], [1.0, 1.0, 3.0, 3.0]),   # hole
+        ("M", [6.0, 8.0, 8.0, 6.0], [0.0, 0.0, 2.0, 2.0]),   # disjoint part
+        ("S", [2.5, 7.5, 7.5, 2.5], [5.0, 5.0, 7.0, 7.0]),   # plain ring
+    ]
+    pdf = spark.createDataFrame(rings, "poly_id string, xs array<double>, ys array<double>")
+    pts = [
+        (0, 0.5, 0.5),   # M: between outer and hole -> in
+        (1, 2.0, 2.0),   # M: inside the hole -> out
+        (2, 7.0, 1.0),   # M: second part -> in
+        (3, 5.0, 1.0),   # between parts -> out
+        (4, 3.0, 6.0),   # S -> in
+        (5, 9.0, 9.0),   # nowhere
+    ]
+    df = spark.createDataFrame(pts, "pid long, lon_d double, lat_d double")
+    got = sorted((r["pid"], r["poly_id"]) for r in pip_join(df, pdf, res=6).collect())
+    assert got == [(0, "M"), (2, "M"), (4, "S")]
