@@ -74,3 +74,60 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     token stream — the exact-dedup key robust to formatting noise."""
     canon = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     return docs.select("doc_id", F.md5(canon).alias("fp"))
+
+
+# winnowing fingerprint constants (Schleimer/Wilkerson/Aiken, SIGMOD'03
+# — the MOSS rolling-hash scheme): k-gram Karp–Rabin hashes, minimum
+# per sliding window of w. Any match of >= k+w-1 canonical chars is
+# GUARANTEED to share a fingerprint hash. B/P chosen so the largest
+# term (B^(k-1) * ascii) stays far inside int64 on Spark and DuckDB.
+WINNOW_K = 5
+WINNOW_W = 4
+WINNOW_B = 257
+WINNOW_P = 1_000_000_007
+
+
+def winnow_fingerprint(
+    docs: DataFrame, text_col: str = "text", k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Rolling-hash document fingerprint by winnowing → one row per
+    (doc_id, selected k-gram hash).
+
+    Text canonicalizes to lowercase a-z0-9 (whitespace, punctuation and
+    case are formatting noise). Every k-gram gets a Karp–Rabin
+    polynomial hash (mod ``WINNOW_P``), computed POSITIONALLY as a
+    ``transform`` over ``sequence(1, n-k+1)`` — on an engine that
+    vectorizes per-row arrays, the positional form is the rolling form
+    with no sequential dependency, so the whole operator is one narrow
+    whole-stage-codegen projection: zero joins, zero shuffles, zero
+    Python. Window minima (``array_min`` over ``slice``) then keep ~2/w
+    of the hashes; ``array_distinct`` + ``explode`` emit the set.
+
+    Docs whose canonical text is shorter than ``k + w - 1`` chars have
+    no full window and emit no rows (the standard winnowing contract).
+    """
+    canon = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    d = docs.select("doc_id", canon.alias("_c")).filter(
+        F.length("_c") >= k + w - 1
+    )
+    pows = [pow(WINNOW_B, k - 1 - j, WINNOW_P) for j in range(k)]
+
+    def gram_hash(i: Column) -> Column:
+        # ascii and the mod-P powers are both < 2^31, but their product
+        # is not — promote to long BEFORE multiplying (int32 arithmetic
+        # wraps silently under non-ANSI semantics)
+        h = F.lit(0).cast("long")
+        for j, p in enumerate(pows):
+            c = F.ascii(F.col("_c").substr(i + j, F.lit(1))).cast("long")
+            h = h + c * F.lit(p).cast("long")
+        return h % WINNOW_P
+
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.length("_c") - (k - 1)), gram_hash
+    )
+    d = d.withColumn("_h", hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("_h") - (w - 1)),
+        lambda t: F.array_min(F.slice(F.col("_h"), t, w)),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))

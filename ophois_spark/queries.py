@@ -252,8 +252,18 @@ FROM documents GROUP BY 1
 """
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the split a byte-pair tokenizer applies before merges, so its match
+# count tracks LLM token counts far better than whitespace splitting
+# ("don't." = 1 whitespace token but 4 BPE-ish: don / ' / t / .).
+# ASCII-only classes on purpose: Java (Spark) and RE2-flavored (DuckDB)
+# engines agree exactly on this pattern.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace tokenizer) over documents."""
+    """Token counting over documents, both contract variants: naive
+    whitespace tokens and the BPE-ish pre-tokenizer match count."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return d.select(
@@ -262,13 +272,17 @@ def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(toks))
         .cast("int")
         .alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0))
+        .cast("int")
+        .alias("n_bpe_tokens"),
     )
 
 
-SQL_DOC_TOKEN_COUNT = r"""
+SQL_DOC_TOKEN_COUNT = rf"""
 SELECT doc_id,
        CAST(CASE WHEN trim(text) = '' THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tokens
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INT) AS n_bpe_tokens
 FROM documents
 """
 
@@ -857,6 +871,48 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_FINGERPRINT = r"""
 SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp FROM documents
 """
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (Karp–Rabin) winnowing fingerprint — one row per
+    (doc_id, selected k-gram hash); pure codegen, no shuffle."""
+    from ophois_spark.operators.textops import winnow_fingerprint
+
+    return winnow_fingerprint(load(spark, sf_dir, "documents"))
+
+
+def _winnow_sql() -> str:
+    """DuckDB twin of winnow_fingerprint: identical canonicalization,
+    polynomial k-gram hash, window minima, distinct set — list lambdas
+    mirror the engine's transform/slice/array_min step for step."""
+    from ophois_spark.operators.textops import WINNOW_B, WINNOW_K, WINNOW_P, WINNOW_W
+
+    k, w = WINNOW_K, WINNOW_W
+    terms = " + ".join(
+        f"CAST(ascii(substr(s, i + {j}, 1)) AS BIGINT) * {pow(WINNOW_B, k - 1 - j, WINNOW_P)}"
+        for j in range(k)
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(s) - {k - 1}),
+                        i -> ({terms}) % {WINNOW_P}) AS hs
+  FROM c WHERE length(s) >= {k + w - 1}
+),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(hs) - {w - 1}),
+                                      t -> list_min(list_slice(hs, t, t + {w - 1})))) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fp FROM m
+"""
+
+
+SQL_DOC_WINNOW = _winnow_sql()
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1813,6 +1869,7 @@ QUERIES.update(
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_winnow": q_doc_winnow,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "shingle_jaccard": q_shingle_jaccard,
         "doc_simhash": q_doc_simhash,
@@ -1836,6 +1893,7 @@ ORACLES.update(
         "doc_quality": SQL_DOC_QUALITY,
         "doc_lang_id": SQL_DOC_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_winnow": SQL_DOC_WINNOW,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "shingle_jaccard": SQL_SHINGLE_JACCARD,
         "doc_simhash": SQL_DOC_SIMHASH,

@@ -161,3 +161,13 @@ def test_pip_join_is_broadcast_equi_join(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_winnow_is_shuffle_free_codegen(spark):
+    """The rolling-hash fingerprint is one projection: no exchange, no
+    join, no Python eval — scan-bound at any scale."""
+    from ophois_spark.queries import q_doc_winnow
+
+    plan = plan_str(q_doc_winnow(spark, SF))
+    for op in ("Exchange", "Join", "ArrowEvalPython", "BatchEvalPython"):
+        assert op not in plan, f"unexpected {op} in winnow plan:\n{plan}"

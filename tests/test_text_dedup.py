@@ -106,3 +106,54 @@ def test_lsh_buckets_distribution(spark):
     b = lsh_buckets(emb)
     n_buckets = b.select("bucket").distinct().count()
     assert 2 <= n_buckets <= 256
+
+
+def _winnow_scalar(text, k, w, B, P):
+    """Straight-line reference implementation of winnowing."""
+    import re
+
+    s = re.sub(r"[^a-z0-9]", "", text.lower())
+    if len(s) < k + w - 1:
+        return set()
+    hashes = [
+        sum(ord(s[i + j]) * pow(B, k - 1 - j, P) for j in range(k)) % P
+        for i in range(len(s) - k + 1)
+    ]
+    return {min(hashes[t : t + w]) for t in range(len(hashes) - w + 1)}
+
+
+def test_winnow_matches_scalar_and_guarantee(spark):
+    """winnow_fingerprint == the scalar reference on mixed random/edge
+    docs, and the winnowing GUARANTEE holds: two docs sharing a
+    canonical substring of >= k+w-1 chars share a fingerprint hash."""
+    import random
+
+    from ophois_spark.operators.textops import (
+        WINNOW_B,
+        WINNOW_K,
+        WINNOW_P,
+        WINNOW_W,
+        winnow_fingerprint,
+    )
+
+    rng = random.Random(42)
+    alpha = "abcdefgh  ,.XYZ019"
+    shared = "the common stretch of text both documents quote verbatim"
+    docs = [
+        (0, "".join(rng.choice(alpha) for _ in range(200)) + shared),
+        (1, shared + "".join(rng.choice(alpha) for _ in range(200))),
+        (2, "".join(rng.choice(alpha) for _ in range(300))),
+        (3, ""),              # empty -> no rows
+        (4, " .,;!? "),       # canonicalizes to '' -> no rows
+        (5, "abcdefg"),       # 7 canonical chars < k+w-1=8 -> no rows
+        (6, "abcdefgh"),      # exactly one window -> one hash
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprint(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for did, text in docs:
+        want = _winnow_scalar(text, WINNOW_K, WINNOW_W, WINNOW_B, WINNOW_P)
+        assert got.get(did, set()) == want, f"doc {did}"
+    assert got[0] & got[1], "shared substring must share a fingerprint"
+    assert len(got[6]) == 1
