@@ -46,9 +46,17 @@ def shingles_col(tokens: Column, k: int = 3) -> Column:
 
 
 def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) distinct rows."""
+    """(doc_id, shingle) distinct rows.
+
+    The tokenize→shingle chain is the CPU-dense stage feeding MinHash,
+    LSH and Jaccard; ``fan_out`` guarantees it gets at least one input
+    split per core (a no-op on any at-scale layout — see
+    plans/layout.py)."""
+    from ophois_spark.plans.layout import fan_out
+
     return (
-        docs.select("doc_id", F.explode(shingles_col(tokens_col(F.col(text_col)), k)).alias("shingle"))
+        fan_out(docs.select("doc_id", F.col(text_col)))
+        .select("doc_id", F.explode(shingles_col(tokens_col(F.col(text_col)), k)).alias("shingle"))
         .distinct()
     )
 
@@ -246,6 +254,8 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                                 "simhash": pd.Series(simhash60_batch(toks), dtype="int64")})
 
-    return docs.select(F.col("doc_id"), F.col(text_col).alias("text")).mapInPandas(
+    from ophois_spark.plans.layout import fan_out
+
+    return fan_out(docs.select(F.col("doc_id"), F.col(text_col).alias("text"))).mapInPandas(
         gen, "doc_id long, simhash long"
     )

@@ -106,10 +106,12 @@ def winnow_fingerprint(
     Docs whose canonical text is shorter than ``k + w - 1`` chars have
     no full window and emit no rows (the standard winnowing contract).
     """
+    from ophois_spark.plans.layout import fan_out
+
     canon = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    d = docs.select("doc_id", canon.alias("_c")).filter(
-        F.length("_c") >= k + w - 1
-    )
+    d = fan_out(docs.select("doc_id", F.col(text_col))).select(
+        "doc_id", canon.alias("_c")
+    ).filter(F.length("_c") >= k + w - 1)
     pows = [pow(WINNOW_B, k - 1 - j, WINNOW_P) for j in range(k)]
 
     def gram_hash(i: Column) -> Column:
