@@ -259,3 +259,119 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return fan_out(docs.select(F.col("doc_id"), F.col(text_col).alias("text"))).mapInPandas(
         gen, "doc_id long, simhash long"
     )
+
+
+NEAR_DUP_JACCARD = 0.8  # verification threshold shared with the oracle
+
+
+def near_dup_clusters(
+    docs: DataFrame, threshold: float = NEAR_DUP_JACCARD, k: int = 3
+) -> DataFrame:
+    """The dedup DECISION: → (doc_id, cluster, is_canonical).
+
+    Last stage of a corpus dedup pipeline, composed from the engine's
+    own parts: LSH candidate pairs → exact shingle-Jaccard verification
+    (``>= threshold`` drops LSH false positives) → connected components
+    over the verified pair graph (near-duplicacy is transitive only
+    through its clusters, so the cluster — not the pair — is the unit
+    of removal) → cluster label = min doc_id. Every document appears
+    exactly once (singletons label themselves); ``is_canonical = 1``
+    marks the kept representative, so ``WHERE is_canonical = 1`` IS the
+    deduplicated corpus and ``1 - sum(is_canonical)/count(*)`` the dup
+    rate.
+
+    Scale shape at 10^12 docs: verification reuses the array-free
+    exploded-count join (constant shuffle payload per row); the
+    component loop runs O(log diameter) rounds over an edge set that is
+    the *verified near-dup pairs only* — orders of magnitude smaller
+    than the corpus — while the node set enters only as the trivial
+    (id, id) seed labels; the result is one near-unique-key join back
+    to docs. Components reuse ``connected_components`` (numeric min
+    label = min doc_id), the same operator the street graph uses.
+    """
+    from ophois_spark.operators.components import connected_components
+    from ophois_spark.operators.graph import StreetGraph
+
+    pairs = shingle_jaccard_pairs(docs, k).filter(F.col("jaccard") >= threshold)
+    labels = connected_components(
+        StreetGraph(
+            nodes=docs.select(F.col("doc_id").alias("id")),
+            edges=pairs.select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            ),
+        )
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster"),
+        (F.col("id") == F.col("comp")).cast("int").alias("is_canonical"),
+    )
+
+
+def ngram_topk(
+    docs: DataFrame, k: int = 3, topn: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide n-gram frequency top-N → (ngram, n), most frequent
+    first, ties broken on the gram string so the selected SET is
+    deterministic (repetition/boilerplate analysis over a training
+    corpus).
+
+    Scale shape: the shingle explode is narrow (no shuffle); the count
+    is an algebraic aggregation, so hot grams collapse map-side to one
+    partial row per input split before the shuffle — corpus-frequency
+    skew never concentrates on a reducer; the global top-N executes as
+    TakeOrderedAndProject (per-partition heap, driver merges topn rows
+    per partition), never a full sort shuffle.
+    """
+    from ophois_spark.plans.layout import fan_out
+
+    grams = fan_out(docs.select(F.col(text_col))).select(
+        F.explode(shingles_col(tokens_col(F.col(text_col)), k)).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("ngram")).limit(topn)
+
+
+def shingle_contamination(
+    train: DataFrame, eval_docs: DataFrame, k: int = 3
+) -> DataFrame:
+    """Train→eval contamination check → one row per eval doc:
+    (doc_id, n_shingles, n_hit, hit_ratio).
+
+    The benchmark-decontamination primitive of an LLM data pipeline:
+    an eval document whose k-token shingles largely appear anywhere in
+    the training corpus is contaminated (hit_ratio == 1.0 means every
+    eval shingle leaks). Short docs (< k tokens) have no shingles and
+    report (0, 0, NULL).
+
+    Scale shape: both sides reduce to DISTINCT (doc_id, shingle) /
+    (shingle) relations; the membership test is a left-semi equi-join
+    on the shingle hash — shuffle-partitioned, broadcastable when the
+    eval side is small (the usual case: eval benchmarks ≪ training
+    corpus, so at 100 TB flip the join to broadcast the EVAL shingles
+    and semi-join the train scan against them — same relational form).
+    hit_ratio is one exact int/int division, bit-stable across engines.
+    """
+    tsh = doc_shingles(train, k).select("shingle").distinct()
+    esh = doc_shingles(eval_docs, k)
+    tot = esh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        esh.join(tsh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        eval_docs.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double"),
+            ).alias("hit_ratio"),
+        )
+    )

@@ -133,3 +133,44 @@ def winnow_fingerprint(
         lambda t: F.array_min(F.slice(F.col("_h"), t, w)),
     )
     return d.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+
+
+def source_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Domain-level quality rollup → one row per source:
+    (source, n_docs, sum_tokens, sum_chars, mean_tokens).
+
+    The per-host/per-domain aggregation a webtext pipeline filters on
+    (drop spammy hosts wholesale before per-doc scoring). All sums are
+    exact integers; the mean is ONE int/int double division, so the
+    value is bit-identical across engines regardless of aggregation
+    order — never average pre-divided doubles across rows, their sum
+    is order-dependent.
+
+    Scale shape: algebraic aggregation with map-side partial combine;
+    host-key skew (one giant domain) collapses to one partial row per
+    input split before the shuffle.
+    """
+    text = F.col(text_col)
+    n_tokens = (
+        F.when(F.trim(text) == "", F.lit(0))
+        .otherwise(F.size(tokens_col(text)))
+        .cast("long")
+    )
+    return (
+        docs.select("source", n_tokens.alias("_t"), F.col("n_chars"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("sum_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_tokens",
+            "sum_chars",
+            (F.col("sum_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+                "mean_tokens"
+            ),
+        )
+    )

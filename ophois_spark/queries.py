@@ -1901,3 +1901,140 @@ ORACLES.update(
         "embedding_lsh_buckets": SQL_EMBEDDING_LSH_BUCKETS,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round-3 depth: dedup decision, corpus stats, decontamination
+# ---------------------------------------------------------------------------
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH pairs -> exact-Jaccard verify -> connected
+    components -> canonical min-doc_id per cluster. The oracle replays
+    the verified pair set (the already-gated jaccard SQL) and closes it
+    transitively with a recursive CTE."""
+    from ophois_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(load(spark, sf_dir, "documents"))
+
+
+def _near_dup_clusters_sql() -> str:
+    from ophois_spark.operators.dedup import NEAR_DUP_JACCARD
+
+    return f"""
+WITH RECURSIVE
+jp AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({SQL_SHINGLE_JACCARD}) x WHERE jaccard >= {NEAR_DUP_JACCARD}
+),
+e AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM jp
+  UNION ALL SELECT doc_b AS u, doc_a AS v FROM jp
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u
+)
+SELECT id AS doc_id, MIN(r) AS cluster,
+       CAST(id = MIN(r) AS INT) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+SQL_NEAR_DUP_CLUSTERS = _near_dup_clusters_sql()
+
+NGRAM_TOPN = 20
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.dedup import ngram_topk
+
+    return ngram_topk(load(spark, sf_dir, "documents"), topn=NGRAM_TOPN)
+
+
+SQL_NGRAM_TOPK = f"""
+WITH toks AS ({_TOKS_SQL}),
+g AS (
+  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3)
+),
+c AS (SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram)
+SELECT ngram, n FROM c ORDER BY n DESC, ngram LIMIT {NGRAM_TOPN}
+"""
+
+
+def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ophois_spark.operators.textops import source_rollup
+
+    return source_rollup(load(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_ROLLUP = r"""
+WITH tc AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tc.n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(tc.n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+FROM documents d JOIN tc ON d.doc_id = tc.doc_id
+GROUP BY d.source
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: even doc_ids play the training corpus,
+    odd doc_ids the eval set; per eval doc, what fraction of its
+    3-token shingles appears ANYWHERE in train."""
+    from ophois_spark.operators.dedup import shingle_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    return shingle_contamination(
+        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+tsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+esh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM esh GROUP BY doc_id),
+hits AS (
+  SELECT e.doc_id, COUNT(*) AS n_hit
+  FROM esh e JOIN tsh t ON e.shingle = t.shingle
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(tot.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN COALESCE(tot.n_shingles, 0) > 0 THEN
+         CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / CAST(tot.n_shingles AS DOUBLE)
+       END AS hit_ratio
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN hits ON d.doc_id = hits.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+
+
+QUERIES.update(
+    {
+        "near_dup_clusters": q_near_dup_clusters,
+        "ngram_topk": q_ngram_topk,
+        "source_rollup": q_source_rollup,
+        "contamination": q_contamination,
+    }
+)
+ORACLES.update(
+    {
+        "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+        "ngram_topk": SQL_NGRAM_TOPK,
+        "source_rollup": SQL_SOURCE_ROLLUP,
+        "contamination": SQL_CONTAMINATION,
+    }
+)

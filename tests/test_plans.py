@@ -164,10 +164,20 @@ def test_pip_join_is_broadcast_equi_join(spark):
 
 
 def test_winnow_is_shuffle_free_codegen(spark):
-    """The rolling-hash fingerprint is one projection: no exchange, no
-    join, no Python eval — scan-bound at any scale."""
+    """The rolling-hash fingerprint is one projection: no join, no
+    Python eval, and no KEYED exchange — scan-bound at any scale. The
+    only exchange permitted is the round-robin ``fan_out`` that spreads
+    a fewer-splits-than-cores input (this tiny test table) across the
+    session; it is plan-gated off for any at-scale layout
+    (plans/layout.py) and never hash-partitions."""
     from ophois_spark.queries import q_doc_winnow
 
     plan = plan_str(q_doc_winnow(spark, SF))
-    for op in ("Exchange", "Join", "ArrowEvalPython", "BatchEvalPython"):
+    for op in ("Join", "ArrowEvalPython", "BatchEvalPython", "hashpartitioning"):
         assert op not in plan, f"unexpected {op} in winnow plan:\n{plan}"
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(
+        kind == "RoundRobinPartitioning" for kind in exchanges
+    ), f"non-fan-out exchange in winnow plan:\n{plan}"

@@ -157,3 +157,86 @@ def test_winnow_matches_scalar_and_guarantee(spark):
         assert got.get(did, set()) == want, f"doc {did}"
     assert got[0] & got[1], "shared substring must share a fingerprint"
     assert len(got[6]) == 1
+
+
+def test_near_dup_clusters_transitive_and_singletons(spark):
+    from ophois_spark.operators.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base),                                   # exact dup of 1
+            (3, base.replace("today", "tonight")),       # near-dup of 1 and 2
+            (4, "completely different content about spark shuffles and joins"),
+            (5, "another unrelated document mentioning street graphs and osm"),
+        ],
+    )
+    got = {r["doc_id"]: (r["cluster"], r["is_canonical"])
+           for r in near_dup_clusters(docs, threshold=0.5).collect()}
+    assert len(got) == 5                       # every doc labeled exactly once
+    # 1,2,3 form ONE cluster via transitivity, canonical = min id
+    assert got[1] == (1, 1)
+    assert got[2] == (1, 0)
+    assert got[3] == (1, 0)
+    # singletons keep themselves
+    assert got[4] == (4, 1) and got[5] == (5, 1)
+
+
+def test_ngram_topk_counts_and_tiebreak(spark):
+    from ophois_spark.operators.dedup import ngram_topk
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c a b c"),     # "a b c" x2, "b c a" x1, "c a b" x1
+            (2, "a b c d"),         # "a b c" x1, "b c d" x1
+            (3, "xy"),              # < 3 tokens: no grams
+        ],
+    )
+    rows = ngram_topk(docs, topn=3).collect()
+    assert [(r["ngram"], r["n"]) for r in rows] == [
+        ("a b c", 3),
+        ("b c a", 1),   # count ties broken on gram string ascending
+        ("b c d", 1),
+    ]
+
+
+def test_shingle_contamination_ratios(spark):
+    from ophois_spark.operators.dedup import shingle_contamination
+
+    train = _docs(spark, [(0, "alpha beta gamma delta")])
+    evals = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),   # fully contaminated (2/2)
+            (2, "alpha beta gamma zeta"),    # 1 of 2 shingles leaks
+            (3, "nothing shared here at all"),
+            (4, "too short"),                # no shingles -> NULL ratio
+        ],
+    )
+    got = {r["doc_id"]: r for r in shingle_contamination(train, evals).collect()}
+    assert got[1]["hit_ratio"] == 1.0 and got[1]["n_shingles"] == 2
+    assert got[2]["n_hit"] == 1 and got[2]["hit_ratio"] == 0.5
+    assert got[3]["n_hit"] == 0 and got[3]["hit_ratio"] == 0.0
+    assert got[4]["n_shingles"] == 0 and got[4]["hit_ratio"] is None
+
+
+def test_source_rollup_exact_sums(spark):
+    from ophois_spark.operators.textops import source_rollup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "hostA", 13),
+            (2, "four five", "hostA", 9),
+            (3, "", "hostB", 0),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    got = {r["source"]: r for r in source_rollup(docs).collect()}
+    a = got["hostA"]
+    assert (a["n_docs"], a["sum_tokens"], a["sum_chars"]) == (2, 5, 22)
+    assert a["mean_tokens"] == 2.5
+    b = got["hostB"]
+    assert (b["n_docs"], b["sum_tokens"], b["sum_chars"]) == (1, 0, 0)
