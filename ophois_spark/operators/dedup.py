@@ -375,3 +375,109 @@ def shingle_contamination(
             ).alias("hit_ratio"),
         )
     )
+
+
+SIMHASH_BANDS = 4  # 60-bit signature -> 4 bands of 15 bits
+SIMHASH_BAND_BITS = 15
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: <= BANDS-1 differing bits guaranteed found
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING, text_col: str = "text"
+) -> DataFrame:
+    """SimHash near-dup pairs → (doc_a, doc_b, hamming) with
+    ``hamming <= max_hamming`` over the 60-bit signature.
+
+    Banded exact-recall scheme (Manku et al., WWW'07 "Detecting
+    near-duplicates for web crawling"): the signature splits into
+    ``SIMHASH_BANDS`` disjoint 15-bit chunks; two signatures within
+    ``max_hamming <= SIMHASH_BANDS - 1`` differing bits must agree on
+    at least one whole chunk (pigeonhole), so an equi-join on
+    (band_index, band_value) finds EVERY qualifying pair — the oracle
+    is the brute-force all-pairs scan, which also proves the recall
+    guarantee, not just the refine step.
+
+    Scale shape at 10^12 docs: signatures are 8 bytes/doc; the
+    candidate step is 4 bucketed hash equi-joins (one per band) in a
+    single posexplode'd self-join — never all-pairs. The refine
+    (``bit_count(a XOR b)``) is a codegen'd integer op on the join
+    output. Hot buckets (e.g. the all-zero signature of empty pages)
+    are data skew in an equi-join — AQE skew-split applies, and a
+    salt+re-check fallback is available since the refine re-verifies
+    every candidate. Pairs matching in several bands are deduplicated
+    by the final aggregate.
+    """
+    sig = simhash(docs, text_col)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    a = bands.select(
+        F.col("band"),
+        F.col("bval"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+    )
+    b = bands.select(
+        F.col("band"),
+        F.col("bval"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    cand = a.join(b, ["band", "bval"]).where(F.col("doc_a") < F.col("doc_b"))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("hamming").alias("hamming"))
+    )
+
+
+def latest_snapshot_dedup(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Recrawl dedup: keep the newest snapshot per URL →
+    (url, ts, id, n_crawls). Ties on the timestamp (two captures in
+    the same instant) break to the greatest id, so the survivor is a
+    deterministic function of the set, not of partitioning.
+
+    THE first pass of any Common-Crawl-style corpus build: a URL
+    crawled monthly appears dozens of times and only the freshest
+    capture should enter the pipeline.
+
+    Scale shape: a single algebraic ``max(struct(ts, id))`` aggregation
+    — partial-aggregated map-side, so a URL's duplicates collapse
+    within each input split before the one hash shuffle on url; no
+    window (a window formulation sorts every group), no join, and
+    skew from hot URLs is bounded by the per-split partial rows.
+    """
+    best = F.max(
+        F.struct(
+            F.col(ts_col).alias(ts_col), F.col(id_col).cast("long").alias(id_col)
+        )
+    ).alias("best")
+    return (
+        pages.groupBy(F.col(url_col).alias("url"))
+        .agg(best, F.count(F.lit(1)).alias("n_crawls"))
+        .select(
+            "url",
+            F.col(f"best.{ts_col}").alias(ts_col),
+            F.col(f"best.{id_col}").alias(id_col),
+            "n_crawls",
+        )
+    )

@@ -1,0 +1,89 @@
+"""Temporal joins Spark lacks as built-ins, expressed shuffle-minimally.
+
+The as-of join ("for each left row, the latest right row at-or-before
+it") is a first-class operator in kdb+/DuckDB/Pandas but absent from
+Spark SQL. The naive formulations both fail at 100 TB:
+
+* inequality join + argmax: ``l JOIN r ON key AND r.t <= l.t`` is a
+  range join — Catalyst plans it as a broadcast nested loop or a
+  per-key explosion proportional to |l|x|r| per key;
+* per-key ``collect_list`` + UDF: single hot task per key, all rows of
+  a key in one executor's memory at once.
+
+This implementation is the merge formulation: UNION both sides, one
+hash shuffle on the key, one sort per partition, and a running
+``last_value(ignorenulls)`` window carries the most recent right-side
+payload forward into each left row. Cost is one Exchange + one sort —
+the same shape as any windowed aggregation, linear in rows, no join
+operator at all (plan-asserted in tests/test_temporal.py).
+
+No reference counterpart (the Rust engine has no temporal layer); this
+is a graft-mandated pipeline operator in the SURVEY §2.7 sense.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    tie: str,
+    payload: list[str],
+    prefix: str = "r_",
+) -> DataFrame:
+    """Left as-of join: for every ``left`` row, attach ``payload`` from
+    the ``right`` row with the greatest ``(ts, tie)`` such that
+    ``right.ts <= left.ts`` and keys match; NULLs when no such row.
+
+    ``tie`` must be a deterministic total-order tie-breaker within
+    (key, ts) on the right side (e.g. an event id): among equal-``ts``
+    right rows the one with the greatest ``tie`` wins, making the
+    result insensitive to partitioning and input order.
+
+    Both inputs may carry extra columns; ``left``'s survive untouched,
+    ``right``'s ``payload`` columns arrive prefixed. ``ts`` may be any
+    orderable type shared by both sides (use ``unix_micros`` for
+    timestamps to keep cross-engine comparisons exact).
+    """
+    pay_struct = F.struct(*[F.col(c) for c in payload])
+    l_cols = left.columns
+    lt = left.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_rtie"),
+        F.lit(None).cast(
+            right.select(pay_struct.alias("_p")).schema["_p"].dataType.simpleString()
+        ).alias("_p"),
+        F.struct(*[F.col(c) for c in l_cols]).alias("_l"),
+    )
+    rt = right.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(tie).cast("long").alias("_rtie"),
+        pay_struct.alias("_p"),
+        F.lit(None).cast(lt.schema["_l"].dataType.simpleString()).alias("_l"),
+    )
+    # Order within a key: time, then right-before-left at equal ts
+    # (at-or-before semantics), then the right tie-breaker so the last
+    # right row seen at any prefix is the (max ts, max tie) one.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_side"), F.col("_rtie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = lt.unionByName(rt)
+    matched = u.withColumn("_m", F.last("_p", ignorenulls=True).over(w)).where(
+        F.col("_side") == 1
+    )
+    out = [F.col(f"_l.{c}").alias(c) for c in l_cols]
+    out += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload]
+    return matched.select(*out)

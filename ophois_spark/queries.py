@@ -2038,3 +2038,166 @@ ORACLES.update(
         "contamination": SQL_CONTAMINATION,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round-3 depth: temporal + hamming near-dup + recrawl dedup
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming <= 3 via 4x15-bit banding.
+    The oracle is the brute-force ALL-PAIRS scan over the already-gated
+    signature SQL — a hash match therefore proves the pigeonhole recall
+    guarantee end-to-end, not merely the refine arithmetic."""
+    from ophois_spark.operators.dedup import simhash_hamming_pairs
+
+    return q_result_sorted_ham(simhash_hamming_pairs(load(spark, sf_dir, "documents")))
+
+
+def q_result_sorted_ham(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+def _simhash_hamming_sql() -> str:
+    from ophois_spark.operators.dedup import SIMHASH_MAX_HAMMING
+
+    return f"""
+WITH s AS MATERIALIZED ({SQL_DOC_SIMHASH})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+SQL_SIMHASH_HAMMING = _simhash_hamming_sql()
+
+# deterministic recrawl synthesis: 97 urls, minute-granular capture times
+# (collisions in (url, warc_ts) exercise the id tie-break)
+_CRAWL_BASE_EPOCH = 1767225600  # 2026-01-01T00:00:00Z
+
+
+def q_latest_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl dedup over a synthesized (url, warc_ts, doc_id) capture
+    log: keep the newest capture per url (ties -> max doc_id) with the
+    capture count — the Common-Crawl freshest-snapshot pass, as one
+    map-side-combinable struct-max aggregation."""
+    from ophois_spark.operators.dedup import latest_snapshot_dedup
+
+    d = load(spark, sf_dir, "documents")
+    us = (
+        F.lit(_CRAWL_BASE_EPOCH) + ((F.col("doc_id") * 37) % 1440) * F.lit(60)
+    ).cast("long") * F.lit(1000000).cast("long")
+    pages = d.select(
+        F.concat(F.lit("doc://"), (F.col("doc_id") % 97).cast("string")).alias("url"),
+        F.timestamp_micros(us).alias("warc_ts"),
+        F.col("doc_id"),
+    )
+    out = latest_snapshot_dedup(pages)
+    return out.select(
+        "url",
+        F.unix_micros(F.col("warc_ts")).alias("warc_us"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_crawls").cast("long").alias("n_crawls"),
+    )
+
+
+SQL_LATEST_CRAWL_DEDUP = f"""
+WITH c AS (
+  SELECT 'doc://' || CAST(doc_id % 97 AS VARCHAR) AS url,
+         CAST(({_CRAWL_BASE_EPOCH} + ((doc_id * 37) % 1440) * 60) AS BIGINT) * 1000000 AS us,
+         doc_id
+  FROM documents
+),
+m AS (SELECT url, MAX(us) AS warc_us, COUNT(*) AS n_crawls FROM c GROUP BY url)
+SELECT m.url, m.warc_us, CAST(MAX(c.doc_id) AS BIGINT) AS doc_id,
+       CAST(m.n_crawls AS BIGINT) AS n_crawls
+FROM m JOIN c ON c.url = m.url AND c.us = m.warc_us
+GROUP BY m.url, m.warc_us, m.n_crawls
+"""
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every 'purchase' event picks up the latest 'click'
+    by the same user at-or-before it (ties -> max click event_id).
+    Runs the merge-formulation asof_join (one shuffle, ZERO join
+    operators — plan-asserted); the oracle states the SEMANTICS
+    independently as correlated max-subqueries."""
+    from ophois_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "value",
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "t_us", "event_id", "value"
+    )
+    j = asof_join(
+        left,
+        right,
+        key="user_id",
+        ts="t_us",
+        tie="event_id",
+        payload=["event_id", "t_us", "value"],
+        prefix="click_",
+    )
+    # NULL-free gate projection: unmatched rows carry typed sentinels +
+    # an explicit flag (cross-engine NaN ordering/hashing is the one
+    # thing the float policy can't pin).
+    return j.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.col("click_event_id").isNotNull().cast("int").alias("matched"),
+        F.coalesce(F.col("click_event_id"), F.lit(-1)).cast("long").alias("click_event_id"),
+        F.coalesce(F.col("click_t_us"), F.lit(-1)).cast("long").alias("click_t_us"),
+        F.coalesce(F.col("click_value"), F.lit(0.0)).alias("click_value"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS t_us, value
+  FROM events
+),
+p AS (SELECT event_id, user_id, t_us FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, t_us, event_id, value FROM ev WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.t_us,
+  CAST((SELECT c.event_id FROM c WHERE c.user_id = p.user_id AND c.t_us <= p.t_us
+   ORDER BY c.t_us DESC, c.event_id DESC LIMIT 1) IS NOT NULL AS INT) AS matched,
+  CAST(COALESCE((SELECT c.event_id FROM c WHERE c.user_id = p.user_id AND c.t_us <= p.t_us
+   ORDER BY c.t_us DESC, c.event_id DESC LIMIT 1), -1) AS BIGINT) AS click_event_id,
+  CAST(COALESCE((SELECT c.t_us FROM c WHERE c.user_id = p.user_id AND c.t_us <= p.t_us
+   ORDER BY c.t_us DESC, c.event_id DESC LIMIT 1), -1) AS BIGINT) AS click_t_us,
+  COALESCE((SELECT c.value FROM c WHERE c.user_id = p.user_id AND c.t_us <= p.t_us
+   ORDER BY c.t_us DESC, c.event_id DESC LIMIT 1), 0.0) AS click_value
+FROM p
+"""
+
+
+QUERIES.update(
+    {
+        "simhash_hamming": q_simhash_hamming,
+        "latest_crawl_dedup": q_latest_crawl_dedup,
+        "events_asof": q_events_asof,
+    }
+)
+ORACLES.update(
+    {
+        "simhash_hamming": SQL_SIMHASH_HAMMING,
+        "latest_crawl_dedup": SQL_LATEST_CRAWL_DEDUP,
+        "events_asof": SQL_EVENTS_ASOF,
+    }
+)

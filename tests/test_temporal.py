@@ -1,0 +1,112 @@
+"""asof_join semantics + plan shape, and the recrawl/hamming dedup ops."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ophois_spark.operators.temporal import asof_join
+
+
+def _asof(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows, "lid long, k long, t long")
+    right = spark.createDataFrame(right_rows, "k long, t long, rid long, v double")
+    return asof_join(
+        left, right, key="k", ts="t", tie="rid", payload=["rid", "t", "v"]
+    ).collect()
+
+
+def test_asof_basic_latest_at_or_before(spark):
+    out = _asof(
+        spark,
+        [(1, 10, 100), (2, 10, 50), (3, 10, 5)],
+        [(10, 40, 7, 0.5), (10, 100, 8, 0.25), (10, 120, 9, 0.125)],
+    )
+    by = {r.lid: r for r in out}
+    assert by[1].r_rid == 8  # t=100: the equal-ts right row IS visible
+    assert by[2].r_rid == 7  # t=50: latest before is t=40
+    assert by[3].r_rid is None and by[3].r_t is None  # nothing at-or-before
+
+
+def test_asof_tie_breaks_to_max_tie_id(spark):
+    # two right rows at the identical (key, ts): greatest rid wins,
+    # independent of input order
+    out = _asof(
+        spark,
+        [(1, 5, 60)],
+        [(5, 60, 12, 1.0), (5, 60, 31, 2.0), (5, 59, 99, 3.0)],
+    )
+    assert out[0].r_rid == 31 and out[0].r_v == 2.0
+
+
+def test_asof_keys_do_not_leak(spark):
+    out = _asof(spark, [(1, 1, 100)], [(2, 50, 7, 1.0)])
+    assert out[0].r_rid is None
+
+
+def test_asof_left_rows_all_survive_with_dup_ts(spark):
+    out = _asof(
+        spark,
+        [(1, 5, 60), (2, 5, 60), (3, 5, 61)],
+        [(5, 60, 4, 1.0)],
+    )
+    assert sorted(r.lid for r in out) == [1, 2, 3]
+    assert all(r.r_rid == 4 for r in out)
+
+
+def test_asof_plan_has_no_join_operator(spark):
+    left = spark.range(100).select(
+        F.col("id").alias("lid"), (F.col("id") % 7).alias("k"), F.col("id").alias("t")
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 2).alias("t"),
+        F.col("id").alias("rid"),
+        F.lit(1.0).alias("v"),
+    )
+    j = asof_join(left, right, key="k", ts="t", tie="rid", payload=["rid"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoop", "Cartesian"):
+        assert op not in plan, f"asof_join must not plan a {op}\n{plan}"
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_latest_snapshot_dedup_tie_and_count(spark):
+    from ophois_spark.operators.dedup import latest_snapshot_dedup
+
+    pages = spark.createDataFrame(
+        [
+            ("a", 100, 1),
+            ("a", 200, 2),
+            ("a", 200, 5),  # ts tie -> max doc_id
+            ("b", 50, 3),
+        ],
+        "url string, warc_ts long, doc_id long",
+    )
+    out = {r.url: r for r in latest_snapshot_dedup(pages).collect()}
+    assert out["a"].doc_id == 5 and out["a"].warc_ts == 200 and out["a"].n_crawls == 3
+    assert out["b"].doc_id == 3 and out["b"].n_crawls == 1
+
+
+def test_simhash_hamming_exact_dup_and_pigeonhole(spark):
+    from ophois_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),  # exact dup
+            Row(doc_id=3, text="totally different words entirely here now"),
+        ]
+    )
+    pairs = simhash_hamming_pairs(docs).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got.get((1, 2)) == 0
+    assert all(h <= 3 for h in got.values())
+
+
+def test_simhash_hamming_plan_no_cartesian(spark):
+    from ophois_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"w{i} x{i} y{i}") for i in range(20)]
+    )
+    plan = simhash_hamming_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
