@@ -2201,3 +2201,82 @@ ORACLES.update(
         "events_asof": SQL_EVENTS_ASOF,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round-3 flagship: end-to-end corpus construction
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The webtext flagship end-to-end under the oracle gate: quality +
+    language gate -> exact fingerprint dedup -> near-dup cluster dedup
+    -> surviving (doc_id, source, n_tokens). The corpus mirror of
+    ``simplify_pipeline`` (reference src/main.rs:66-74 composes its CLI
+    the same way from operator parts)."""
+    from ophois_spark.operators.corpus import corpus_pipeline
+
+    out = corpus_pipeline(load(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+def _corpus_pipeline_sql() -> str:
+    from ophois_spark.operators.corpus import KEEP_LANG, MIN_ALPHA, MIN_TOKENS
+    from ophois_spark.operators.dedup import NEAR_DUP_JACCARD
+    from ophois_spark.operators.textops import LANG_PROFILES
+
+    def score(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        return f"len(list_filter(lt, x -> x IN ({words})))"
+
+    return rf"""
+WITH RECURSIVE
+toks AS MATERIALIZED ({_TOKS_SQL}),
+ltoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS lt FROM documents),
+ls AS (SELECT doc_id, {score("de")} AS s_de, {score("en")} AS s_en, {score("fr")} AS s_fr FROM ltoks),
+lang AS (SELECT doc_id, CASE WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
+                             WHEN s_en >= s_fr THEN 'en' ELSE 'fr' END AS pred_lang FROM ls),
+keep AS MATERIALIZED (
+  SELECT d.doc_id, d.source,
+         CAST(CASE WHEN trim(d.text) = '' THEN 0 ELSE len(t.t) END AS INT) AS n_tokens
+  FROM documents d JOIN toks t USING (doc_id) JOIN lang USING (doc_id)
+  WHERE (CASE WHEN trim(d.text) = '' THEN 0 ELSE len(t.t) END) >= {MIN_TOKENS}
+    AND length(d.text) > 0
+    AND CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+          / CAST(length(d.text) AS DOUBLE) >= {MIN_ALPHA}
+    AND lang.pred_lang = '{KEEP_LANG}'
+),
+fp AS (SELECT k.doc_id, md5(regexp_replace(trim(d.text), '\s+', ' ', 'g')) AS fp
+       FROM keep k JOIN documents d USING (doc_id)),
+reps AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+sh AS MATERIALIZED (
+  SELECT s.* FROM ({_SHINGLES_SQL}) s JOIN reps USING (doc_id)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jp AS (SELECT da, db FROM inter
+       JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {NEAR_DUP_JACCARD}),
+e AS (SELECT da AS u, db AS v FROM jp UNION ALL SELECT db AS u, da AS v FROM jp),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM reps
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u
+),
+cl AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id, k.source, k.n_tokens
+FROM cl JOIN keep k USING (doc_id)
+WHERE cl.doc_id = cl.cluster
+"""
+
+
+SQL_CORPUS_PIPELINE = _corpus_pipeline_sql()
+
+QUERIES.update({"corpus_pipeline": q_corpus_pipeline})
+ORACLES.update({"corpus_pipeline": SQL_CORPUS_PIPELINE})

@@ -1,0 +1,51 @@
+"""corpus_pipeline: each funnel stage must act on a crafted corpus."""
+
+from pyspark.sql import functions as F
+
+from ophois_spark.operators.corpus import corpus_pipeline
+
+# ~40 tokens of plain English prose: passes the token/alpha/lang gate
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then it runs to "
+    "the river for a drink of water because the day is hot and the sun "
+    "is high in the sky above the green field"
+)
+# same doc with one token changed -> near-dup (jaccard >= 0.8)
+NEAR = GOOD.replace("green field", "green meadow")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_funnel_stages(spark):
+    rows = [
+        (1, GOOD, "a"),                      # survives everything
+        (2, "le chat est sur le lit et il dort bien parce que la nuit "
+            "est calme et que la maison est silencieuse et chaude pour "
+            "tous les animaux de la famille qui dorment aussi", "a"),
+        # ^ French prose, >30 tokens: dropped by the language gate
+        (3, "short text only", "b"),         # dropped by min_tokens
+        (4, "  " + GOOD + "  ", "b"),        # exact dup of 1 after normalize
+        (5, NEAR, "c"),                      # near-dup of 1 -> cluster loses to 1
+        (6, GOOD.replace("quick brown fox", "slow gray wolf")
+             .replace("lazy dog", "busy cat")
+             .replace("river", "lake").replace("hot", "cold")
+             .replace("sun is high", "moon is low")
+             .replace("green field", "wide plain"), "c"),
+        # ^ distinct enough (< 0.8 jaccard): survives as its own doc
+    ]
+    # min_alpha lowered: short-word prose has ~20% spaces, so the
+    # default 0.815 (tuned for the synthetic corpus) would drop all
+    out = (
+        corpus_pipeline(_docs(spark, rows), min_alpha=0.75)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r.doc_id, r.source) for r in out] == [(1, "a"), (6, "c")]
+    assert all(r.n_tokens >= 30 for r in out)
+
+
+def test_empty_corpus_survives(spark):
+    out = corpus_pipeline(_docs(spark, [(1, "", "a")]))
+    assert out.count() == 0
