@@ -100,3 +100,92 @@ def corpus_pipeline(
     clusters = near_dup_clusters(reps.select("doc_id", "text"), threshold=threshold)
     keep = clusters.filter(F.col("is_canonical") == 1).select("doc_id")
     return reps.join(keep, "doc_id").select("doc_id", "source", "n_tokens")
+
+
+# deterministic sampling: decisions are a pure function of content
+# identity, never of partitioning or RNG state
+SAMPLE_DENOM = 10_000  # per-myriad rates
+
+
+def corpus_sample(docs: DataFrame, rates: DataFrame) -> DataFrame:
+    """Stratified deterministic Bernoulli sample → kept
+    (doc_id, source, rate_permyriad).
+
+    ``rates``: small (source, rate_permyriad) dim table — the corpus
+    mixture recipe (upsample encyclopedic sources, downsample spammy
+    ones). A doc is kept iff
+    ``md5(source ':' doc_id) mod 10000 < rate`` — a pure function of
+    identity, so the sample is reproducible under any partitioning,
+    any cluster size, and any retry (RNG-based sampling is none of
+    these), and a re-run over an updated corpus keeps the SAME
+    decisions for unchanged rows (incremental rebuild diffs stay
+    minimal).
+
+    Scale shape: the rates table broadcasts (it's one row per source);
+    the hash gate is a narrow codegen projection on the scan — the
+    whole operator is shuffle-free.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .withColumn("bucket", h % SAMPLE_DENOM)
+        .filter(F.col("bucket") < F.col("rate_permyriad"))
+        .select("doc_id", "source", "rate_permyriad")
+    )
+
+
+PACK_BUDGET = 512  # tokens per training context window
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Concat-and-chunk sequence packing → (doc_id, source, start_tok,
+    pack_id): per source, documents concatenate in doc_id order into a
+    token stream that is cut every ``budget`` tokens; each doc's pack
+    is the window its FIRST token lands in.
+
+    This is the packing semantics of an LLM pretraining loader
+    (documents are concatenated, then split into fixed-length
+    contexts); the assignment is a running-sum window, so it is exact
+    and deterministic — no bin-packing heuristic, no RNG.
+
+    Scale shape: one shuffle on source, then a per-partition running
+    sum (no per-row Python). The running sum is inherently sequential
+    WITHIN a source by definition — to bound a giant source at 100 TB,
+    pre-shard it (source, hash(doc_id) % K) and pack per shard: the
+    offsets stay deterministic, the chunks stay full except one
+    boundary chunk per shard.
+    """
+    from pyspark.sql import Window
+
+    text = F.col("text")
+    n_tokens = (
+        F.when(F.trim(text) == "", F.lit(0))
+        .otherwise(F.size(tokens_col(text)))
+        .cast("long")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = docs.select("doc_id", "source", n_tokens.alias("n_tok"))
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_tok")
+    return d.select(
+        "doc_id",
+        "source",
+        start,
+    ).select(
+        "doc_id",
+        "source",
+        "start_tok",
+        F.expr(f"start_tok div {budget}").cast("long").alias("pack_id"),
+    )

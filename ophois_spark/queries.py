@@ -2280,3 +2280,176 @@ SQL_CORPUS_PIPELINE = _corpus_pipeline_sql()
 
 QUERIES.update({"corpus_pipeline": q_corpus_pipeline})
 ORACLES.update({"corpus_pipeline": SQL_CORPUS_PIPELINE})
+
+
+# ---------------------------------------------------------------------------
+# round-3 depth: link-graph scoring, corpus sampling, sequence packing
+# ---------------------------------------------------------------------------
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over a deterministic link overlay on documents
+    (doc i links to (i*31 + 97*j) mod N for j = 1..1+i%3): the corpus-
+    curation importance score, in exactly-replayable 64-bit arithmetic
+    so the oracle pins every rank value, not a float approximation."""
+    from ophois_spark.operators.webgraph import pagerank
+
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("id"))
+    j = nodes.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.lit(1) + F.col("id") % 3)
+        ).alias("j"),
+    )
+    dst = (F.col("id") * 31 + 97 * F.col("j")) % F.lit(n)
+    edges = (
+        j.select(F.col("id").alias("src"), dst.cast("long").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    r = pagerank(nodes, edges)
+    return r.select(
+        F.col("id").cast("long").alias("doc_id"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _pagerank_sql() -> str:
+    from ophois_spark.operators.webgraph import (
+        DAMPING_DEN,
+        DAMPING_NUM,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+    )
+
+    base = (DAMPING_DEN - DAMPING_NUM) * PAGERANK_SCALE // DAMPING_DEN
+    parts = [
+        "n AS MATERIALIZED (SELECT doc_id AS id FROM documents)",
+        "c AS (SELECT COUNT(*) AS cnt FROM documents)",
+        "j0 AS (SELECT id, unnest(generate_series(1, 1 + (id % 3))) AS j FROM n)",
+        """e AS MATERIALIZED (
+  SELECT DISTINCT id AS src, (id*31 + 97*j) % (SELECT cnt FROM c) AS dst
+  FROM j0 WHERE (id*31 + 97*j) % (SELECT cnt FROM c) <> id)""",
+        "od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
+        f"r0 AS (SELECT id, CAST({PAGERANK_SCALE} AS BIGINT) AS rank FROM n)",
+    ]
+    for k in range(1, PAGERANK_ITERS + 1):
+        parts.append(f"""r{k} AS MATERIALIZED (
+  SELECT n.id,
+         CAST({base} + ({DAMPING_NUM} * COALESCE(x.s, 0)) // {DAMPING_DEN} AS BIGINT) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.dst AS id, SUM(r{k - 1}.rank // od.d) AS s
+    FROM e JOIN r{k - 1} ON r{k - 1}.id = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst) x ON x.id = n.id)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(id AS BIGINT) AS doc_id, rank FROM r{PAGERANK_ITERS}"
+    )
+
+
+SQL_LINK_PAGERANK = _pagerank_sql()
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling with a per-source mixture
+    recipe (rates derived from the source name hash so the dim table
+    is reproducible): broadcast the recipe, hash-gate on the scan."""
+    from ophois_spark.operators.corpus import corpus_sample
+
+    d = load(spark, sf_dir, "documents")
+    rates = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.lit(1000)
+                + F.conv(F.substring(F.md5("source"), 1, 7), 16, 10).cast("long")
+                % 8000
+            )
+            .cast("int")
+            .alias("rate_permyriad"),
+        )
+    )
+    out = corpus_sample(d, rates)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("rate_permyriad").cast("int").alias("rate_permyriad"),
+    )
+
+
+def _corpus_sample_sql() -> str:
+    from ophois_spark.operators.corpus import SAMPLE_DENOM
+
+    return f"""
+WITH rates AS (
+  SELECT source,
+         CAST(1000 + ('0x' || substr(md5(source), 1, 7))::BIGINT % 8000 AS INT) AS rate_permyriad
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, r.rate_permyriad
+FROM documents d JOIN rates r USING (source)
+WHERE ('0x' || substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+        % {SAMPLE_DENOM} < r.rate_permyriad
+"""
+
+
+SQL_CORPUS_SAMPLE = _corpus_sample_sql()
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the corpus into fixed token budgets
+    (the pretraining-loader layout), as an exact running-sum window."""
+    from ophois_spark.operators.corpus import pack_sequences
+
+    out = pack_sequences(load(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+    )
+
+
+def _pack_sequences_sql() -> str:
+    from ophois_spark.operators.corpus import PACK_BUDGET
+
+    return rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_tok
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS pack_id
+FROM s
+"""
+
+
+SQL_PACK_SEQUENCES = _pack_sequences_sql()
+
+QUERIES.update(
+    {
+        "link_pagerank": q_link_pagerank,
+        "corpus_sample": q_corpus_sample,
+        "pack_sequences": q_pack_sequences,
+    }
+)
+ORACLES.update(
+    {
+        "link_pagerank": SQL_LINK_PAGERANK,
+        "corpus_sample": SQL_CORPUS_SAMPLE,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+    }
+)
