@@ -174,3 +174,32 @@ def source_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+def index_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Inverted-index postings → (term, doc_id, tf, df): per-term
+    per-doc frequency plus the term's corpus document frequency — the
+    build step of a search/retrieval index over the corpus (and the
+    integer core of tf-idf; the idf transform is a presentation-side
+    monotone map, so ranking by (tf, df) is ranking by tf-idf).
+
+    Scale shape at 10^12 docs: the token explode is narrow; both
+    aggregations are algebraic (map-side combined), so stopword-grade
+    hot terms reach the reducers as one partial row per input split;
+    df reuses the ALREADY-DISTINCT (term, doc_id) relation — counting
+    rows per term, never count-distinct over raw tokens. The df join
+    back is term-keyed on the same partitioning the second aggregation
+    just produced, so AQE plans it exchange-free. Written out bucketed
+    by term, the postings are the index.
+    """
+    from ophois_spark.plans.layout import fan_out
+
+    tf = (
+        fan_out(docs.select("doc_id", F.col(text_col)))
+        .select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(df_, "term").select("term", "doc_id", "tf", "df")

@@ -2453,3 +2453,126 @@ ORACLES.update(
         "pack_sequences": SQL_PACK_SEQUENCES,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round-3 depth: URL identity + index build
+# ---------------------------------------------------------------------------
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup over a synthesized messy-URL
+    overlay (five spelling variants per identity: case, default ports,
+    www, fragments, utm params, param order): → (canon_url,
+    n_variants, doc_id). The oracle replays the SAME regex/list
+    pipeline in DuckDB — the canonicalization itself is gated, not
+    just the group-by."""
+    from ophois_spark.operators.urls import url_canonical_dedup
+
+    d = load(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 40).cast("string")
+    p = F.concat(F.lit("/p/"), (F.col("doc_id") % 8).cast("string"))
+    # variant index must be independent of the identity (doc_id % 40)
+    # so each group mixes spellings: use the copy index doc_id div 40
+    v = F.expr("(doc_id div 40) % 5")
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://www.example"), h, F.lit(".com:80"), p, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("HTTP://EXAMPLE"), h, F.lit(".COM"), p, F.lit("?a=1&b=2#frag")))
+        .when(v == 2, F.concat(F.lit("http://example"), h, F.lit(".com"), p, F.lit("?utm_source=x&b=2&a=1")))
+        .when(v == 3, F.concat(F.lit("https://www.example"), h, F.lit(".com:443"), p))
+        .otherwise(F.concat(F.lit("https://example"), h, F.lit(".com"), p))
+    )
+    out = url_canonical_dedup(d.select("doc_id", url.alias("url")))
+    return out.select(
+        "canon_url",
+        F.col("n_variants").cast("long").alias("n_variants"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+
+def _url_dedup_sql() -> str:
+    from ophois_spark.operators.urls import URL_RX
+
+    rx = URL_RX.replace("\\", "\\\\").replace("'", "''")
+    # DuckDB needs the raw pattern; single backslashes survive in a
+    # standard string literal, so interpolate the pattern verbatim
+    rx = URL_RX
+    return rf"""
+WITH u AS (
+  SELECT doc_id,
+    CASE (doc_id // 40) % 5
+      WHEN 0 THEN 'http://www.example' || h || '.com:80' || p || '?b=2&a=1'
+      WHEN 1 THEN 'HTTP://EXAMPLE' || h || '.COM' || p || '?a=1&b=2#frag'
+      WHEN 2 THEN 'http://example' || h || '.com' || p || '?utm_source=x&b=2&a=1'
+      WHEN 3 THEN 'https://www.example' || h || '.com:443' || p
+      ELSE 'https://example' || h || '.com' || p END AS url
+  FROM (SELECT doc_id, CAST(doc_id % 40 AS VARCHAR) AS h,
+               '/p/' || CAST(doc_id % 8 AS VARCHAR) AS p FROM documents)
+),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '{rx}', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(url, '{rx}', 2)), '^www\.', '') AS hostport,
+    regexp_extract(url, '{rx}', 3) AS path,
+    regexp_extract(url, '{rx}', 4) AS q
+  FROM u
+),
+canon AS (
+  SELECT doc_id,
+    scheme || '://' ||
+    CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+           OR (scheme = 'https' AND hostport LIKE '%:443')
+         THEN string_split(hostport, ':')[1] ELSE hostport END ||
+    CASE WHEN path = '' THEN '/' ELSE path END ||
+    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
+  FROM (SELECT doc_id, scheme, hostport, path,
+               COALESCE(array_to_string(list_sort(list_filter(string_split(q, '&'),
+                 x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') AS qs
+        FROM parts)
+)
+SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS doc_id
+FROM canon GROUP BY canon_url
+"""
+
+
+SQL_URL_CANONICAL_DEDUP = _url_dedup_sql()
+
+
+def q_doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index postings (term, doc_id, tf, df) — the retrieval
+    index build over the corpus; integer tf/df are the exact core of
+    tf-idf ranking."""
+    from ophois_spark.operators.textops import index_postings
+
+    out = index_postings(load(spark, sf_dir, "documents"))
+    return out.select(
+        "term",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+    )
+
+
+SQL_DOC_POSTINGS = f"""
+WITH toks AS ({_TOKS_SQL}),
+ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM ex WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT term, CAST(tf.doc_id AS BIGINT) AS doc_id, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(df.df AS BIGINT) AS df
+FROM tf JOIN df USING (term)
+"""
+
+QUERIES.update(
+    {
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "doc_postings": q_doc_postings,
+    }
+)
+ORACLES.update(
+    {
+        "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+        "doc_postings": SQL_DOC_POSTINGS,
+    }
+)

@@ -1,0 +1,37 @@
+"""canonical_url edge cases."""
+
+from pyspark.sql import functions as F
+
+from ophois_spark.operators.urls import canonical_url
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonical_url_variants_collapse(spark):
+    variants = [
+        "http://www.Example.com:80/a/b?b=2&a=1",
+        "HTTP://EXAMPLE.COM/a/b?a=1&b=2#frag",
+        "http://example.com/a/b?utm_source=x&utm_medium=y&b=2&a=1",
+    ]
+    assert set(_canon(spark, variants)) == {"http://example.com/a/b?a=1&b=2"}
+
+
+def test_canonical_url_https_port_and_empty_path(spark):
+    got = _canon(
+        spark,
+        [
+            "https://www.example.com:443",
+            "https://example.com/",
+            "http://example.com:8080/x",  # non-default port survives
+        ],
+    )
+    assert got[0] == "https://example.com/"
+    assert got[1] == "https://example.com/"
+    assert got[2] == "http://example.com:8080/x"
+
+
+def test_canonical_url_all_params_tracking(spark):
+    assert _canon(spark, ["http://e.com/p?utm_a=1&utm_b=2"]) == ["http://e.com/p"]
