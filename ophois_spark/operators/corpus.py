@@ -97,6 +97,15 @@ def corpus_pipeline(
         )
         .select("w.doc_id", "w.source", "w.n_tokens", "w.text")
     )
+    # three consumers read reps (shingle lineage, component seeds, the
+    # final join) — slot-cache it once instead of replaying the scan +
+    # gate + dedup shuffle per consumer (slot bookkeeping as in
+    # shingle_jaccard_pairs; at target scale this is a MEMORY_AND_DISK
+    # block of the gated corpus, the standard materialization point of
+    # a funnel)
+    from ophois_spark.plans.cache import swap_cached
+
+    reps = swap_cached("corpus.reps", reps)
     clusters = near_dup_clusters(reps.select("doc_id", "text"), threshold=threshold)
     keep = clusters.filter(F.col("is_canonical") == 1).select("doc_id")
     return reps.join(keep, "doc_id").select("doc_id", "source", "n_tokens")
