@@ -181,3 +181,56 @@ def test_winnow_is_shuffle_free_codegen(spark):
     assert all(
         kind == "RoundRobinPartitioning" for kind in exchanges
     ), f"non-fan-out exchange in winnow plan:\n{plan}"
+
+
+def _shuffle_nodes(plan: str) -> list[str]:
+    """Detail-section headers of shuffle Exchanges ('(3) Exchange'),
+    excluding BroadcastExchange — one entry per physical node."""
+    import re
+
+    return re.findall(r"^\(\d+\) Exchange$", plan, flags=re.M)
+
+
+def test_corpus_sample_operator_is_broadcast_and_shuffle_free(spark):
+    """With the mixture recipe given as a literal dim table (the
+    production shape), the operator plan is broadcast + codegen hash
+    gate on the scan — zero shuffle Exchanges."""
+    from ophois_spark.operators.corpus import corpus_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = spark.createDataFrame(
+        [("src%d" % i, 3000) for i in range(25)],
+        "source string, rate_permyriad int",
+    )
+    plan = plan_str(corpus_sample(docs, rates))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert _shuffle_nodes(plan) == []
+
+
+def test_pack_sequences_single_shuffle_window(spark):
+    """Concat-and-chunk packing: exactly one hash Exchange (the window
+    partitioning on source); the running sum itself is JVM-side."""
+    from ophois_spark.queries import q_pack_sequences
+
+    plan = plan_str(q_pack_sequences(spark, SF))
+    assert len(_shuffle_nodes(plan)) == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_doc_postings_partial_aggregation(spark):
+    """tf is map-side combined (partial_count before the term/doc
+    shuffle) so hot stopword terms never concentrate on one reducer."""
+    from ophois_spark.queries import q_doc_postings
+
+    plan = plan_str(q_doc_postings(spark, SF))
+    assert "partial_count" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_url_canonicalization_is_pure_codegen(spark):
+    from ophois_spark.queries import q_url_canonical_dedup
+
+    plan = plan_str(q_url_canonical_dedup(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan  # canonical-url dedup combines map-side
