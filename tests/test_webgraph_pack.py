@@ -70,3 +70,49 @@ def test_corpus_sample_rates_and_determinism(spark):
     a = sorted(r.doc_id for r in corpus_sample(docs, rates).collect())
     b = sorted(r.doc_id for r in corpus_sample(docs.repartition(17), rates).collect())
     assert a == b and 0 < len(a) < 300
+
+
+def test_integer_pagerank_tracks_float_pagerank_ordering(spark):
+    """The integer truncation must not distort the ranking: on a random
+    graph, compare against float power iteration (same damping, same
+    iteration count, uniform init) computed in plain Python."""
+    import collections
+
+    n = 60
+    edges = [(i, (i * 13 + 5) % n) for i in range(n)] + [
+        (i, (i * 7 + 1) % n) for i in range(0, n, 2)
+    ]
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(nodes_df, edges_df, iters=5).collect()}
+
+    outdeg = collections.Counter(s for s, _ in edges)
+    rank = {i: 1.0 for i in range(n)}
+    for _ in range(5):
+        sums = collections.defaultdict(float)
+        for s, d in edges:
+            sums[d] += rank[s] / outdeg[s]
+        rank = {i: 0.15 + 0.85 * sums[i] for i in range(n)}
+
+    int_order = sorted(range(n), key=lambda i: (-got[i], i))
+    float_order = sorted(range(n), key=lambda i: (-rank[i], i))
+    # identical top-10 and >= 90% pairwise agreement overall
+    assert int_order[:10] == float_order[:10]
+    agree = sum(a == b for a, b in zip(int_order, float_order))
+    assert agree >= 0.9 * n, (agree, n)
+
+
+def test_canonical_url_idempotent(spark):
+    from ophois_spark.operators.urls import canonical_url
+
+    urls = [
+        "http://www.Example.com:80/a/b?b=2&a=1&utm_x=9",
+        "HTTPS://EXAMPLE.COM:443#f",
+        "http://e.com:8080/x?z=1",
+        "https://sub.www-like.example.com/path/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    twice = once.select(canonical_url(F.col("c")).alias("c"))
+    assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
