@@ -358,3 +358,44 @@ def ann_topk(
         .filter(F.col("rank") <= k)
         .select("qid", F.col("rank").cast("int").alias("rank"), "vec_id", "sim")
     )
+
+
+def embedding_dedup_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_bands: int = N_BANDS,
+    band_planes: int = BAND_PLANES,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The embedding-side dedup DECISION → (vec_id, cluster,
+    is_canonical): sign-LSH candidates → exact-cosine verify →
+    connected components → min-id representative. The exact mirror of
+    the text side's ``near_dup_clusters`` (operators/dedup.py) — near-
+    duplicacy is transitive only through its clusters, so the cluster
+    is the unit of removal; ``WHERE is_canonical = 1`` IS the
+    deduplicated embedding corpus.
+
+    Scale shape: the component loop runs over the VERIFIED pair set
+    only (orders of magnitude smaller than the corpus); the node set
+    enters as trivial (id, id) seed labels; everything upstream
+    inherits near_dup_pairs' banded-LSH bounds.
+    """
+    from ophois_spark.operators.components import connected_components
+    from ophois_spark.operators.graph import StreetGraph
+
+    pairs = near_dup_pairs(
+        embeddings, threshold, n_bands=n_bands, band_planes=band_planes, id_col=id_col
+    )
+    labels = connected_components(
+        StreetGraph(
+            nodes=embeddings.select(F.col(id_col).alias("id")),
+            edges=pairs.select(
+                F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+            ),
+        )
+    )
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("comp").alias("cluster"),
+        (F.col("id") == F.col("comp")).cast("int").alias("is_canonical"),
+    )

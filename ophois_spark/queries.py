@@ -2576,3 +2576,48 @@ ORACLES.update(
         "doc_postings": SQL_DOC_POSTINGS,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round-3 depth: embedding-side dedup decision
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS (candidates -> verify -> connected
+    components -> canonical representative); oracle closes the gated
+    pair SQL transitively with a recursive CTE."""
+    from ophois_spark.operators.similarity import embedding_dedup_clusters
+
+    out = embedding_dedup_clusters(
+        load(spark, sf_dir, "embeddings"),
+        NEAR_DUP_THRESHOLD,
+        n_bands=NEAR_DUP_BANDS,
+        band_planes=NEAR_DUP_BAND_PLANES,
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("is_canonical").cast("int").alias("is_canonical"),
+    )
+
+
+SQL_EMBEDDING_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+jp AS MATERIALIZED (SELECT vec_a, vec_b FROM ({SQL_EMBEDDING_NEAR_DUP}) x),
+e AS MATERIALIZED (
+  SELECT vec_a AS u, vec_b AS v FROM jp
+  UNION ALL SELECT vec_b AS u, vec_a AS v FROM jp
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u
+)
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster,
+       CAST(id = MIN(r) AS INT) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+QUERIES.update({"embedding_dedup_clusters": q_embedding_dedup_clusters})
+ORACLES.update({"embedding_dedup_clusters": SQL_EMBEDDING_DEDUP_CLUSTERS})
