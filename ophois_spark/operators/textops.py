@@ -203,3 +203,55 @@ def index_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return tf.join(df_, "term").select("term", "doc_id", "tf", "df")
+
+
+QUANTILES = (50, 90, 99)
+
+
+def source_token_quantiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact per-source token-count quantiles → (source, n_docs, p50,
+    p90, p99) — the data-card length profile.
+
+    Quantile = ORDER-STATISTIC selection (lower/type-1: the element at
+    rank ceil(q/100 * n), ties broken by the value ordering itself), so
+    the result is an integer drawn FROM the data — deterministic and
+    bit-identical across engines, unlike interpolated (type-7)
+    quantiles whose float arithmetic no cross-engine oracle can pin.
+
+    Scale shape: one shuffle on source + a per-partition sort for
+    row_number (the same cost class as any windowed profile); the
+    quantile picks are a filter on rank + one algebraic aggregation.
+    Per-source data volume bounds the sort; for a giant source,
+    pre-aggregate to (source, n_tokens, count) first — the ranks then
+    run over the DISTINCT value histogram, not the rows.
+    """
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    n_tokens = (
+        F.when(F.trim(text) == "", F.lit(0))
+        .otherwise(F.size(tokens_col(text)))
+        .cast("long")
+    )
+    d = docs.select("source", n_tokens.alias("n_tok"))
+    w = Window.partitionBy("source").orderBy("n_tok")
+    ranked = d.select(
+        "source",
+        "n_tok",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    # rank target in INTEGER arithmetic: ceil(q*n/100) = (q*n+99) div 100
+    # (a float ceil diverges cross-engine: DuckDB parses 0.99 as exact
+    # DECIMAL while Spark multiplies doubles — ceil(0.99*100) is 99 vs 100)
+    picks = [
+        F.max(
+            F.when(
+                F.col("rk") == F.expr(f"(({q} * n) + 99) div 100"), F.col("n_tok")
+            )
+        ).alias(f"p{q}")
+        for q in QUANTILES
+    ]
+    return ranked.groupBy("source").agg(
+        F.max("n").alias("n_docs"), *picks
+    )

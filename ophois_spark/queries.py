@@ -2621,3 +2621,51 @@ FROM reach GROUP BY id
 
 QUERIES.update({"embedding_dedup_clusters": q_embedding_dedup_clusters})
 ORACLES.update({"embedding_dedup_clusters": SQL_EMBEDDING_DEDUP_CLUSTERS})
+
+
+def q_source_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistic token-count quantiles per source (lower /
+    type-1 selection — integers drawn from the data, so cross-engine
+    bit-stable, unlike interpolated quantiles)."""
+    from ophois_spark.operators.textops import source_token_quantiles
+
+    out = source_token_quantiles(load(spark, sf_dir, "documents"))
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("p50").cast("long").alias("p50"),
+        F.col("p90").cast("long").alias("p90"),
+        F.col("p99").cast("long").alias("p99"),
+    )
+
+
+def _source_quantiles_sql() -> str:
+    from ophois_spark.operators.textops import QUANTILES
+
+    picks = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN rk = (({q} * n) + 99) // 100 THEN n_tok END) AS BIGINT) AS p{q}"
+        for q in QUANTILES
+    )
+    return rf"""
+WITH t AS (
+  SELECT source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT source, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM t
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       {picks}
+FROM r GROUP BY source
+"""
+
+
+SQL_SOURCE_TOKEN_QUANTILES = _source_quantiles_sql()
+
+QUERIES.update({"source_token_quantiles": q_source_token_quantiles})
+ORACLES.update({"source_token_quantiles": SQL_SOURCE_TOKEN_QUANTILES})
