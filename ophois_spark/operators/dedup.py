@@ -282,29 +282,46 @@ def near_dup_clusters(
 
     Scale shape at 10^12 docs: verification reuses the array-free
     exploded-count join (constant shuffle payload per row); the
-    component loop runs O(log diameter) rounds over an edge set that is
-    the *verified near-dup pairs only* — orders of magnitude smaller
-    than the corpus — while the node set enters only as the trivial
-    (id, id) seed labels; the result is one near-unique-key join back
-    to docs. Components reuse ``connected_components`` (numeric min
-    label = min doc_id), the same operator the street graph uses.
+    component loop runs over the INDUCED pair subgraph only — both its
+    edge set (verified near-dup pairs) AND its node set (their
+    endpoints) are orders of magnitude smaller than the corpus, so the
+    O(log diameter) label rounds never iterate over the untouched
+    documents; singletons self-label through one left join at the end.
+    Components reuse ``connected_components`` (numeric min label = min
+    doc_id), the same operator the street graph uses.
+    """
+    return _clusters_from_pairs(
+        docs.select(F.col("doc_id").alias("id")),
+        shingle_jaccard_pairs(docs, k)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster"),
+        (F.col("id") == F.col("comp")).cast("int").alias("is_canonical"),
+    )
+
+
+def _clusters_from_pairs(ids: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(id) × (src, dst) → (id, comp) with comp = min id in component
+    and comp = id for rows untouched by any pair.
+
+    The label loop runs on the induced subgraph (pair endpoints only):
+    at corpus scale the iterated relation shrinks from |corpus| to
+    |near-dup endpoints| — typically orders of magnitude — while the
+    full id set enters exactly once, through the final left join.
     """
     from ophois_spark.operators.components import connected_components
     from ophois_spark.operators.graph import StreetGraph
 
-    pairs = shingle_jaccard_pairs(docs, k).filter(F.col("jaccard") >= threshold)
-    labels = connected_components(
-        StreetGraph(
-            nodes=docs.select(F.col("doc_id").alias("id")),
-            edges=pairs.select(
-                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-            ),
-        )
+    endpoints = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct()
     )
-    return labels.select(
-        F.col("id").alias("doc_id"),
-        F.col("comp").alias("cluster"),
-        (F.col("id") == F.col("comp")).cast("int").alias("is_canonical"),
+    labels = connected_components(StreetGraph(nodes=endpoints, edges=pairs))
+    return ids.join(labels, "id", "left").select(
+        "id", F.coalesce("comp", "id").alias("comp")
     )
 
 

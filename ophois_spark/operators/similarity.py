@@ -375,24 +375,20 @@ def embedding_dedup_clusters(
     is the unit of removal; ``WHERE is_canonical = 1`` IS the
     deduplicated embedding corpus.
 
-    Scale shape: the component loop runs over the VERIFIED pair set
-    only (orders of magnitude smaller than the corpus); the node set
-    enters as trivial (id, id) seed labels; everything upstream
-    inherits near_dup_pairs' banded-LSH bounds.
+    Scale shape: the component loop runs over the INDUCED pair
+    subgraph only — verified pairs and their endpoints, both orders of
+    magnitude smaller than the corpus; untouched vectors self-label
+    through one left join; everything upstream inherits
+    near_dup_pairs' banded-LSH bounds.
     """
-    from ophois_spark.operators.components import connected_components
-    from ophois_spark.operators.graph import StreetGraph
+    from ophois_spark.operators.dedup import _clusters_from_pairs
 
     pairs = near_dup_pairs(
         embeddings, threshold, n_bands=n_bands, band_planes=band_planes, id_col=id_col
     )
-    labels = connected_components(
-        StreetGraph(
-            nodes=embeddings.select(F.col(id_col).alias("id")),
-            edges=pairs.select(
-                F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
-            ),
-        )
+    labels = _clusters_from_pairs(
+        embeddings.select(F.col(id_col).alias("id")),
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
     )
     return labels.select(
         F.col("id").alias("vec_id"),
