@@ -314,6 +314,11 @@ def _clusters_from_pairs(ids: DataFrame, pairs: DataFrame) -> DataFrame:
     from ophois_spark.operators.components import connected_components
     from ophois_spark.operators.graph import StreetGraph
 
+    # materialize the verified pairs ONCE: endpoints and the loop's
+    # bidirected edge relation both derive from this (tiny) set, and
+    # without the checkpoint each would independently replay the
+    # expensive verification lineage upstream
+    pairs = pairs.localCheckpoint(eager=True)
     endpoints = (
         pairs.select(F.col("src").alias("id"))
         .unionByName(pairs.select(F.col("dst").alias("id")))
