@@ -32,6 +32,22 @@ class StreetGraph:
     nodes: DataFrame
     edges: DataFrame
 
+    def checkpoint(self) -> "StreetGraph":
+        """Materialize both relations (eager localCheckpoint) — the
+        stage-boundary cut of a multi-stage pipeline. A contraction
+        stage reads its input graph through several independent
+        consumers (degree snapshot, induced edges, boundary semi-joins,
+        component seeds); without the cut each consumer replays the
+        previous stages' join lineage at its own materialization
+        (measured on the simplify chain at sf0.1: ~30% of wall time).
+        At cluster scale the same boundary is where the snapshot log
+        writes its resumable parquet stage (plans/snapshots.py) — this
+        is the in-session equivalent."""
+        return StreetGraph(
+            self.nodes.localCheckpoint(eager=True),
+            self.edges.localCheckpoint(eager=True),
+        )
+
     def degrees(self) -> DataFrame:
         """Per-node degree, including 0 for isolated nodes.
 

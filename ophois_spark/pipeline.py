@@ -46,7 +46,12 @@ def _staged(
     spark: SparkSession, log: SnapshotLog | None, stage: str, fn, g_fn_input=None
 ) -> StreetGraph:
     if log is None:
-        return fn()
+        # no snapshot log: cut lineage in-session instead — the next
+        # stage (and the 3-way metrics fan-out) reads the materialized
+        # relations rather than replaying this stage's joins per
+        # consumer (the committed-parquet path below gets the same cut
+        # from load_tables)
+        return fn().checkpoint()
     tables = log.run_stage(
         spark,
         stage,
