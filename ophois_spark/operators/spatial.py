@@ -603,17 +603,31 @@ def render_tiles(edges_with_coords: DataFrame, zoom: int, tile_px: int = 256) ->
         safe_div = np.where(div > 0, div, 1)
         step_x = np.where(div > 0, (cc - ca) / safe_div, 0.0)
         step_y = np.where(div > 0, (cd - cb) / safe_div, 0.0)
-        off = np.cumsum(steps) - steps
-        k = np.arange(int(steps.sum()), dtype=np.int64) - np.repeat(off, steps)
-        xs = k * np.repeat(step_x, steps) + np.repeat(ca, steps)
-        ys = k * np.repeat(step_y, steps) + np.repeat(cb, steps)
-        multi = div > 0
-        xs[(off + div)[multi]] = cc[multi]
-        ys[(off + div)[multi]] = cd[multi]
-        ix = np.floor(xs + 0.5).astype(np.int64)
-        iy = np.floor(ys + 0.5).astype(np.int64)
-        keep = (ix >= 0) & (ix < tile_px) & (iy >= 0) & (iy < tile_px)
-        img[iy[keep], ix[keep]] = 255
+        # walk in CACHE-SIZED chunks of edges (~1M samples): one giant
+        # flattened walk is bandwidth-bound — with 32 concurrent tile
+        # tasks the ~100M-element temporaries thrash DRAM and run 3-10x
+        # slower than the scalar loop they replaced; chunking keeps the
+        # temporaries cache-resident, the work loop-free per row, and
+        # the dispatch at ~total/1M iterations
+        cum = np.cumsum(steps)
+        chunk_edges = np.searchsorted(cum, np.arange(1, cum[-1] if len(cum) else 0, 1 << 20))
+        bounds = np.concatenate(([0], chunk_edges, [len(steps)]))
+        for lo_i, hi_i in zip(bounds[:-1], bounds[1:]):
+            if lo_i >= hi_i:
+                continue
+            st = steps[lo_i:hi_i]
+            dv = div[lo_i:hi_i]
+            off = np.cumsum(st) - st
+            k = np.arange(int(st.sum()), dtype=np.int64) - np.repeat(off, st)
+            xs = k * np.repeat(step_x[lo_i:hi_i], st) + np.repeat(ca[lo_i:hi_i], st)
+            ys = k * np.repeat(step_y[lo_i:hi_i], st) + np.repeat(cb[lo_i:hi_i], st)
+            multi = dv > 0
+            xs[(off + dv)[multi]] = cc[lo_i:hi_i][multi]
+            ys[(off + dv)[multi]] = cd[lo_i:hi_i][multi]
+            ix = np.floor(xs + 0.5).astype(np.int64)
+            iy = np.floor(ys + 0.5).astype(np.int64)
+            keep = (ix >= 0) & (ix < tile_px) & (iy >= 0) & (iy < tile_px)
+            img[iy[keep], ix[keep]] = 255
         return pd.DataFrame(
             {
                 "zoom": [zoom],
