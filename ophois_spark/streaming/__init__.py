@@ -1,5 +1,6 @@
 from ophois_spark.streaming.ingest_stream import (
     stream_dedup_nodes,
+    stream_doc_registry,
     stream_graph_snapshots,
     stream_node_registry,
     stream_page_records,
@@ -8,6 +9,7 @@ from ophois_spark.streaming.ingest_stream import (
 __all__ = [
     "stream_page_records",
     "stream_dedup_nodes",
+    "stream_doc_registry",
     "stream_graph_snapshots",
     "stream_node_registry",
 ]

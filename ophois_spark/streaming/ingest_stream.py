@@ -295,3 +295,80 @@ def stream_node_registry(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def stream_doc_registry(
+    docs_stream: DataFrame, state_timeout_ms: int | None = None
+) -> DataFrame:
+    """Streaming corpus exact-dedup: a first-wins FINGERPRINT registry
+    (``applyInPandasWithState``) over an unbounded document stream —
+    the incremental twin of the batch ``exact_dedup`` /
+    ``corpus_pipeline`` exact stage, for continuously-arriving crawl
+    data.
+
+    Key = whitespace-normalized md5 content fingerprint. State per
+    fingerprint: (rep_doc_id, n_seen). The representative is pinned by
+    the FIRST batch in which the content appears (within a batch the
+    minimum doc_id stands in for arrival order — the same deterministic
+    winner the batch aggregation picks), so re-crawled bodies never
+    churn the corpus; ``n_seen`` accumulates the duplicate pressure per
+    content across batches/restarts via the state store. Output mode
+    "update": one row per fingerprint per batch it appears in — the
+    LAST row per fingerprint is the registry's current state, and
+    feeding only first-appearance rows downstream IS the streaming
+    dedup.
+
+    State size is O(distinct contents) — the cardinality the batch
+    dedup shuffles; for truly unbounded streams pass
+    ``state_timeout_ms`` to evict idle fingerprints (re-appearing
+    content re-pins, the same bounded-state trade as the node
+    registry). Vectorized pandas reductions per Arrow chunk, no row
+    loops.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    fp = F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    keyed = docs_stream.select(
+        fp.alias("fp"), F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        best = None
+        n_batch = 0
+        for pdf in pdfs:
+            n_batch += len(pdf)
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                best = m if best is None else min(best, m)
+        if state.exists:
+            rep0, n0 = state.get
+        else:
+            rep0, n0 = best, 0
+        n_total = n0 + n_batch
+        state.update((rep0, n_total))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            {"fp": [key[0]], "rep_doc_id": [rep0], "n_seen": [n_total]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("fp").applyInPandasWithState(
+        update,
+        outputStructType="fp string, rep_doc_id long, n_seen long",
+        stateStructType="rep_doc_id long, n_seen long",
+        outputMode="update",
+        timeoutConf=timeout,
+    )

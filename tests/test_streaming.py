@@ -242,3 +242,60 @@ def test_stream_node_registry_stateful_first_wins(spark, pages_dir, tmp_path):
     assert set(got2) == set(extra_counts)
     for nid, row in got2.items():
         assert row["n_seen"] == counts.get(nid, 0) + extra_counts[nid]
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    """Documents with exact duplicates, written in two arrivals; the
+    duplicate of doc 1 arrives in the LATER chunk so first-wins pinning
+    across batches is exercised, and doc 7's duplicate arrives in the
+    same chunk (within-batch winner)."""
+    root = str(tmp_path_factory.mktemp("docs_stream"))
+    rows1 = [(1, "alpha beta gamma", "a"), (7, "x y z", "b"),
+             (8, "  x   y z ", "b"), (3, "unique one", "c")]
+    rows2 = [(9, "alpha  beta gamma ", "a"), (4, "unique two", "c")]
+    schema = "doc_id long, text string, source string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(root)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(root)
+    return root
+
+
+def test_stream_doc_registry_matches_batch(spark, docs_dir):
+    """stream==batch for the corpus fingerprint registry: the final
+    per-fp row must equal the batch dedup (min doc_id rep, total
+    count)."""
+    from ophois_spark.streaming import stream_doc_registry
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string"
+    ).parquet(docs_dir)
+    q = (
+        stream_doc_registry(stream)
+        .writeStream.format("memory")
+        .queryName("doc_registry_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT fp, rep_doc_id, n_seen FROM doc_registry_sink"
+    ).collect()
+    # last row per fp = the registry's current state
+    got = {}
+    for r in rows:
+        if r.fp not in got or r.n_seen > got[r.fp][1]:
+            got[r.fp] = (r.rep_doc_id, r.n_seen)
+
+    batch = (
+        spark.read.parquet(docs_dir)
+        .groupBy(
+            F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias("fp")
+        )
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+    )
+    want = {r.fp: (r.rep, r.n) for r in batch.collect()}
+    assert got == want
+    # the cross-batch duplicate kept its FIRST-batch representative
+    dup_fp = [fp for fp, (rep, n) in want.items() if n == 2 and rep == 1]
+    assert dup_fp and got[dup_fp[0]][0] == 1
