@@ -39,7 +39,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ophois_spark.operators.dedup import NEAR_DUP_JACCARD, near_dup_clusters
-from ophois_spark.operators.textops import LANG_PROFILES, _count_in, tokens_col
+from ophois_spark.operators.textops import (
+    LANG_PROFILES,
+    _count_in,
+    n_tokens_col,
+    tokens_col,
+)
 
 # funnel thresholds (shared with the SQL oracle; on the synthetic
 # corpus they produce a non-trivial funnel: 500 -> 320 -> 320 -> 303)
@@ -58,12 +63,9 @@ def corpus_pipeline(
     """quality/lang gate → exact dedup → near-dup cluster dedup →
     surviving (doc_id, source, n_tokens)."""
     text = F.col("text")
-    toks = tokens_col(text)
     ltoks = tokens_col(F.lower(text))
     n_chars = F.length(text)
-    n_tokens = (
-        F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks)).cast("int")
-    )
+    n_tokens = n_tokens_col(text).cast("int")
     alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast(
         "double"
     ) / n_chars.cast("double")
@@ -175,12 +177,7 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    text = F.col("text")
-    n_tokens = (
-        F.when(F.trim(text) == "", F.lit(0))
-        .otherwise(F.size(tokens_col(text)))
-        .cast("long")
-    )
+    n_tokens = n_tokens_col(F.col("text"))
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")

@@ -240,7 +240,13 @@ def ivf_centroids_kmeans(
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col("embedding")).alias("v")
     ).localCheckpoint(eager=True)
-    dim = len(base.select("v").first()["v"])
+    head = base.select("v").first()
+    if head is None:
+        # empty input: nothing to train on — return the (empty) seed,
+        # matching the untrained path's empty-result behavior instead
+        # of raising on None["v"]
+        return ivf_centroids(embeddings, n_centroids, id_col)
+    dim = len(head["v"])
     cents = ivf_centroids(embeddings, n_centroids, id_col).localCheckpoint(eager=True)
     for _ in range(n_iter):
         assign = ivf_assign(base.withColumnRenamed("v", "embedding"), cents)
@@ -289,14 +295,20 @@ def ivf_topk(
     n_centroids: int = N_CENTROIDS,
     id_col: str = "vec_id",
     trained: bool = False,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` nearest inverted lists per query,
     exact cosine re-rank inside them — the standard scale path (search
     cost ~ nprobe/n_centroids of brute force). ``trained=True`` swaps
     the deterministic hash-sample quantizer for k-means centroids
     (``ivf_centroids_kmeans``) — better-balanced lists and recall;
-    bench.py reports recall@k for both against ``cosine_topk``."""
-    if trained:
+    bench.py reports recall@k for both against ``cosine_topk``. Pass
+    ``centroids`` to reuse an already-built quantizer across nprobe
+    settings (training is a pure function of the corpus — retraining
+    per probe depth would redo identical Lloyd iterations)."""
+    if centroids is not None:
+        cents = centroids
+    elif trained:
         cents = ivf_centroids_kmeans(embeddings, n_centroids, id_col=id_col)
     else:
         cents = ivf_centroids(embeddings, n_centroids, id_col)

@@ -24,6 +24,18 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def n_tokens_col(text: Column) -> Column:
+    """Empty-safe whitespace token count (LONG, cast at call sites if
+    narrower): the single definition of the engine's token-count
+    contract — ``split(trim(x))`` yields [""] on empty input, so the
+    empty case must short-circuit to 0 everywhere it is counted."""
+    return (
+        F.when(F.trim(text) == "", F.lit(0))
+        .otherwise(F.size(tokens_col(text)))
+        .cast("long")
+    )
+
+
 def _count_in(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*words)))
 
@@ -37,7 +49,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     toks = tokens_col(text)
     n_chars = F.length(text)
-    n_tokens = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks)).cast("int")
+    n_tokens = n_tokens_col(text).cast("int")
     n_alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
     n_stop = _count_in(toks, STOPWORDS_EN)
     return docs.select(
@@ -150,12 +162,7 @@ def source_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     host-key skew (one giant domain) collapses to one partial row per
     input split before the shuffle.
     """
-    text = F.col(text_col)
-    n_tokens = (
-        F.when(F.trim(text) == "", F.lit(0))
-        .otherwise(F.size(tokens_col(text)))
-        .cast("long")
-    )
+    n_tokens = n_tokens_col(F.col(text_col))
     return (
         docs.select("source", n_tokens.alias("_t"), F.col("n_chars"))
         .groupBy("source")
@@ -227,13 +234,7 @@ def source_token_quantiles(docs: DataFrame, text_col: str = "text") -> DataFrame
     """
     from pyspark.sql import Window
 
-    text = F.col(text_col)
-    n_tokens = (
-        F.when(F.trim(text) == "", F.lit(0))
-        .otherwise(F.size(tokens_col(text)))
-        .cast("long")
-    )
-    d = docs.select("source", n_tokens.alias("n_tok"))
+    d = docs.select("source", n_tokens_col(F.col(text_col)).alias("n_tok"))
     w = Window.partitionBy("source").orderBy("n_tok")
     ranked = d.select(
         "source",

@@ -65,15 +65,26 @@ def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRAPH_CACHE: dict = {}
+
+
 def derived_graph(spark: SparkSession, sf_dir: str) -> StreetGraph:
-    nodes = derived_nodes(spark, sf_dir).select(
-        "id",
-        F.col("lat_d").cast("string").alias("lat"),
-        F.col("lon_d").cast("string").alias("lon"),
-        "lat_d",
-        "lon_d",
-    )
-    return StreetGraph(nodes, derived_edges(spark, sf_dir))
+    """Memoized per (session, sf_dir), MATERIALIZED once: ~20 registry
+    queries start from this graph, and each would otherwise replay the
+    scan + canonical-dedup lineage at its own first materialization.
+    Single-entry cache, same policy as ``_component_labels``."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE.clear()
+        nodes = derived_nodes(spark, sf_dir).select(
+            "id",
+            F.col("lat_d").cast("string").alias("lat"),
+            F.col("lon_d").cast("string").alias("lon"),
+            "lat_d",
+            "lon_d",
+        )
+        _GRAPH_CACHE[key] = StreetGraph(nodes, derived_edges(spark, sf_dir)).checkpoint()
+    return _GRAPH_CACHE[key]
 
 
 _NODES_SQL = """
@@ -256,22 +267,22 @@ FROM documents GROUP BY 1
 # the split a byte-pair tokenizer applies before merges, so its match
 # count tracks LLM token counts far better than whitespace splitting
 # ("don't." = 1 whitespace token but 4 BPE-ish: don / ' / t / .).
-# ASCII-only classes on purpose: Java (Spark) and RE2-flavored (DuckDB)
-# engines agree exactly on this pattern.
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# ASCII-only classes on purpose, with the whitespace class spelled out
+# EXPLICITLY: Java's \s includes \x0B (vertical tab) while RE2's does
+# not, so a literal \s would make the two engines disagree on texts
+# containing \x0B. The explicit class is identical in both.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting over documents, both contract variants: naive
     whitespace tokens and the BPE-ish pre-tokenizer match count."""
+    from ophois_spark.operators.textops import n_tokens_col
+
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
     return d.select(
         "doc_id",
-        F.when(F.trim(F.col("text")) == "", F.lit(0))
-        .otherwise(F.size(toks))
-        .cast("int")
-        .alias("n_tokens"),
+        n_tokens_col(F.col("text")).cast("int").alias("n_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0))
         .cast("int")
         .alias("n_bpe_tokens"),
@@ -2497,7 +2508,6 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _url_dedup_sql() -> str:
     from ophois_spark.operators.urls import URL_RX
 
-    rx = URL_RX.replace("\\", "\\\\").replace("'", "''")
     # DuckDB needs the raw pattern; single backslashes survive in a
     # standard string literal, so interpolate the pattern verbatim
     rx = URL_RX

@@ -36,12 +36,17 @@ def test_bfs_largest_component_golden(spark):
 @settings(max_examples=8, deadline=None)
 @given(st.integers(min_value=0, max_value=2**32))
 def test_star_and_labelprop_components_equivalent(spark, seed):
-    """A/B invariant: the large-star/small-star default and the
-    label-propagation comparator produce identical (id, comp) labels —
-    including on a long chain appended to stress diameter."""
+    """A/B invariant: large-star/small-star contraction and label
+    propagation produce identical (id, comp) labels — including on a
+    long chain appended to stress diameter. Both algorithms are named
+    EXPLICITLY (connected_components delegates to labelprop, so calling
+    it here would compare labelprop against itself)."""
     import random
 
-    from ophois_spark.operators.components import connected_components_labelprop
+    from ophois_spark.operators.components import (
+        connected_components_labelprop,
+        connected_components_star,
+    )
 
     rnd = random.Random(seed)
     n = rnd.randint(2, 30)
@@ -54,7 +59,7 @@ def test_star_and_labelprop_components_equivalent(spark, seed):
     links |= set(zip(chain, chain[1:]))
     nodes = [(i, "48.0", "2.0") for i in ids + chain]
     g = graph_from_tuples(spark, nodes, sorted(links))
-    a = sorted(map(tuple, connected_components(g).collect()))
+    a = sorted(map(tuple, connected_components_star(g).collect()))
     b = sorted(map(tuple, connected_components_labelprop(g).collect()))
     assert a == b
 

@@ -58,8 +58,12 @@ def main() -> int:
                 row["schema_match"] = list(got.columns) == list(want.columns)
                 row["rows_match"] = len(got) == len(want)
                 if row["schema_match"] and row["rows_match"]:
+                    # Series.equals is NaN-aware (NaN == NaN here),
+                    # matching the driver gate's hash-of-sorted-values
+                    # treatment of nulls; plain list equality would FAIL
+                    # legitimate NULL double columns (nan != nan)
                     row["values_match"] = all(
-                        got[c].tolist() == want[c].tolist() for c in got.columns
+                        got[c].equals(want[c]) for c in got.columns
                     )
         except Exception as exc:  # surface, keep sweeping
             row["err"] = f"{type(exc).__name__}: {exc}"[:300]
