@@ -81,6 +81,7 @@ def main() -> None:
     from ophois_spark.operators.similarity import (
         ann_topk,
         cosine_topk,
+        ivf_assign,
         ivf_centroids_kmeans,
         ivf_topk,
     )
@@ -98,13 +99,14 @@ def main() -> None:
     # triple the cost and hide it outside the recall timers
     t0 = time.perf_counter()
     km_cents = ivf_centroids_kmeans(emb)
+    km_assign = ivf_assign(emb, km_cents).localCheckpoint(eager=True)
     timings["ivf_kmeans_train"] = round(time.perf_counter() - t0, 3)
     ann_recall: dict[str, float] = {}
     for variant, df in {
         "ivf_hash_nprobe2": ivf_topk(emb, qset, recall_k, nprobe=2),
-        "ivf_kmeans_nprobe2": ivf_topk(emb, qset, recall_k, nprobe=2, centroids=km_cents),
-        "ivf_kmeans_nprobe8": ivf_topk(emb, qset, recall_k, nprobe=8, centroids=km_cents),
-        "ivf_kmeans_nprobe16": ivf_topk(emb, qset, recall_k, nprobe=16, centroids=km_cents),
+        "ivf_kmeans_nprobe2": ivf_topk(emb, qset, recall_k, nprobe=2, centroids=km_cents, assignment=km_assign),
+        "ivf_kmeans_nprobe8": ivf_topk(emb, qset, recall_k, nprobe=8, centroids=km_cents, assignment=km_assign),
+        "ivf_kmeans_nprobe16": ivf_topk(emb, qset, recall_k, nprobe=16, centroids=km_cents, assignment=km_assign),
         "lsh_bucket": ann_topk(emb, qset, recall_k),
     }.items():
         t0 = time.perf_counter()

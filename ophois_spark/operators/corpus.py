@@ -42,6 +42,7 @@ from ophois_spark.operators.dedup import NEAR_DUP_JACCARD, near_dup_clusters
 from ophois_spark.operators.textops import (
     LANG_PROFILES,
     _count_in,
+    content_fingerprint_col,
     n_tokens_col,
     tokens_col,
 )
@@ -89,7 +90,7 @@ def corpus_pipeline(
     )
     # exact dedup: min-doc_id winner per normalized content fingerprint,
     # carried whole through ONE map-side-combinable aggregation
-    fp = F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = content_fingerprint_col(F.col("text"))
     reps = (
         gated.groupBy(fp.alias("fp"))
         .agg(

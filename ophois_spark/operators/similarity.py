@@ -296,6 +296,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     trained: bool = False,
     centroids: DataFrame | None = None,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` nearest inverted lists per query,
     exact cosine re-rank inside them — the standard scale path (search
@@ -305,14 +306,18 @@ def ivf_topk(
     bench.py reports recall@k for both against ``cosine_topk``. Pass
     ``centroids`` to reuse an already-built quantizer across nprobe
     settings (training is a pure function of the corpus — retraining
-    per probe depth would redo identical Lloyd iterations)."""
+    per probe depth would redo identical Lloyd iterations), and
+    ``assignment`` (the ivf_assign result for those centroids) to skip
+    the O(N·k) list build too — nprobe affects only the probing."""
     if centroids is not None:
         cents = centroids
     elif trained:
         cents = ivf_centroids_kmeans(embeddings, n_centroids, id_col=id_col)
     else:
         cents = ivf_centroids(embeddings, n_centroids, id_col)
-    assign = ivf_assign(embeddings, cents, id_col)
+    assign = (
+        assignment if assignment is not None else ivf_assign(embeddings, cents, id_col)
+    )
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col("embedding")).alias("qv"))
 
     qsims = q.crossJoin(F.broadcast(cents)).select(

@@ -20,8 +20,24 @@ LANG_PROFILES: dict[str, list[str]] = {
 STOPWORDS_EN = LANG_PROFILES["en"]
 
 
+# Whitespace, as an EXPLICIT class identical in Java (Spark) and RE2
+# (DuckDB oracles): a literal \s would diverge — Java's \s includes
+# \x0B (vertical tab), RE2's does not. Java semantics are unchanged by
+# spelling the class out; the oracles gain the \x0B member so both
+# engines tokenize \x0B-bearing text identically.
+WS_RE = r"[ \t\n\x0B\f\r]+"
+
+
 def tokens_col(text: Column) -> Column:
-    return F.split(F.trim(text), r"\s+")
+    return F.split(F.trim(text), WS_RE)
+
+
+def content_fingerprint_col(text: Column) -> Column:
+    """Whitespace-normalized md5 content fingerprint — THE exact-dedup
+    identity shared by the corpus funnel, the streaming registry, and
+    the fingerprint operator (one definition; copies would let the
+    stream==batch contract drift silently)."""
+    return F.md5(F.regexp_replace(F.trim(text), WS_RE, " "))
 
 
 def n_tokens_col(text: Column) -> Column:
@@ -84,8 +100,9 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 of the whitespace-normalized
     token stream — the exact-dedup key robust to formatting noise."""
-    canon = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    return docs.select("doc_id", F.md5(canon).alias("fp"))
+    return docs.select(
+        "doc_id", content_fingerprint_col(F.col(text_col)).alias("fp")
+    )
 
 
 # winnowing fingerprint constants (Schleimer/Wilkerson/Aiken, SIGMOD'03

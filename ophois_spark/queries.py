@@ -292,7 +292,7 @@ def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_TOKEN_COUNT = rf"""
 SELECT doc_id,
        CAST(CASE WHEN trim(text) = '' THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tokens,
+            ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS INT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INT) AS n_bpe_tokens
 FROM documents
 """
@@ -807,7 +807,7 @@ ORACLES.update(
 # ---------------------------------------------------------------------------
 
 _TOKS_SQL = r"""
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents
 """
 
 _SHINGLES_SQL = f"""
@@ -861,7 +861,7 @@ def _lang_sql() -> str:
         return f"len(list_filter(lt, x -> x IN ({words})))"
 
     return rf"""
-WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS lt FROM documents),
+WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS lt FROM documents),
 s AS (SELECT doc_id, {score("de")} AS s_de, {score("en")} AS s_en, {score("fr")} AS s_fr FROM toks)
 SELECT doc_id,
        CASE WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
@@ -880,7 +880,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_FINGERPRINT = r"""
-SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp FROM documents
+SELECT doc_id, md5(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp FROM documents
 """
 
 
@@ -1989,7 +1989,7 @@ SQL_SOURCE_ROLLUP = r"""
 WITH tc AS (
   SELECT doc_id,
          CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS BIGINT) AS n_tokens
   FROM documents
 )
 SELECT d.source,
@@ -2251,7 +2251,7 @@ def _corpus_pipeline_sql() -> str:
     return rf"""
 WITH RECURSIVE
 toks AS MATERIALIZED ({_TOKS_SQL}),
-ltoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS lt FROM documents),
+ltoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS lt FROM documents),
 ls AS (SELECT doc_id, {score("de")} AS s_de, {score("en")} AS s_en, {score("fr")} AS s_fr FROM ltoks),
 lang AS (SELECT doc_id, CASE WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
                              WHEN s_en >= s_fr THEN 'en' ELSE 'fr' END AS pred_lang FROM ls),
@@ -2265,7 +2265,7 @@ keep AS MATERIALIZED (
           / CAST(length(d.text) AS DOUBLE) >= {MIN_ALPHA}
     AND lang.pred_lang = '{KEEP_LANG}'
 ),
-fp AS (SELECT k.doc_id, md5(regexp_replace(trim(d.text), '\s+', ' ', 'g')) AS fp
+fp AS (SELECT k.doc_id, md5(regexp_replace(trim(d.text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp
        FROM keep k JOIN documents d USING (doc_id)),
 reps AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
 sh AS MATERIALIZED (
@@ -2436,7 +2436,7 @@ def _pack_sequences_sql() -> str:
 WITH t AS (
   SELECT doc_id, source,
          CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS BIGINT) AS n_tok
   FROM documents
 ),
 s AS (
@@ -2664,7 +2664,7 @@ def _source_quantiles_sql() -> str:
 WITH t AS (
   SELECT source,
          CAST(CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
+              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS BIGINT) AS n_tok
   FROM documents
 ),
 r AS (

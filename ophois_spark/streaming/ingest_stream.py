@@ -302,8 +302,9 @@ def stream_doc_registry(
 ) -> DataFrame:
     """Streaming corpus exact-dedup: a first-wins FINGERPRINT registry
     (``applyInPandasWithState``) over an unbounded document stream —
-    the incremental twin of the batch ``exact_dedup`` /
-    ``corpus_pipeline`` exact stage, for continuously-arriving crawl
+    the incremental twin of the corpus funnel's exact fingerprint
+    stage (``content_fingerprint_col`` — whitespace-normalized, unlike
+    the raw-text ``exact_dedup``), for continuously-arriving crawl
     data.
 
     Key = whitespace-normalized md5 content fingerprint. State per
@@ -330,9 +331,13 @@ def stream_doc_registry(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    fp = F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    keyed = docs_stream.select(
-        fp.alias("fp"), F.col("doc_id").cast("long").alias("doc_id")
+    from ophois_spark.operators.textops import content_fingerprint_col
+
+    keyed = docs_stream.filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    ).select(
+        content_fingerprint_col(F.col("text")).alias("fp"),
+        F.col("doc_id").cast("long").alias("doc_id"),
     )
 
     def update(

@@ -246,29 +246,35 @@ def test_stream_node_registry_stateful_first_wins(spark, pages_dir, tmp_path):
 
 @pytest.fixture(scope="module")
 def docs_dir(spark, tmp_path_factory):
-    """Documents with exact duplicates, written in two arrivals; the
-    duplicate of doc 1 arrives in the LATER chunk so first-wins pinning
-    across batches is exercised, and doc 7's duplicate arrives in the
-    same chunk (within-batch winner)."""
+    """Documents with exact duplicates in two parquet files (two
+    micro-batches under maxFilesPerTrigger=1). The SECOND file carries
+    a duplicate of file 1's doc 1 with a SMALLER doc_id (0), so
+    first-wins pinning is distinguishable from a global min: a
+    regression to per-batch/global min would report 0, the pinned
+    registry must keep 1. Doc 7/8 duplicate within one file exercises
+    the within-batch winner."""
     root = str(tmp_path_factory.mktemp("docs_stream"))
     rows1 = [(1, "alpha beta gamma", "a"), (7, "x y z", "b"),
              (8, "  x   y z ", "b"), (3, "unique one", "c")]
-    rows2 = [(9, "alpha  beta gamma ", "a"), (4, "unique two", "c")]
+    rows2 = [(0, "alpha  beta gamma ", "a"), (4, "unique two", "c")]
     schema = "doc_id long, text string, source string"
     spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(root)
     spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(root)
     return root
 
 
-def test_stream_doc_registry_matches_batch(spark, docs_dir):
-    """stream==batch for the corpus fingerprint registry: the final
-    per-fp row must equal the batch dedup (min doc_id rep, total
-    count)."""
+def test_stream_doc_registry_first_wins_across_batches(spark, docs_dir):
+    """The registry's final state: counts equal the batch aggregation;
+    the representative is the FIRST batch's winner even when a smaller
+    doc_id arrives later (the pinning contract, not a global min)."""
+    from ophois_spark.operators.textops import content_fingerprint_col
     from ophois_spark.streaming import stream_doc_registry
 
-    stream = spark.readStream.schema(
-        "doc_id long, text string, source string"
-    ).parquet(docs_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(docs_dir)
+    )
     q = (
         stream_doc_registry(stream)
         .writeStream.format("memory")
@@ -281,7 +287,10 @@ def test_stream_doc_registry_matches_batch(spark, docs_dir):
     rows = spark.sql(
         "SELECT fp, rep_doc_id, n_seen FROM doc_registry_sink"
     ).collect()
-    # last row per fp = the registry's current state
+    assert len(rows) > len({r.fp for r in rows}), (
+        "expected at least one fingerprint updated across two "
+        "micro-batches; maxFilesPerTrigger slicing did not happen"
+    )
     got = {}
     for r in rows:
         if r.fp not in got or r.n_seen > got[r.fp][1]:
@@ -289,13 +298,17 @@ def test_stream_doc_registry_matches_batch(spark, docs_dir):
 
     batch = (
         spark.read.parquet(docs_dir)
-        .groupBy(
-            F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias("fp")
-        )
-        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .groupBy(content_fingerprint_col(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("mn"), F.count(F.lit(1)).alias("n"))
     )
-    want = {r.fp: (r.rep, r.n) for r in batch.collect()}
-    assert got == want
-    # the cross-batch duplicate kept its FIRST-batch representative
-    dup_fp = [fp for fp, (rep, n) in want.items() if n == 2 and rep == 1]
-    assert dup_fp and got[dup_fp[0]][0] == 1
+    want = {r.fp: (r.mn, r.n) for r in batch.collect()}
+    assert set(got) == set(want)
+    assert all(got[fp][1] == want[fp][1] for fp in want), "counts != batch"
+    # the cross-batch duplicate group: global min is 0 (second batch),
+    # but the registry pinned the FIRST batch's winner 1
+    cross = [fp for fp, (mn, n) in want.items() if n == 2 and mn == 0]
+    assert cross and got[cross[0]][0] == 1
+    # groups whose min arrived first agree with the batch min
+    for fp, (mn, n) in want.items():
+        if fp not in cross:
+            assert got[fp][0] == mn

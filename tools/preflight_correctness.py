@@ -58,12 +58,19 @@ def main() -> int:
                 row["schema_match"] = list(got.columns) == list(want.columns)
                 row["rows_match"] = len(got) == len(want)
                 if row["schema_match"] and row["rows_match"]:
-                    # Series.equals is NaN-aware (NaN == NaN here),
-                    # matching the driver gate's hash-of-sorted-values
-                    # treatment of nulls; plain list equality would FAIL
-                    # legitimate NULL double columns (nan != nan)
+                    # NaN-aware AND dtype-tolerant, matching the
+                    # driver gate's hash-of-sorted-values: nulls equal
+                    # each other (plain list equality fails nan != nan)
+                    # and int32 vs int64 / Int64 vs float64 columns
+                    # compare on VALUES (Series.equals would add dtype
+                    # strictness the real gate does not have)
+                    def col_eq(a, b):
+                        av = a.astype(object).where(a.notna(), None).tolist()
+                        bv = b.astype(object).where(b.notna(), None).tolist()
+                        return av == bv
+
                     row["values_match"] = all(
-                        got[c].equals(want[c]) for c in got.columns
+                        col_eq(got[c], want[c]) for c in got.columns
                     )
         except Exception as exc:  # surface, keep sweeping
             row["err"] = f"{type(exc).__name__}: {exc}"[:300]
