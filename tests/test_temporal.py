@@ -110,3 +110,58 @@ def test_simhash_hamming_plan_no_cartesian(spark):
     )
     plan = simhash_hamming_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Cross-implementation reference: on a random keyed event set, the
+    merge-formulation asof_join must equal pandas.merge_asof
+    (direction='backward' — at-or-before, last-wins on ties), batched
+    through one Spark job."""
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(7)
+    left_rows = [
+        (i, rnd.randrange(5), rnd.randrange(100)) for i in range(200)
+    ]
+    right_rows = [
+        (1000 + i, rnd.randrange(5), rnd.randrange(100), float(i))
+        for i in range(300)
+    ]
+    left = spark.createDataFrame(left_rows, "event_id long, user_id long, t long")
+    right = spark.createDataFrame(
+        right_rows, "event_id long, user_id long, t long, value double"
+    )
+    got = (
+        asof_join(
+            left,
+            right,
+            key="user_id",
+            ts="t",
+            tie="event_id",
+            payload=["event_id", "value"],
+            prefix="r_",
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+
+    lp = pd.DataFrame(left_rows, columns=["event_id", "user_id", "t"]).sort_values(
+        ["t", "event_id"]
+    )
+    rp = pd.DataFrame(
+        right_rows, columns=["r_event_id", "user_id", "t", "r_value"]
+    ).sort_values(["t", "r_event_id"])  # last among equal (t) = max tie
+    want = pd.merge_asof(
+        lp, rp, on="t", by="user_id", direction="backward"
+    ).sort_values("event_id")
+    g = got.set_index("event_id")
+    w = want.set_index("event_id")
+    for eid in w.index:
+        we, ge = w.loc[eid], g.loc[eid]
+        if pd.isna(we["r_event_id"]):
+            assert pd.isna(ge["r_event_id"]), eid
+        else:
+            assert ge["r_event_id"] == we["r_event_id"], eid
+            assert ge["r_value"] == we["r_value"], eid

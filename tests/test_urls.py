@@ -35,3 +35,30 @@ def test_canonical_url_https_port_and_empty_path(spark):
 
 def test_canonical_url_all_params_tracking(spark):
     assert _canon(spark, ["http://e.com/p?utm_a=1&utm_b=2"]) == ["http://e.com/p"]
+
+
+def test_canonical_url_idempotent_on_generated_corpus(spark):
+    """Idempotence (canon∘canon == canon) and shape invariants over a
+    400-URL generated corpus, batched through ONE Spark job."""
+    import itertools
+
+    schemes = ["http", "https", "HTTP"]
+    hosts = ["www.Site.com", "site.com", "a.b.site.org:8080",
+             "site.com:80", "site.com:443"]
+    paths = ["", "/", "/x", "/x/y.html"]
+    queries = ["", "?b=2&a=1", "?utm_s=1", "?utm_s=1&z=9&a=1"]
+    frags = ["", "#top"]
+    urls = [
+        f"{s}://{h}{p}{q}{f}"
+        for s, h, p, q, f in itertools.islice(
+            itertools.product(schemes, hosts, paths, queries, frags), 400
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+    ).select("c1", canonical_url(F.col("c1")).alias("c2"))
+    rows = out.collect()
+    assert all(r.c1 == r.c2 for r in rows), "canonicalization not idempotent"
+    assert all("#" not in r.c1 and "utm_" not in r.c1 for r in rows)
+    assert all(r.c1.split("://")[0] in ("http", "https") for r in rows)
