@@ -2683,3 +2683,87 @@ SQL_SOURCE_TOKEN_QUANTILES = _source_quantiles_sql()
 
 QUERIES.update({"source_token_quantiles": q_source_token_quantiles})
 ORACLES.update({"source_token_quantiles": SQL_SOURCE_TOKEN_QUANTILES})
+
+
+# ---------------------------------------------------------------------------
+# round-3 depth: admin-region geometry + density stats
+# ---------------------------------------------------------------------------
+
+
+def q_admin_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per admin polygon: vertex count, shoelace area (deg², rounded at
+    1e-12 so double summation ORDER can't flip a last ulp — the same
+    round-then-compare policy the cosine paths use), node count from
+    the gated PIP join, and nodes-per-deg² density. The area fold is a
+    fixed-order Column aggregate over the vertex arrays (codegen, no
+    shuffle); the oracle recomputes it from the SAME injected vertex
+    doubles as an edge-table SUM."""
+    from ophois_spark.operators.spatial import pip_join
+
+    polys = spark.createDataFrame(
+        PIP_POLYGONS, "poly_id string, xs array<double>, ys array<double>"
+    )
+    n = F.size("xs")
+    idx = F.sequence(F.lit(1), n)
+
+    def cross_term(j):
+        nxt = (j % n) + 1
+        return F.element_at("xs", j) * F.element_at("ys", nxt) - F.element_at(
+            "xs", nxt
+        ) * F.element_at("ys", j)
+
+    cross = F.aggregate(
+        F.transform(idx, cross_term), F.lit(0.0), lambda acc, v: acc + v
+    )
+    area = F.round(F.abs(cross) / 2, 12)
+    geo = polys.select(
+        "poly_id", n.cast("int").alias("n_vertices"), area.alias("area_deg2")
+    )
+    counts = (
+        pip_join(derived_nodes(spark, sf_dir), polys, res=CELL_RES)
+        .groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return geo.join(counts, "poly_id", "left").select(
+        "poly_id",
+        "n_vertices",
+        "area_deg2",
+        F.coalesce("n_nodes", F.lit(0)).cast("long").alias("n_nodes"),
+        F.round(
+            F.coalesce("n_nodes", F.lit(0)).cast("double") / F.col("area_deg2"), 6
+        ).alias("density"),
+    )
+
+
+def _admin_stats_sql() -> str:
+    rows = []
+    for pid, xs, ys in PIP_POLYGONS:
+        nv = len(xs)
+        for i in range(nv):
+            x1, y1 = xs[i], ys[i]
+            x2, y2 = xs[(i + 1) % nv], ys[(i + 1) % nv]
+            rows.append(
+                f"('{pid}', CAST('{x1!r}' AS DOUBLE), CAST('{y1!r}' AS DOUBLE),"
+                f" CAST('{x2!r}' AS DOUBLE), CAST('{y2!r}' AS DOUBLE))"
+            )
+    vals = ",\n    ".join(rows)
+    return f"""
+WITH pip AS ({SQL_PIP_ADMIN_JOIN}),
+counts AS (SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM pip GROUP BY poly_id),
+poly(poly_id, x1, y1, x2, y2) AS (VALUES {vals}),
+geo AS (
+  SELECT poly_id, CAST(COUNT(*) AS INT) AS n_vertices,
+         ROUND(ABS(SUM(x1 * y2 - x2 * y1)) / 2, 12) AS area_deg2
+  FROM poly GROUP BY poly_id
+)
+SELECT g.poly_id, g.n_vertices, g.area_deg2,
+       CAST(COALESCE(c.n_nodes, 0) AS BIGINT) AS n_nodes,
+       ROUND(CAST(COALESCE(c.n_nodes, 0) AS DOUBLE) / g.area_deg2, 6) AS density
+FROM geo g LEFT JOIN counts c USING (poly_id)
+"""
+
+
+SQL_ADMIN_REGION_STATS = _admin_stats_sql()
+
+QUERIES.update({"admin_region_stats": q_admin_region_stats})
+ORACLES.update({"admin_region_stats": SQL_ADMIN_REGION_STATS})
