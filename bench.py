@@ -44,37 +44,45 @@ def main() -> None:
     warm = spark.range(cpus * 4).repartition(cpus)
     warm.select(F.pandas_udf(lambda s: s, "long")(warm["id"])).count()
 
+    # -- measurement protocol ----------------------------------------------
+    # the shared-host VM shows up to 2x wall-clock noise and occasional
+    # stragglers (the SAME query has measured 16 s and 45 s an hour
+    # apart). Protocol: best-of-2 applied UNIFORMLY to every workload —
+    # a symmetric selection rule (the round-3 straggler-only re-run
+    # truncated just the slow tail, biasing totals low); the min of two
+    # passes is the warm-pass reading the scaling harness also uses.
+    # Both raw readings are DISCLOSED per workload in the "reps" map.
+    reps: dict[str, list[float]] = {}
+
+    def best_of_2(name: str, run) -> float:
+        t0 = time.perf_counter()
+        run()
+        t1 = time.perf_counter()
+        run()
+        t2 = time.perf_counter()
+        reps[name] = [round(t1 - t0, 3), round(t2 - t1, 3)]
+        t = min(t1 - t0, t2 - t1)
+        timings[name] = round(t, 3)
+        return t
+
     # -- pages pipeline (graph-construction throughput) --------------------
     n_pages = max(64, int(20000 * sf))  # sf0.1 → 2000 pages ≈ 12 MB XML
     pages = synth_pages(spark, n_pages, grid=12)
     pages = pages.localCheckpoint(eager=True)  # isolate generation cost
-    t0 = time.perf_counter()
-    g = graph_from_pages(pages.filter(pages["lang"] == "en"), persist_records=True)
-    n_nodes, n_edges = g.counts()
-    t_pipeline = time.perf_counter() - t0
-    timings["pages_pipeline"] = round(t_pipeline, 3)
+    counts: dict[str, int] = {}
+
+    def run_pipeline() -> None:
+        g = graph_from_pages(pages.filter(pages["lang"] == "en"), persist_records=True)
+        counts["nodes"], counts["edges"] = g.counts()
+
+    t_pipeline = best_of_2("pages_pipeline", run_pipeline)
+    n_nodes, n_edges = counts["nodes"], counts["edges"]
     pages_per_sec = n_pages / t_pipeline
     edges_per_sec = n_edges / t_pipeline
 
     # -- operator queries ---------------------------------------------------
-    # the shared-host VM shows up to 2x wall-clock noise and occasional
-    # stragglers (the SAME query has measured 16 s and 45 s an hour
-    # apart); any query beyond the straggler threshold is re-run once
-    # and the best kept — standard best-of-N for noisy hosts, and every
-    # re-run is DISCLOSED in the output's "reruns" map
-    straggler_s = 25.0
-    reruns: dict[str, list[float]] = {}
     for name, fn in sorted(QUERIES.items()):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        t = time.perf_counter() - t0
-        if t > straggler_s:
-            t1 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            t_retry = time.perf_counter() - t1
-            reruns[name] = [round(t, 3), round(t_retry, 3)]
-            t = min(t, t_retry)
-        timings[name] = round(t, 3)
+        best_of_2(name, lambda fn=fn: fn(spark, sf_dir).count())
 
     # -- ANN recall@k vs the exact baseline --------------------------------
     # quantifies the approximation the ANN paths trade for scale: recall =
@@ -129,25 +137,32 @@ def main() -> None:
         timings[f"recall_{variant}"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "graph-construction throughput + operator suite",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_pages": n_pages,
-                "graph_nodes": n_nodes,
-                "graph_edges": n_edges,
-                "pages_per_sec": round(pages_per_sec, 1),
-                "edges_per_sec": round(edges_per_sec, 1),
-                "ann_recall_at_10": ann_recall,
-                "reruns": reruns,
-                "cpus": cpus,
-            }
-        )
-    )
+    summary = {
+        "metric": "graph-construction throughput + operator suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_pages": n_pages,
+        "graph_nodes": n_nodes,
+        "graph_edges": n_edges,
+        "pages_per_sec": round(pages_per_sec, 1),
+        "edges_per_sec": round(edges_per_sec, 1),
+        "ann_recall_at_10": ann_recall,
+        "protocol": "best-of-2 per workload (symmetric), both readings in reps",
+        "reps": reps,
+        "cpus": cpus,
+    }
+    # the one stdout JSON line is the contract; ALSO persist it as a
+    # file so the round artifact stays machine-parseable even if the
+    # driver's stdout capture truncates/escapes the tail (BENCH_r03's
+    # did)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "bench_summary.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps(summary))
     spark.stop()
 
 

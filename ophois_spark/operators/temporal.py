@@ -51,6 +51,15 @@ def asof_join(
     ``right``'s ``payload`` columns arrive prefixed. ``ts`` may be any
     orderable type shared by both sides (use ``unix_micros`` for
     timestamps to keep cross-engine comparisons exact).
+
+    NULL-timestamp contract (SQL comparison semantics, matching the
+    ``r.ts <= l.ts`` predicate an oracle states): right rows with NULL
+    ``ts`` are never a valid match and are dropped here before the
+    union — without the filter they would sort NULLS FIRST as
+    t = -infinity and become the "latest" payload for every left row
+    of their key. Left rows with NULL ``ts`` survive with NULL payload:
+    they sort before every non-NULL right row, so the running
+    ``last_value`` has seen nothing when it reaches them.
     """
     pay_struct = F.struct(*[F.col(c) for c in payload])
     l_cols = left.columns
@@ -64,7 +73,7 @@ def asof_join(
         ).alias("_p"),
         F.struct(*[F.col(c) for c in l_cols]).alias("_l"),
     )
-    rt = right.select(
+    rt = right.filter(F.col(ts).isNotNull()).select(
         F.col(key).alias("_k"),
         F.col(ts).alias("_t"),
         F.lit(0).alias("_side"),

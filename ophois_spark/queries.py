@@ -932,7 +932,20 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
-def _minhash_pairs_sql() -> str:
+def _lsh_pair_ctes(sh: str) -> str:
+    """CTE chain ``seeds → mh_h → mh_sig → mh_bands → mh_pairs``
+    computing the banded-MinHash candidate pairs over the shingle
+    relation named ``sh`` — the ONE restatement of the engine's
+    ``lsh_band_keys``/``minhash_lsh_pairs`` chain, shared by the
+    standalone pair oracle and every composed oracle that replays the
+    same candidate generation (so engine and oracle can never disagree
+    on WHICH pair set is being verified).
+
+    Band layout mirrors dedup.lsh_band_keys: band = j // BAND_ROWS,
+    which is exactly the ceil(n/band_rows)-bands-with-short-trailing-
+    band layout the engine builds (sig j lands in band t iff
+    t*band_rows <= j < min((t+1)*band_rows, n)).
+    """
     from ophois_spark.operators.dedup import (
         BAND_ROWS,
         MINHASH_P,
@@ -943,26 +956,30 @@ def _minhash_pairs_sql() -> str:
     seeds = ", ".join(
         f"({j}, {minhash_affine(j)[0]}, {minhash_affine(j)[1]})" for j in range(N_HASHES)
     )
-    # band layout mirrors dedup.lsh_band_keys: band = j // BAND_ROWS,
-    # which is exactly the ceil(n/band_rows)-bands-with-short-trailing-
-    # band layout the engine builds (sig j lands in band t iff
-    # t*band_rows <= j < min((t+1)*band_rows, n)).
     return f"""
-WITH sh AS ({_SHINGLES_SQL}),
 seeds(j, a, b) AS (VALUES {seeds}),
-h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h0 FROM sh),
-sig AS (
+mh_h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h0 FROM {sh}),
+mh_sig AS (
   SELECT doc_id, j, min((a * h0 + b) % {MINHASH_P}) AS sig
-  FROM h CROSS JOIN seeds GROUP BY doc_id, j
+  FROM mh_h CROSS JOIN seeds GROUP BY doc_id, j
 ),
-bands AS (
+mh_bands AS (
   SELECT doc_id, CAST(j // {BAND_ROWS} AS INT) AS band,
          string_agg(CAST(sig AS VARCHAR), ':' ORDER BY j) AS band_key
-  FROM sig GROUP BY doc_id, CAST(j // {BAND_ROWS} AS INT)
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-WHERE a.doc_id < b.doc_id
+  FROM mh_sig GROUP BY doc_id, CAST(j // {BAND_ROWS} AS INT)
+),
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mh_bands a JOIN mh_bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_pairs_sql() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+{_lsh_pair_ctes("sh")}
+SELECT doc_a, doc_b FROM mh_pairs
 """
 
 
@@ -2271,9 +2288,12 @@ reps AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
 sh AS MATERIALIZED (
   SELECT s.* FROM ({_SHINGLES_SQL}) s JOIN reps USING (doc_id)
 ),
+{_lsh_pair_ctes("sh")},
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+inter AS (SELECT p.doc_a AS da, p.doc_b AS db, COUNT(*) AS i
+          FROM mh_pairs p
+          JOIN sh a ON a.doc_id = p.doc_a
+          JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
           GROUP BY 1, 2),
 jp AS (SELECT da, db FROM inter
        JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db

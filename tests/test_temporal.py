@@ -52,6 +52,24 @@ def test_asof_left_rows_all_survive_with_dup_ts(spark):
     assert all(r.r_rid == 4 for r in out)
 
 
+def test_asof_null_ts_rows_never_match(spark):
+    """SQL comparison semantics for NULL timestamps: a NULL-ts right
+    row is never 'at or before' anything (it must not become a
+    t=-infinity payload via NULLS FIRST ordering), and a NULL-ts left
+    row matches nothing."""
+    out = _asof(
+        spark,
+        [(1, 10, 100), (2, 10, None)],
+        [(10, None, 7, 0.5), (10, 40, 8, 0.25)],
+    )
+    by = {r.lid: r for r in out}
+    assert by[1].r_rid == 8  # NULL-ts right row is invisible, t=40 wins
+    assert by[2].r_rid is None and by[2].r_v is None  # NULL-ts left: no match
+    # a key with ONLY NULL-ts right rows behaves as if right were empty
+    out2 = _asof(spark, [(1, 5, 100)], [(5, None, 9, 1.0)])
+    assert out2[0].r_rid is None
+
+
 def test_asof_plan_has_no_join_operator(spark):
     left = spark.range(100).select(
         F.col("id").alias("lid"), (F.col("id") % 7).alias("k"), F.col("id").alias("t")
