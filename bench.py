@@ -84,6 +84,23 @@ def main() -> None:
     for name, fn in sorted(QUERIES.items()):
         best_of_2(name, lambda fn=fn: fn(spark, sf_dir).count())
 
+    # -- hot-source sequence packing: sharded flattening evidence ----------
+    # one giant source (the Common-Crawl shape) forces the packing
+    # window's sort + running sum onto ONE task; the (source, doc_id
+    # mod K) pre-shard spreads it across K. Same rows, same exact
+    # semantics per shard — the timing pair is the scale evidence.
+    from pyspark.sql import functions as F3
+
+    from ophois_spark.operators.corpus import pack_sequences
+
+    hot = spark.range(16_000_000).select(
+        F3.col("id").alias("doc_id"),
+        F3.lit("commoncrawl").alias("source"),
+        F3.repeat(F3.lit("w "), (F3.pmod(F3.col("id"), F3.lit(5)) + 1).cast("int")).alias("text"),
+    ).localCheckpoint(eager=True)
+    best_of_2("pack_hot_source_serial", lambda: pack_sequences(hot).count())
+    best_of_2("pack_hot_source_sharded32", lambda: pack_sequences(hot, shards=32).count())
+
     # -- ANN recall@k vs the exact baseline --------------------------------
     # quantifies the approximation the ANN paths trade for scale: recall =
     # |ANN top-k ∩ exact top-k| / |exact top-k| over the bench query set.

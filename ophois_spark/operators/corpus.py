@@ -156,43 +156,64 @@ def corpus_sample(docs: DataFrame, rates: DataFrame) -> DataFrame:
 
 
 PACK_BUDGET = 512  # tokens per training context window
+PACK_SHARDS = 8  # default pre-shard fan-out for the hot-source path
 
 
-def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
-    """Concat-and-chunk sequence packing → (doc_id, source, start_tok,
-    pack_id): per source, documents concatenate in doc_id order into a
-    token stream that is cut every ``budget`` tokens; each doc's pack
-    is the window its FIRST token lands in.
+def pack_sequences(
+    docs: DataFrame, budget: int = PACK_BUDGET, shards: int = 1
+) -> DataFrame:
+    """Concat-and-chunk sequence packing → (doc_id, source[, shard],
+    start_tok, pack_id): per packing group, documents concatenate in
+    doc_id order into a token stream that is cut every ``budget``
+    tokens; each doc's pack is the window its FIRST token lands in.
 
     This is the packing semantics of an LLM pretraining loader
     (documents are concatenated, then split into fixed-length
     contexts); the assignment is a running-sum window, so it is exact
     and deterministic — no bin-packing heuristic, no RNG.
 
-    Scale shape: one shuffle on source, then a per-partition running
-    sum (no per-row Python). The running sum is inherently sequential
-    WITHIN a source by definition — to bound a giant source at 100 TB,
-    pre-shard it (source, hash(doc_id) % K) and pack per shard: the
-    offsets stay deterministic, the chunks stay full except one
-    boundary chunk per shard.
+    Scale shape: one shuffle on the packing key, then a per-partition
+    running sum (no per-row Python). The running sum is inherently
+    sequential WITHIN its packing group, so with ``shards=1`` (group =
+    source) one giant source — the Common-Crawl norm, where most of the
+    corpus shares a few source values — serializes onto ONE task.
+    ``shards=K`` pre-shards the group key to (source, doc_id mod K):
+    offsets stay an exact deterministic function of content identity
+    (never of partitioning), each shard's chunks stay full except one
+    boundary chunk per (source, shard), and the hot source's sort +
+    running sum spreads across K tasks. The trade is at most K-1 extra
+    partially-filled boundary packs per source — at a 100 TB corpus
+    with budget-512 packs that is noise, and the loader consumes packs
+    per shard anyway.
     """
     from pyspark.sql import Window
 
     n_tokens = n_tokens_col(F.col("text"))
+    d = docs.select("doc_id", "source", n_tokens.alias("n_tok"))
+    if shards <= 1:
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_tok")
+        return d.select("doc_id", "source", start).select(
+            "doc_id",
+            "source",
+            "start_tok",
+            F.expr(f"start_tok div {budget}").cast("long").alias("pack_id"),
+        )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = docs.select("doc_id", "source", n_tokens.alias("n_tok"))
+    sharded = d.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(shards)).cast("int"))
     start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_tok")
-    return d.select(
+    return sharded.select("doc_id", "source", "shard", start).select(
         "doc_id",
         "source",
-        start,
-    ).select(
-        "doc_id",
-        "source",
+        "shard",
         "start_tok",
         F.expr(f"start_tok div {budget}").cast("long").alias("pack_id"),
     )

@@ -2474,11 +2474,58 @@ FROM s
 
 SQL_PACK_SEQUENCES = _pack_sequences_sql()
 
+
+def q_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-source-safe packing variant: the packing group pre-shards
+    to (source, doc_id mod K), so one giant source's sort + running sum
+    spreads across K tasks instead of serializing onto one — the shard
+    key is a pure function of content identity, so offsets are
+    deterministic under any partitioning and the oracle restates the
+    identical key."""
+    from ophois_spark.operators.corpus import PACK_SHARDS, pack_sequences
+
+    out = pack_sequences(load(spark, sf_dir, "documents"), shards=PACK_SHARDS)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("shard").cast("int").alias("shard"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+    )
+
+
+def _pack_sequences_sharded_sql() -> str:
+    from ophois_spark.operators.corpus import PACK_BUDGET, PACK_SHARDS
+
+    return rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS BIGINT) AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, shard,
+         SUM(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_tok
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, shard,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS pack_id
+FROM s
+"""
+
+
+SQL_PACK_SEQUENCES_SHARDED = _pack_sequences_sharded_sql()
+
 QUERIES.update(
     {
         "link_pagerank": q_link_pagerank,
         "corpus_sample": q_corpus_sample,
         "pack_sequences": q_pack_sequences,
+        "pack_sequences_sharded": q_pack_sequences_sharded,
     }
 )
 ORACLES.update(
@@ -2486,6 +2533,7 @@ ORACLES.update(
         "link_pagerank": SQL_LINK_PAGERANK,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "pack_sequences_sharded": SQL_PACK_SEQUENCES_SHARDED,
     }
 )
 

@@ -49,6 +49,35 @@ def test_pack_sequences_chunk_boundaries(spark):
     assert got == {1: (0, 0), 2: (300, 0), 3: (600, 1), 4: (0, 0)}
 
 
+def test_pack_sequences_sharded_semantics(spark):
+    """Sharded packing: shard = doc_id mod K; within each (source,
+    shard) the offsets are exactly the serial packing of that shard's
+    doc_id-ordered stream, and results are partitioning-independent."""
+    rows = [
+        (i, " ".join(["w"] * (50 + 7 * (i % 4))), "s%d" % (i % 2)) for i in range(40)
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        r.doc_id: (r.shard, r.start_tok, r.pack_id)
+        for r in pack_sequences(docs, budget=128, shards=4).collect()
+    }
+    assert set(got) == set(range(40))
+    # python twin: serial running sum per (source, doc_id % 4)
+    n_tok = {i: 50 + 7 * (i % 4) for i in range(40)}
+    offs: dict[tuple, int] = {}
+    for i in sorted(n_tok):
+        key = ("s%d" % (i % 2), i % 4)
+        start = offs.get(key, 0)
+        assert got[i] == (i % 4, start, start // 128), i
+        offs[key] = start + n_tok[i]
+    # partitioning-independent
+    again = {
+        r.doc_id: (r.shard, r.start_tok, r.pack_id)
+        for r in pack_sequences(docs.repartition(11), budget=128, shards=4).collect()
+    }
+    assert again == got
+
+
 def test_corpus_sample_rates_and_determinism(spark):
     docs = spark.createDataFrame(
         [(i, "t", "s%d" % (i % 3)) for i in range(300)],
