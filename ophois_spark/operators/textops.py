@@ -164,6 +164,56 @@ def winnow_fingerprint(
     return d.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
 
 
+WINNOW_MAX_DF = 10  # boilerplate cap: fps in more docs don't pair
+WINNOW_MIN_SHARED = 2  # pair threshold: >= m shared fingerprints
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_df: int = WINNOW_MAX_DF,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document winnowing overlap → (doc_a, doc_b, n_shared):
+    document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the overlap JOIN the fingerprint exists for (SIGMOD'03: any
+    canonical-text match of ≥ k+w-1 chars is guaranteed to surface a
+    shared fingerprint, so template/plagiarism overlap becomes a
+    relational equi-join, never string comparison).
+
+    ``max_df`` is part of the CONTRACT, not an optimization knob:
+    fingerprints appearing in more than ``max_df`` documents are
+    boilerplate (site chrome, licenses — measured df up to 394/500 docs
+    on the synthetic corpus) and pair everything with everything, so
+    they are excluded before pairing — the winnowing analogue of
+    stop-shingle removal, and it simultaneously bounds the join: each
+    surviving fingerprint bucket yields ≤ max_df·(max_df−1)/2 pairs.
+
+    Scale shape at 10^12 docs: fingerprints are one narrow codegen
+    projection (winnow_fingerprint); the df filter is one algebraic
+    aggregation; pairing is a bucketed self-equi-join on fp whose
+    fan-out the df cap bounds; the final count is map-side combinable.
+    No all-pairs path exists.
+    """
+    fps = winnow_fingerprint(docs, text_col)
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    rare = fps.join(keep, "fp")
+    a = rare.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = rare.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def source_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Domain-level quality rollup → one row per source:
     (source, n_docs, sum_tokens, sum_chars, mean_tokens).

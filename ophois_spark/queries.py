@@ -926,6 +926,41 @@ SELECT doc_id, unnest(fps) AS fp FROM m
 SQL_DOC_WINNOW = _winnow_sql()
 
 
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap JOIN: document pairs sharing >= m fingerprint
+    hashes (boilerplate-df-capped) — the SIGMOD'03 guarantee made
+    relational; reuses the gated doc_winnow fingerprint lineage."""
+    from ophois_spark.operators.textops import winnow_overlap_pairs
+
+    out = winnow_overlap_pairs(load(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
+def _winnow_overlap_sql() -> str:
+    from ophois_spark.operators.textops import WINNOW_MAX_DF, WINNOW_MIN_SHARED
+
+    return f"""
+WITH w AS ({SQL_DOC_WINNOW}),
+dfc AS (SELECT fp, COUNT(*) AS df FROM w GROUP BY fp),
+r AS (SELECT w.doc_id, w.fp FROM w JOIN dfc USING (fp) WHERE dfc.df <= {WINNOW_MAX_DF}),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(n_shared AS BIGINT) AS n_shared
+FROM p WHERE n_shared >= {WINNOW_MIN_SHARED}
+"""
+
+
+SQL_WINNOW_OVERLAP_PAIRS = _winnow_overlap_sql()
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophois_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1902,6 +1937,7 @@ QUERIES.update(
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow": q_doc_winnow,
+        "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "shingle_jaccard": q_shingle_jaccard,
         "doc_simhash": q_doc_simhash,
@@ -1926,6 +1962,7 @@ ORACLES.update(
         "doc_lang_id": SQL_DOC_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_winnow": SQL_DOC_WINNOW,
+        "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "shingle_jaccard": SQL_SHINGLE_JACCARD,
         "doc_simhash": SQL_DOC_SIMHASH,

@@ -159,6 +159,50 @@ def test_winnow_matches_scalar_and_guarantee(spark):
     assert len(got[6]) == 1
 
 
+def test_winnow_overlap_pairs_guarantee_and_boilerplate_cap(spark):
+    """Pairs with a shared >= k+w-1 canonical substring surface with
+    n_shared >= 1; boilerplate fingerprints (df > max_df) never pair
+    documents; n_shared equals the exact capped-fp intersection."""
+    import random
+
+    from ophois_spark.operators.textops import winnow_fingerprint, winnow_overlap_pairs
+
+    rng = random.Random(7)
+    alpha = "abcdefgh  ,.XYZ019"
+    shared = "the common stretch of text both documents quote verbatim"
+    boiler = "standard site footer boilerplate appended to every page here"
+    docs = [
+        (0, "".join(rng.choice(alpha) for _ in range(200)) + shared + boiler),
+        (1, shared + "".join(rng.choice(alpha) for _ in range(200)) + boiler),
+    ] + [
+        (i, "".join(rng.choice(alpha) for _ in range(150)) + boiler)
+        for i in range(2, 9)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # max_df=2: the boilerplate fps (in all 9 docs) are excluded, the
+    # shared-quote fps (in exactly docs 0 and 1) survive
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_overlap_pairs(df, min_shared=2, max_df=2).collect()
+    }
+    # the quote-sharing pair is found; chance single-fp collisions
+    # between the random fillers are below the min_shared=2 bar, and no
+    # boilerplate-only pair (df=9 > max_df) exists at all
+    assert set(got) == {(0, 1)}, got
+    # n_shared is the exact intersection of the df-capped fp sets
+    fps: dict[int, set] = {}
+    for r in winnow_fingerprint(df).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    df_count: dict[int, int] = {}
+    for s in fps.values():
+        for fp in s:
+            df_count[fp] = df_count.get(fp, 0) + 1
+    rare01 = {
+        fp for fp in fps[0] & fps[1] if df_count[fp] <= 2
+    }
+    assert got[(0, 1)] == len(rare01) and got[(0, 1)] >= 1
+
+
 def test_near_dup_clusters_transitive_and_singletons(spark):
     from ophois_spark.operators.dedup import near_dup_clusters
 
