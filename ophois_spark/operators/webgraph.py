@@ -42,6 +42,71 @@ DAMPING_NUM = 85
 DAMPING_DEN = 100
 
 
+PAGERANK_MAX_ROUNDS = 200  # safety cap for the convergence loop
+
+
+def pagerank_converged(
+    nodes: DataFrame,
+    edges: DataFrame,
+    scale: int = PAGERANK_SCALE,
+    max_rounds: int = PAGERANK_MAX_ROUNDS,
+) -> tuple[DataFrame, int]:
+    """→ (ranks, rounds): integer PageRank run to its EXACT fixed
+    point — the real stopping rule, not an unroll count.
+
+    Because the arithmetic is 64-bit integer, the iteration map is a
+    deterministic function on a finite lattice: the damped truncating
+    update contracts until the rank vector reproduces itself exactly,
+    so the stopping rule is ``L1 residual == 0`` — no epsilon to tune,
+    and once fixed, further rounds are identities (which is what lets
+    a SQL oracle pin the result by unrolling to ANY round count at or
+    beyond the measured fixpoint round).
+
+    Loop cost: ONE Spark action per round — the residual aggregation
+    both materializes the round's lazily-checkpointed rank relation
+    and reads off the convergence signal (the ``components.py``
+    fixpoint-loop shape; per-round lineage is truncated so round k
+    never replays rounds 1..k-1). ``max_rounds`` is a safety cap; the
+    loop raises if it trips, because returning a non-fixpoint would
+    silently break the oracle contract.
+    """
+    base = (DAMPING_DEN - DAMPING_NUM) * scale // DAMPING_DEN
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    ranks = nodes.select("id", F.lit(scale).cast("long").alias("rank")).localCheckpoint(
+        eager=False
+    )
+    for rounds in range(1, max_rounds + 1):
+        sums = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), F.expr("rank div outdeg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        new = (
+            nodes.join(sums, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"({DAMPING_NUM} * coalesce(s, 0L)) div {DAMPING_DEN}")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        residual = (
+            new.join(ranks.withColumnRenamed("rank", "prev"), "id")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("r"))
+            .collect()[0]["r"]
+        )
+        ranks = new
+        if residual == 0:
+            return ranks, rounds
+    raise RuntimeError(
+        f"integer pagerank did not reach its fixed point in {max_rounds} rounds"
+    )
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,

@@ -2359,13 +2359,10 @@ ORACLES.update({"corpus_pipeline": SQL_CORPUS_PIPELINE})
 # ---------------------------------------------------------------------------
 
 
-def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer PageRank over a deterministic link overlay on documents
-    (doc i links to (i*31 + 97*j) mod N for j = 1..1+i%3): the corpus-
-    curation importance score, in exactly-replayable 64-bit arithmetic
-    so the oracle pins every rank value, not a float approximation."""
-    from ophois_spark.operators.webgraph import pagerank
-
+def _link_overlay(spark: SparkSession, sf_dir: str):
+    """Deterministic link overlay on documents (doc i links to
+    (i*31 + 97*j) mod N for j = 1..1+i%3) → (nodes(id), edges(src,
+    dst)) — the shared input of every link-graph scoring query."""
     d = load(spark, sf_dir, "documents")
     n = d.count()
     nodes = d.select(F.col("doc_id").alias("id"))
@@ -2381,13 +2378,58 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    return nodes, edges
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the deterministic link overlay: the corpus-
+    curation importance score, in exactly-replayable 64-bit arithmetic
+    so the oracle pins every rank value, not a float approximation."""
+    from ophois_spark.operators.webgraph import pagerank
+
+    nodes, edges = _link_overlay(spark, sf_dir)
     r = pagerank(nodes, edges)
     return r.select(
         F.col("id").cast("long").alias("doc_id"), F.col("rank").cast("long").alias("rank")
     )
 
 
-def _pagerank_sql() -> str:
+# Fixpoint pin for the CONVERGED variant's oracle: the engine stops at
+# the exact integer fixed point (L1 residual == 0 — measured round 62
+# on the 500-doc overlay at BOTH gate scales, pinned by
+# tests/test_webgraph_pack.py); every round past the fixpoint is an
+# identity, so the oracle may unroll to any count >= the measured
+# round and 64 leaves margin without bloating the CTE chain.
+PAGERANK_PIN_ROUNDS = 64
+
+
+def q_link_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank with the REAL stopping rule (L1 residual == 0,
+    one aggregation action per round) instead of a fixed unroll; the
+    integer lattice makes the fixed point exact, which is what lets a
+    SQL oracle pin a convergence-driven result at all."""
+    from ophois_spark.operators.webgraph import pagerank_converged
+
+    nodes, edges = _link_overlay(spark, sf_dir)
+    r, _rounds = pagerank_converged(nodes, edges)
+    return r.select(
+        F.col("id").cast("long").alias("doc_id"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+TOP_PAGES_N = 25
+
+
+def q_top_pages_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer of the converged ranks: top-N pages by importance
+    (rank desc, doc_id tiebreak — a deterministic SET either engine
+    reproduces). Executes as TakeOrderedAndProject over the converged
+    rank relation, never a full sort."""
+    r = q_link_pagerank_converged(spark, sf_dir)
+    return r.orderBy(F.desc("rank"), F.asc("doc_id")).limit(TOP_PAGES_N)
+
+
+def _pagerank_sql(iters: int | None = None) -> str:
     from ophois_spark.operators.webgraph import (
         DAMPING_DEN,
         DAMPING_NUM,
@@ -2395,6 +2437,8 @@ def _pagerank_sql() -> str:
         PAGERANK_SCALE,
     )
 
+    if iters is None:
+        iters = PAGERANK_ITERS
     base = (DAMPING_DEN - DAMPING_NUM) * PAGERANK_SCALE // DAMPING_DEN
     parts = [
         "n AS MATERIALIZED (SELECT doc_id AS id FROM documents)",
@@ -2406,7 +2450,7 @@ def _pagerank_sql() -> str:
         "od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
         f"r0 AS (SELECT id, CAST({PAGERANK_SCALE} AS BIGINT) AS rank FROM n)",
     ]
-    for k in range(1, PAGERANK_ITERS + 1):
+    for k in range(1, iters + 1):
         parts.append(f"""r{k} AS MATERIALIZED (
   SELECT n.id,
          CAST({base} + ({DAMPING_NUM} * COALESCE(x.s, 0)) // {DAMPING_DEN} AS BIGINT) AS rank
@@ -2417,11 +2461,16 @@ def _pagerank_sql() -> str:
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT CAST(id AS BIGINT) AS doc_id, rank FROM r{PAGERANK_ITERS}"
+        + f"\nSELECT CAST(id AS BIGINT) AS doc_id, rank FROM r{iters}"
     )
 
 
 SQL_LINK_PAGERANK = _pagerank_sql()
+SQL_LINK_PAGERANK_CONVERGED = _pagerank_sql(PAGERANK_PIN_ROUNDS)
+SQL_TOP_PAGES_BY_RANK = f"""
+SELECT doc_id, rank FROM ({SQL_LINK_PAGERANK_CONVERGED}) x
+ORDER BY rank DESC, doc_id LIMIT {TOP_PAGES_N}
+"""
 
 
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2560,6 +2609,8 @@ SQL_PACK_SEQUENCES_SHARDED = _pack_sequences_sharded_sql()
 QUERIES.update(
     {
         "link_pagerank": q_link_pagerank,
+        "link_pagerank_converged": q_link_pagerank_converged,
+        "top_pages_by_rank": q_top_pages_by_rank,
         "corpus_sample": q_corpus_sample,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_sharded": q_pack_sequences_sharded,
@@ -2568,6 +2619,8 @@ QUERIES.update(
 ORACLES.update(
     {
         "link_pagerank": SQL_LINK_PAGERANK,
+        "link_pagerank_converged": SQL_LINK_PAGERANK_CONVERGED,
+        "top_pages_by_rank": SQL_TOP_PAGES_BY_RANK,
         "corpus_sample": SQL_CORPUS_SAMPLE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_sequences_sharded": SQL_PACK_SEQUENCES_SHARDED,

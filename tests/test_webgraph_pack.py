@@ -49,6 +49,28 @@ def test_pack_sequences_chunk_boundaries(spark):
     assert got == {1: (0, 0), 2: (300, 0), 3: (600, 1), 4: (0, 0)}
 
 
+def test_pagerank_converged_fixpoint_and_pin(spark):
+    """The convergence loop stops at the EXACT integer fixed point, the
+    measured round count matches the oracle pin at both gate scales
+    (sf0.001 pytest / sf0.01 driver), and rounds past the fixpoint are
+    identities (what licenses the unrolled-SQL oracle)."""
+    from ophois_spark.operators.webgraph import pagerank, pagerank_converged
+    from ophois_spark.queries import PAGERANK_PIN_ROUNDS, _link_overlay
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        nodes, edges = _link_overlay(spark, sf_dir)
+        ranks, rounds = pagerank_converged(nodes, edges)
+        assert rounds <= PAGERANK_PIN_ROUNDS, (sf_dir, rounds)
+        got = sorted((r.id, r.rank) for r in ranks.collect())
+        # identity past the fixpoint: a fixed unroll at the pin count
+        # reproduces the converged vector exactly
+        pinned = sorted(
+            (r.id, r.rank)
+            for r in pagerank(nodes, edges, iters=PAGERANK_PIN_ROUNDS).collect()
+        )
+        assert got == pinned, sf_dir
+
+
 def test_pack_sequences_sharded_semantics(spark):
     """Sharded packing: shard = doc_id mod K; within each (source,
     shard) the offsets are exactly the serial packing of that shard's
