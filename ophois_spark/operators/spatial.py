@@ -537,9 +537,25 @@ def tile_pyramid(
     return out
 
 
-def render_tiles(edges_with_coords: DataFrame, zoom: int, tile_px: int = 256) -> DataFrame:
+def render_tiles(
+    edges_with_coords: DataFrame, zoom: int, tile_px: int = 256, band_bits: int = 0
+) -> DataFrame:
     """Rasterize edges per tile → (zoom, tile_x, tile_y, n_edges,
     lit_px, pixels).
+
+    ``band_bits > 0`` splits each tile's edge batch into ``2**band_bits``
+    hash bands — ``pmod(xxhash64(src, dst), 2^b)`` — rasterized as
+    INDEPENDENT tasks whose bitmaps are OR-merged per tile in a second
+    (tiny: ≤2^b rows per tile) ``applyInPandas``. Per-edge pixel sets
+    depend only on the edge and the tile frame, and bitmap OR is
+    commutative + idempotent, so the banded output is bit-identical to
+    the single-pass raster (pinned by tests and the same DuckDB lit-px
+    oracle). This is the 100-TB escape hatch for the one unsplittable
+    group shape in the engine: without it a pathological mega-dense
+    tile (urban core at low zoom) lands in ONE task that AQE cannot
+    split; with it the hot tile fans out 2^b ways and the merge cost is
+    a fixed 2^b·tile_px² OR. Default 0 keeps the single-shuffle plan
+    for ordinary tile distributions.
 
     ``pixels`` is a tile_px×tile_px uint8 grid (PNG-less — no imaging
     libs in the sandbox; the bytes are the raster); ``lit_px`` counts
@@ -561,8 +577,7 @@ def render_tiles(edges_with_coords: DataFrame, zoom: int, tile_px: int = 256) ->
     n = 1 << zoom
     tiles = tile_assignment(edges_with_coords, zoom)
 
-    def raster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        zx, zy = int(key[0]), int(key[1])
+    def raster_img(zx: int, zy: int, pdf: pd.DataFrame) -> np.ndarray:
         lon0 = zx / n * 360.0 - 180.0
         lat0 = zy / n * 180.0 - 90.0
         sx = tile_px / (360.0 / n)
@@ -628,21 +643,66 @@ def render_tiles(edges_with_coords: DataFrame, zoom: int, tile_px: int = 256) ->
             iy = np.floor(ys + 0.5).astype(np.int64)
             keep = (ix >= 0) & (ix < tile_px) & (iy >= 0) & (iy < tile_px)
             img[iy[keep], ix[keep]] = 255
+        return img
+
+    out_schema = "zoom int, tile_x long, tile_y long, n_edges long, lit_px long, pixels binary"
+
+    if band_bits <= 0:
+
+        def raster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            zx, zy = int(key[0]), int(key[1])
+            img = raster_img(zx, zy, pdf)
+            return pd.DataFrame(
+                {
+                    "zoom": [zoom],
+                    "tile_x": [zx],
+                    "tile_y": [zy],
+                    "n_edges": [len(pdf)],
+                    "lit_px": [int((img != 0).sum())],
+                    "pixels": [img.tobytes()],
+                }
+            )
+
+        return tiles.groupBy("tile_x", "tile_y").applyInPandas(raster, out_schema)
+
+    n_bands = 1 << band_bits
+    banded = tiles.withColumn(
+        "band", F.pmod(F.xxhash64("src", "dst"), F.lit(n_bands))
+    )
+
+    def raster_band(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        zx, zy = int(key[0]), int(key[1])
+        img = raster_img(zx, zy, pdf)
+        return pd.DataFrame(
+            {
+                "tile_x": [zx],
+                "tile_y": [zy],
+                "n_edges": [len(pdf)],
+                "pixels": [img.tobytes()],
+            }
+        )
+
+    parts = banded.groupBy("tile_x", "tile_y", "band").applyInPandas(
+        raster_band, "tile_x long, tile_y long, n_edges long, pixels binary"
+    )
+
+    def or_merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        zx, zy = int(key[0]), int(key[1])
+        img = np.zeros(tile_px * tile_px, dtype=np.uint8)
+        for buf in pdf["pixels"]:
+            np.bitwise_or(img, np.frombuffer(buf, dtype=np.uint8), out=img)
         return pd.DataFrame(
             {
                 "zoom": [zoom],
                 "tile_x": [zx],
                 "tile_y": [zy],
-                "n_edges": [len(pdf)],
+                "n_edges": [int(pdf["n_edges"].sum())],
                 "lit_px": [int((img != 0).sum())],
                 "pixels": [img.tobytes()],
             }
         )
 
-    return tiles.groupBy("tile_x", "tile_y").applyInPandas(
-        raster,
-        "zoom int, tile_x long, tile_y long, n_edges long, lit_px long, pixels binary",
-    )
+    return parts.groupBy("tile_x", "tile_y").applyInPandas(or_merge, out_schema)
 
 
 def raster_to_points(

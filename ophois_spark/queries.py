@@ -715,6 +715,21 @@ FROM cnt c LEFT JOIN lit l ON c.tile_x = l.tile_x AND c.tile_y = l.tile_y
 SQL_RENDER_TILES = _render_sql()
 
 
+def q_render_tiles_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-split raster (band_bits=2: each tile's edges rasterize as 4
+    independent hash-band tasks, bitmaps OR-merged per tile). Gated on
+    the IDENTICAL oracle as render_tiles — bitmap OR is commutative and
+    idempotent and per-edge pixels depend only on (edge, tile frame),
+    so the banded plan must reproduce the single-pass raster bit for
+    bit. This is the scale path for mega-dense urban tiles that AQE
+    cannot split (one groupBy key = one task)."""
+    from ophois_spark.operators.spatial import render_tiles
+
+    g = derived_graph(spark, sf_dir)
+    r = render_tiles(g.edges_with_coords(), RENDER_ZOOM, RENDER_PX, band_bits=2)
+    return r.select("zoom", "tile_x", "tile_y", "n_edges", "lit_px")
+
+
 def q_raster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector bridge: render the graph's tiles, then decode the
     binary pixel grids back into geographic points (one row per lit
@@ -784,6 +799,7 @@ QUERIES.update(
         "tile_assignment": q_tile_assignment,
         "tile_pyramid": q_tile_pyramid,
         "render_tiles": q_render_tiles,
+        "render_tiles_banded": q_render_tiles_banded,
         "raster_points": q_raster_points,
         "events_rollup": q_events_rollup,
     }
@@ -796,6 +812,7 @@ ORACLES.update(
         "tile_assignment": SQL_TILE_ASSIGNMENT,
         "tile_pyramid": SQL_TILE_PYRAMID,
         "render_tiles": SQL_RENDER_TILES,
+        "render_tiles_banded": SQL_RENDER_TILES,
         "raster_points": SQL_RASTER_POINTS,
         "events_rollup": SQL_EVENTS_ROLLUP,
     }

@@ -151,6 +151,58 @@ def test_render_tiles_pixels(spark):
     assert total_on > 0
 
 
+def test_render_tiles_banded_bit_identical(spark):
+    """Band-split raster (the mega-tile escape hatch) reproduces the
+    single-pass raster bit for bit — n_edges, lit_px AND the full pixel
+    buffer — and the dense tile really does fan out into >1 band task
+    before the OR-merge."""
+    rng = np.random.default_rng(7)
+    # 60 edges all crossing ONE dense tile + a few elsewhere
+    rows = [
+        (
+            f"u{i}",
+            f"v{i}",
+            float(0.01 + rng.uniform(0, 0.004)),
+            float(45.01 + rng.uniform(0, 0.004)),
+            float(0.01 + rng.uniform(0, 0.004)),
+            float(45.01 + rng.uniform(0, 0.004)),
+        )
+        for i in range(60)
+    ] + [("a", "b", 10.0, 10.0, 10.01, 10.01)]
+    e = spark.createDataFrame(
+        rows,
+        "src string, dst string, src_lon_d double, src_lat_d double, "
+        "dst_lon_d double, dst_lat_d double",
+    )
+    flat = {
+        (t["tile_x"], t["tile_y"]): t
+        for t in render_tiles(e, zoom=12, tile_px=64).collect()
+    }
+    banded = {
+        (t["tile_x"], t["tile_y"]): t
+        for t in render_tiles(e, zoom=12, tile_px=64, band_bits=2).collect()
+    }
+    assert flat.keys() == banded.keys()
+    for k, t in flat.items():
+        b = banded[k]
+        assert (t["n_edges"], t["lit_px"]) == (b["n_edges"], b["lit_px"])
+        assert bytes(t["pixels"]) == bytes(b["pixels"])
+    # split evidence: the dense tile's edges hash into >1 band
+    from pyspark.sql import functions as F
+
+    from ophois_spark.operators.spatial import tile_assignment
+
+    hot = (
+        tile_assignment(e, 12)
+        .withColumn("band", F.pmod(F.xxhash64("src", "dst"), F.lit(4)))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.countDistinct("band").alias("nb"), F.count(F.lit(1)).alias("ne"))
+        .orderBy(F.desc("ne"))
+        .first()
+    )
+    assert hot["ne"] >= 60 and hot["nb"] >= 3
+
+
 def test_raster_to_points_roundtrip(spark):
     """render → decode is lossless: one decoded point per lit pixel,
     every point inside its tile's bbox, and re-projecting the decoded
