@@ -217,3 +217,67 @@ def pack_sequences(
         "start_tok",
         F.expr(f"start_tok div {budget}").cast("long").alias("pack_id"),
     )
+
+
+def data_card(docs: DataFrame) -> DataFrame:
+    """Per-source DATA CARD — the artifact a 100 TB corpus build ships
+    alongside the corpus: one row per source with volume, token-length
+    profile, and duplication rates.
+
+    Composes three already-gated operators through one plan:
+
+    - volume: ``source_rollup`` (n_docs, sum_tokens, mean_tokens)
+    - length profile: ``source_token_quantiles`` (exact order-statistic
+      p50/p90/p99 — integers drawn from the data, cross-engine stable)
+    - duplication: exact-dup rate (doc's md5(text) has a smaller
+      doc_id twin anywhere in the corpus — the global groupBy-min rep,
+      joined back by hash, NOT a per-source dedup) and near-dup rate
+      (``near_dup_clusters`` non-canonical members per source).
+
+    Scale shape: all four branches aggregate down to one row per
+    source before any join — the joins here move ~|sources| rows, not
+    documents. The exact branch is one md5 groupBy + one hash equi-join
+    back; the near branch reuses the induced-subgraph component loop.
+    Rates are ONE int/int double division each (order-free).
+    """
+    from ophois_spark.operators.textops import source_rollup, source_token_quantiles
+
+    roll = source_rollup(docs)
+    quant = source_token_quantiles(docs).select("source", "p50", "p90", "p99")
+    reps = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("rep"))
+    exact = (
+        docs.select("doc_id", "source", F.md5("text").alias("h"))
+        .join(reps, "h")
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("doc_id") != F.col("rep")).cast("long")).alias("n_exact_dups")
+        )
+    )
+    near = (
+        near_dup_clusters(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum(1 - F.col("is_canonical")).cast("long").alias("n_near_dups"))
+    )
+    return (
+        roll.join(quant, "source")
+        .join(exact, "source")
+        .join(near, "source")
+        .select(
+            "source",
+            "n_docs",
+            "sum_tokens",
+            "mean_tokens",
+            F.col("p50").cast("long").alias("p50"),
+            F.col("p90").cast("long").alias("p90"),
+            F.col("p99").cast("long").alias("p99"),
+            "n_exact_dups",
+            (F.col("n_exact_dups").cast("double") / F.col("n_docs").cast("double")).alias(
+                "exact_dup_rate"
+            ),
+            "n_near_dups",
+            (F.col("n_near_dups").cast("double") / F.col("n_docs").cast("double")).alias(
+                "near_dup_rate"
+            ),
+        )
+    )

@@ -2942,3 +2942,55 @@ SQL_ADMIN_REGION_STATS = _admin_stats_sql()
 
 QUERIES.update({"admin_region_stats": q_admin_region_stats})
 ORACLES.update({"admin_region_stats": SQL_ADMIN_REGION_STATS})
+
+
+# ---------------------------------------------------------------------------
+# round-4: per-source data card (volume + length profile + dup rates)
+# ---------------------------------------------------------------------------
+
+
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipping artifact of a corpus build: one row per source with
+    volume (source_rollup), exact order-statistic token quantiles
+    (source_token_quantiles), and duplication rates (global-md5 exact
+    dups + near_dup_clusters non-canonical members) — three gated
+    operators composed through ONE plan."""
+    from ophois_spark.operators.corpus import data_card
+
+    return data_card(load(spark, sf_dir, "documents"))
+
+
+def _data_card_sql() -> str:
+    return f"""
+WITH roll AS ({SQL_SOURCE_ROLLUP}),
+quant AS ({SQL_SOURCE_TOKEN_QUANTILES}),
+reps AS (SELECT md5(text) AS h, MIN(doc_id) AS rep FROM documents GROUP BY 1),
+ex AS (
+  SELECT d.source,
+         CAST(SUM(CASE WHEN d.doc_id <> r.rep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
+  FROM documents d JOIN reps r ON md5(d.text) = r.h
+  GROUP BY d.source
+),
+cl AS ({SQL_NEAR_DUP_CLUSTERS}),
+nd AS (
+  SELECT d.source, CAST(SUM(1 - cl.is_canonical) AS BIGINT) AS n_near_dups
+  FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT roll.source, roll.n_docs, roll.sum_tokens, roll.mean_tokens,
+       quant.p50, quant.p90, quant.p99,
+       ex.n_exact_dups,
+       CAST(ex.n_exact_dups AS DOUBLE) / CAST(roll.n_docs AS DOUBLE) AS exact_dup_rate,
+       nd.n_near_dups,
+       CAST(nd.n_near_dups AS DOUBLE) / CAST(roll.n_docs AS DOUBLE) AS near_dup_rate
+FROM roll
+JOIN quant ON roll.source = quant.source
+JOIN ex ON roll.source = ex.source
+JOIN nd ON roll.source = nd.source
+"""
+
+
+SQL_DATA_CARD = _data_card_sql()
+
+QUERIES.update({"data_card": q_data_card})
+ORACLES.update({"data_card": SQL_DATA_CARD})
