@@ -1,4 +1,6 @@
 from ophois_spark.streaming.ingest_stream import (
+    band_key_rows,
+    stream_band_registry,
     stream_dedup_nodes,
     stream_doc_registry,
     stream_graph_snapshots,
@@ -7,6 +9,8 @@ from ophois_spark.streaming.ingest_stream import (
 )
 
 __all__ = [
+    "band_key_rows",
+    "stream_band_registry",
     "stream_page_records",
     "stream_dedup_nodes",
     "stream_doc_registry",

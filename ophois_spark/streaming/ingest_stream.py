@@ -377,3 +377,159 @@ def stream_doc_registry(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def band_key_rows(docs: DataFrame, n_hashes: int = 16, band_rows: int = 2, k: int = 3) -> DataFrame:
+    """(doc_id, band, band_key) per document — the Arrow-batched twin of
+    ``operators.dedup.lsh_band_keys`` (pinned equal by tests), computed
+    per-row inside ``mapInPandas`` so it works on a STREAM: the batch
+    formulation's explode→groupBy minhash aggregation is a shuffle,
+    which would be a second stateful operator in front of the band
+    registry; here each document's shingle set fits one kernel call
+    (``kernels.text.minhash_sig``), so band keys are a narrow map stage.
+
+    Documents with fewer than ``k`` tokens have no shingles and emit no
+    band rows — identical to the batch path, where they never reach the
+    minhash aggregation.
+    """
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ophois_spark.kernels.text import minhash_sig
+    from ophois_spark.operators.textops import WS_RE
+
+    ws = re.compile(WS_RE)
+    n_bands = -(-n_hashes // band_rows)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands, keys = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = ws.split(str(text).strip())
+                if len(toks) < k:
+                    continue
+                sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                sig = minhash_sig(sh, n_hashes)
+                for t in range(n_bands):
+                    ids.append(doc_id)
+                    bands.append(t)
+                    keys.append(
+                        ":".join(
+                            str(sig[j])
+                            for j in range(t * band_rows, min((t + 1) * band_rows, n_hashes))
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": ids, "band": bands, "band_key": keys})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, band int, band_key string"
+    )
+
+
+def stream_band_registry(
+    docs_stream: DataFrame,
+    n_hashes: int = 16,
+    band_rows: int = 2,
+    k: int = 3,
+    state_timeout_ms: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Streaming NEAR-dup candidate generation: a MinHash-LSH band
+    registry (``applyInPandasWithState``) — the incremental twin of
+    ``minhash_lsh_pairs``, extending the streaming corpus coverage from
+    the exact-fingerprint stage (``stream_doc_registry``) to the
+    near-dup stage.
+
+    Key = (band, band_key) — an LSH bucket. State per bucket: the
+    sorted array of doc_ids it has accumulated. Each micro-batch, every
+    NEW document in the bucket emits one candidate row per document
+    already registered (plus the in-batch pairs among the new docs), as
+    ``(band, band_key, doc_a, doc_b)`` with ``doc_a < doc_b``. The
+    union of emitted rows over the stream's lifetime, made distinct
+    over buckets, is EXACTLY the batch candidate set: docs sharing any
+    band bucket — pinned by tests including a checkpointed restart
+    whose delta file pairs with run-1 state. Replayed doc_ids (at-least-
+    once delivery) are set-subtracted against state, so emission is
+    idempotent.
+
+    Downstream, candidates flow through the same verify (exact
+    Jaccard) → components decision as the batch pipeline; candidate-set
+    equality makes the CLUSTER decision equal by construction, and the
+    tests pin it against ``near_dup_clusters`` anyway.
+
+    State size is O(bucket membership) = the LSH skew profile; a hot
+    bucket (boilerplate band collision) is the same key the batch join
+    splits via AQE. For unbounded streams, ``max_bucket`` caps a
+    bucket's registry at its first N members (later arrivals still pair
+    with the capped registry but are not added — the standard
+    bounded-state recall trade, disclosed, default off), and
+    ``state_timeout_ms`` evicts idle buckets wholesale.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = band_key_rows(
+        docs_stream.filter(F.col("doc_id").isNotNull()), n_hashes, band_rows, k
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        batch_ids: set[int] = set()
+        for pdf in pdfs:
+            batch_ids.update(int(x) for x in pdf["doc_id"])
+        prior = list(state.get[0]) if state.exists else []
+        new = np.array(sorted(batch_ids - set(prior)), dtype=np.int64)
+        prior_a = np.array(prior, dtype=np.int64)
+        out_a, out_b = [], []
+        if len(new):
+            if len(prior_a):
+                # every new doc × every registered doc (grid, no row loop)
+                aa = np.repeat(prior_a, len(new))
+                bb = np.tile(new, len(prior_a))
+                out_a.append(np.minimum(aa, bb))
+                out_b.append(np.maximum(aa, bb))
+            if len(new) > 1:
+                iu = np.triu_indices(len(new), 1)  # in-batch pairs, a < b
+                out_a.append(new[iu[0]])
+                out_b.append(new[iu[1]])
+        merged = sorted(set(prior) | batch_ids)
+        if max_bucket is not None:
+            merged = merged[:max_bucket]
+        state.update((merged,))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            yield pd.DataFrame(
+                {
+                    "band": np.full(len(a), key[0], dtype=np.int32),
+                    "band_key": [key[1]] * len(a),
+                    "doc_a": a,
+                    "doc_b": b,
+                }
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("band", "band_key").applyInPandasWithState(
+        update,
+        outputStructType="band int, band_key string, doc_a long, doc_b long",
+        stateStructType="ids array<long>",
+        outputMode="append",
+        timeoutConf=timeout,
+    )

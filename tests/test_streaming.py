@@ -312,3 +312,128 @@ def test_stream_doc_registry_first_wins_across_batches(spark, docs_dir):
     for fp, (mn, n) in want.items():
         if fp not in cross:
             assert got[fp][0] == mn
+
+
+@pytest.fixture(scope="module")
+def near_docs_dir(spark, tmp_path_factory):
+    """Documents with NEAR duplicates split across two parquet files
+    (two micro-batches), plus exact dups and unrelated docs. Long texts
+    (40 tokens) so a one-token edit keeps shingle Jaccard ≥ 0.85 —
+    above the 0.8 verify threshold and well inside LSH recall at
+    8 bands × 2 rows."""
+    root = str(tmp_path_factory.mktemp("near_docs_stream"))
+    base = " ".join(f"w{i}" for i in range(40))
+    edit1 = base.replace("w20", "EDIT")          # near-dup of base
+    other = " ".join(f"q{i}" for i in range(40))  # unrelated
+    rows1 = [(10, base, "a"), (11, other, "b"), (12, "tiny doc here", "c")]
+    # file 2: near-dup of doc 10 (cross-batch pair) + exact dup of other
+    rows2 = [(20, edit1, "a"), (21, other, "b")]
+    schema = "doc_id long, text string, source string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(root)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(root)
+    return root
+
+
+def _py_shingles(text, k=3):
+    import re
+
+    toks = re.split(r"[ \t\n\x0B\f\r]+", text.strip())
+    return (
+        {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        if len(toks) >= k
+        else set()
+    )
+
+
+def test_band_key_rows_match_batch_lsh(spark, near_docs_dir):
+    """The streaming-side Arrow band-key kernel is the batch
+    lsh_band_keys bit for bit (same rows: doc_id, band, band_key)."""
+    from ophois_spark.operators.dedup import lsh_band_keys
+    from ophois_spark.streaming import band_key_rows
+
+    docs = spark.read.parquet(near_docs_dir)
+    got = {tuple(r) for r in band_key_rows(docs).collect()}
+    want = {tuple(r) for r in lsh_band_keys(docs).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_stream_band_registry_matches_batch_candidates_and_clusters(
+    spark, near_docs_dir, tmp_path
+):
+    """Streamed candidate pairs (across micro-batches AND a
+    checkpointed restart) == batch minhash_lsh_pairs; composing the
+    batch verify+cluster decision over them == near_dup_clusters. The
+    restart's delta file must pair against run-1 state (cross-run
+    candidate), proving state restoration."""
+    from ophois_spark.operators.dedup import (
+        NEAR_DUP_JACCARD,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+    from ophois_spark.streaming import stream_band_registry
+
+    ckpt = str(tmp_path / "ckpt_bands")
+    pairs: set[tuple] = set()
+
+    def drain():
+        def collect(batch_df, _bid):
+            for r in batch_df.collect():
+                pairs.add((r["doc_a"], r["doc_b"]))
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(near_docs_dir)
+        )
+        q = (
+            stream_band_registry(stream)
+            .writeStream.foreachBatch(collect)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    docs = spark.read.parquet(near_docs_dir)
+    want = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert pairs == want
+    assert (10, 20) in pairs  # the cross-batch near-dup candidate
+
+    # restart with a new file: an exact dup of doc 20's text must pair
+    # against run-1/2 state (both 10 and 20 are in its buckets already)
+    extra = [(30, spark.read.parquet(near_docs_dir).filter("doc_id = 20").first()["text"], "a")]
+    spark.createDataFrame(extra, "doc_id long, text string, source string").coalesce(
+        1
+    ).write.mode("append").parquet(near_docs_dir)
+    drain()
+    assert (20, 30) in pairs and (10, 30) in pairs
+
+    # cluster-decision parity: verify streamed candidates with exact
+    # Jaccard (independent Python twin) + union-find, vs the batch op
+    docs2 = spark.read.parquet(near_docs_dir)
+    texts = {r["doc_id"]: r["text"] for r in docs2.collect()}
+    parent = {d: d for d in texts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        sa, sb = _py_shingles(texts[a]), _py_shingles(texts[b])
+        j = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        if j >= NEAR_DUP_JACCARD:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want_clusters = {
+        r["doc_id"]: (r["cluster"], r["is_canonical"])
+        for r in near_dup_clusters(docs2).collect()
+    }
+    got_clusters = {d: (find(d), int(find(d) == d)) for d in texts}
+    assert got_clusters == want_clusters
