@@ -1,6 +1,7 @@
 """CLI parity: the ``python -m ophois_spark`` surface composes like the
 reference binary's pipes (download | format | extract | simplify)."""
 
+import pytest
 from ophois_spark import SEPARATOR
 from ophois_spark.__main__ import (
     cli_discretize,
@@ -33,6 +34,7 @@ def _record_lines():
     ]
 
 
+@pytest.mark.slow
 def test_cli_simplify_matches_pipeline_and_writes_metrics(spark, tmp_path):
     out = cli_simplify(
         spark, _record_lines(), 10.0, SEPARATOR, metrics_dir=str(tmp_path)

@@ -1,5 +1,6 @@
 """Golden tests: connected components (H1) + discretize (D1)."""
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -33,6 +34,7 @@ def test_bfs_largest_component_golden(spark):
     assert degrees_map(lc) == expected
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None)
 @given(st.integers(min_value=0, max_value=2**32))
 def test_star_and_labelprop_components_equivalent(spark, seed):
@@ -72,6 +74,7 @@ def test_component_size_distribution(spark):
     assert max(dist) == 18 and dist[18] == 1
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(st.integers(min_value=0, max_value=2**32))
 def test_components_match_union_find(spark, seed):

@@ -203,6 +203,7 @@ def seq_outcomes(nodes, links, apply_fn):
     return outs
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(8))
 def test_degree_two_confluence(spark, seed):
     nodes, links = random_graph(seed)
@@ -213,6 +214,7 @@ def test_degree_two_confluence(spark, seed):
     assert got == next(iter(outs))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(8))
 def test_under_delta_nodes_confluence(spark, seed):
     delta = 9.0
@@ -263,6 +265,7 @@ def link_fixpoints(nodes, links, delta, cap=50000):
         return None
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(8))
 def test_under_delta_links_confluence(spark, seed):
     delta = 8.0

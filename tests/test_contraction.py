@@ -1,5 +1,6 @@
 """Golden tests for the contraction framework (reference src/heuristics.rs:206-313)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from ophois_spark.operators.contraction import (
@@ -156,6 +157,7 @@ def test_contract_edges_adjacent_merges_relabel_consistently(spark):
     assert [(r["src"], r["dst"]) for r in out.edges.collect()] == [("a-b", "c-d")]
 
 
+@pytest.mark.slow
 def test_oracle_unroll_depth_covers_gated_sf(spark):
     """The H4/H6 DuckDB oracles unroll _CONTRACT_ROUNDS rounds; the
     engine's true fixpoint must converge within that depth at the

@@ -104,7 +104,14 @@ _CORNER_GRAPHS = {
 
 
 @pytest.mark.parametrize(
-    "case", [*(f"seed{s}" for s in range(6)), *_CORNER_GRAPHS]
+    "case",
+    [
+        # seed0 stays in the quick gate as the random representative;
+        # the remaining random seeds are redundancy, gated behind -m slow.
+        "seed0",
+        *(pytest.param(f"seed{s}", marks=pytest.mark.slow) for s in range(1, 6)),
+        *_CORNER_GRAPHS,
+    ],
 )
 def test_lc_deg2_prefix_matches_engine(spark, case):
     """Pin the simplify oracle's largest-component + degree-2 closed
@@ -138,7 +145,10 @@ def test_lc_deg2_prefix_matches_engine(spark, case):
     assert got_edges == want_edges
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize(
+    "seed",
+    [0, 1, *(pytest.param(s, marks=pytest.mark.slow) for s in range(2, 6))],
+)
 def test_h6_chain_matches_engine_on_random_graph(spark, seed):
     nodes, links = random_graph(seed)
     g = graph_from_tuples(spark, nodes, links)

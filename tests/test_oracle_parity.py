@@ -18,9 +18,12 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(SF_DIR), reason="driver testdata not present"
-)
+pytestmark = [
+    pytest.mark.slow,  # full-registry sweep: one Spark+DuckDB round per query
+    pytest.mark.skipif(
+        not os.path.isdir(SF_DIR), reason="driver testdata not present"
+    ),
+]
 
 
 def duck():

@@ -1,5 +1,6 @@
 """Unit semantics for pagerank / corpus_sample / pack_sequences."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from ophois_spark.operators.corpus import corpus_sample, pack_sequences
@@ -49,6 +50,7 @@ def test_pack_sequences_chunk_boundaries(spark):
     assert got == {1: (0, 0), 2: (300, 0), 3: (600, 1), 4: (0, 0)}
 
 
+@pytest.mark.slow
 def test_pagerank_converged_fixpoint_and_pin(spark):
     """The convergence loop stops at the EXACT integer fixed point, the
     measured round count matches the oracle pin at both gate scales
