@@ -452,6 +452,102 @@ def knn_bruteforce(nodes: DataFrame, queries: DataFrame, k: int, query_id: str =
 
 
 # ---------------------------------------------------------------------------
+# segment crossings (spatial self-join)
+# ---------------------------------------------------------------------------
+
+
+def segment_crossings(segments: DataFrame, res: int) -> DataFrame:
+    """Pairs of segments that properly cross (strict interior/interior
+    intersection) — the geometric complement of the reference's
+    shared-node intersection model (src/graph.rs splits ways only where
+    nodes coincide; this finds edges that CROSS without a shared node,
+    i.e. candidate missing intersections / bridges).
+
+    Scale design (100 TB): each segment explodes to the grid cells its
+    bounding box overlaps at ``res`` (choose the cell edge >= the max
+    segment extent so the cover is <= 2x2 cells); candidates come from
+    ONE equi hash join on the integer cell coords (AQE splits hot urban
+    cells); the exact test is the CCW orientation predicate — pure
+    +,-,* on doubles, bit-identical across engines, no UDF. Duplicate
+    detections of a pair that shares several cover cells are eliminated
+    WITHOUT a distinct shuffle by the reference-point rule of
+    partitioned spatial joins: a pair is emitted only from the single
+    cell containing the lower-left corner of the two bounding boxes'
+    intersection.
+
+    Planar predicate on (lon, lat) degrees — exact for street-scale
+    segments away from poles/antimeridian; the grid clamps (no x wrap),
+    matching ``tile_assignment``.
+
+    Input columns: (sid, x0, y0, x1, y1), x = lon / y = lat degrees.
+    Output: (sid_a, sid_b) with sid_a < sid_b, one row per crossing pair.
+    """
+    n = 1 << res
+    cx = lambda lon: F.greatest(  # noqa: E731
+        F.lit(0), F.least(F.lit(n - 1), F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n))
+    )
+    cy = lambda lat: F.greatest(  # noqa: E731
+        F.lit(0), F.least(F.lit(n - 1), F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n))
+    )
+    s = segments.select(
+        "sid",
+        "x0",
+        "y0",
+        "x1",
+        "y1",
+        F.least("x0", "x1").alias("bx0"),
+        F.greatest("x0", "x1").alias("bx1"),
+        F.least("y0", "y1").alias("by0"),
+        F.greatest("y0", "y1").alias("by1"),
+    )
+    cov = s.select(
+        "*",
+        F.explode(F.sequence(cx(F.col("bx0")), cx(F.col("bx1")))).alias("gx"),
+    ).select("*", F.explode(F.sequence(cy(F.col("by0")), cy(F.col("by1")))).alias("gy"))
+    a = cov.select(
+        *[F.col(c).alias(f"a_{c}") for c in ("sid", "x0", "y0", "x1", "y1", "bx0", "bx1", "by0", "by1")],
+        "gx",
+        "gy",
+    )
+    b = cov.select(
+        *[F.col(c).alias(f"b_{c}") for c in ("sid", "x0", "y0", "x1", "y1", "bx0", "bx1", "by0", "by1")],
+        "gx",
+        "gy",
+    )
+
+    def _cross(ox, oy, px, py, qx, qy):
+        # z of (p - o) x (q - o): the CCW orientation sign
+        return (F.col(px) - F.col(ox)) * (F.col(qy) - F.col(oy)) - (
+            F.col(py) - F.col(oy)
+        ) * (F.col(qx) - F.col(ox))
+
+    d1 = _cross("a_x0", "a_y0", "a_x1", "a_y1", "b_x0", "b_y0")
+    d2 = _cross("a_x0", "a_y0", "a_x1", "a_y1", "b_x1", "b_y1")
+    d3 = _cross("b_x0", "b_y0", "b_x1", "b_y1", "a_x0", "a_y0")
+    d4 = _cross("b_x0", "b_y0", "b_x1", "b_y1", "a_x1", "a_y1")
+    return (
+        a.join(b, ["gx", "gy"])
+        .filter(F.col("a_sid") < F.col("b_sid"))
+        # bbox overlap prunes before the arithmetic predicate
+        .filter(
+            (F.col("a_bx0") <= F.col("b_bx1"))
+            & (F.col("b_bx0") <= F.col("a_bx1"))
+            & (F.col("a_by0") <= F.col("b_by1"))
+            & (F.col("b_by0") <= F.col("a_by1"))
+        )
+        # reference-point dedup: emit only in the cell holding the
+        # lower-left corner of the bbox intersection (always a cover
+        # cell of both segments, so exactly one emitting cell per pair)
+        .filter(
+            (cx(F.greatest("a_bx0", "b_bx0")) == F.col("gx"))
+            & (cy(F.greatest("a_by0", "b_by0")) == F.col("gy"))
+        )
+        .filter((d1 * d2 < 0) & (d3 * d4 < 0))
+        .select(F.col("a_sid").alias("sid_a"), F.col("b_sid").alias("sid_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # raster tiles
 # ---------------------------------------------------------------------------
 

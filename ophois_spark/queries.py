@@ -2994,3 +2994,116 @@ SQL_DATA_CARD = _data_card_sql()
 
 QUERIES.update({"data_card": q_data_card})
 ORACLES.update({"data_card": SQL_DATA_CARD})
+
+
+# ---------------------------------------------------------------------------
+# round-4: segment crossings (cell-bucketed spatial self-join)
+# ---------------------------------------------------------------------------
+
+SEG_RES = 17  # grid cell ~2.7e-3 x 1.37e-3 deg >= the 1e-3-deg max
+# segment extent below, so every bbox cover is <= 2x2 cells
+
+
+def derived_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic street-scale segments from ``orders``: start point
+    on a 1000x1000 lattice of 2^-13-deg steps, displacement in
+    [-10, 10] lattice steps per axis (<= ~136 m), zero-length segments
+    dropped. The dyadic step makes every derived coordinate AND every
+    CCW cross-product exactly representable, so the crossing predicate
+    is bit-identical across engines (and across DECIMAL vs DOUBLE)."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    # lattice step 2^-13 deg (~13.6 m lat): every coordinate, difference
+    # and CCW product below is an EXACT double (integer * 2^-26 within
+    # 53 bits), so the strict sign tests are engine-independent — DuckDB
+    # parses plain decimal literals as exact DECIMAL, and with a 1e-4
+    # step its exact-zero verdict on touching endpoints diverged from
+    # the double residual (measured: d = -7.5e-18 vs DECIMAL 0).
+    step = F.lit(0.0001220703125)
+    x0 = F.lit(5.0) + (k % 1000).cast("double") * step
+    y0 = F.lit(45.0) + ((k * 7) % 1000).cast("double") * step
+    dx = ((k * 13) % 21 - 10).cast("double") * step
+    dy = ((k * 17) % 21 - 10).cast("double") * step
+    return (
+        o.select(
+            k.cast("string").alias("sid"),
+            x0.alias("x0"),
+            y0.alias("y0"),
+            dx.alias("dx"),
+            dy.alias("dy"),
+        )
+        .filter(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+        .select(
+            "sid",
+            "x0",
+            "y0",
+            (F.col("x0") + F.col("dx")).alias("x1"),
+            (F.col("y0") + F.col("dy")).alias("y1"),
+        )
+    )
+
+
+def q_segment_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper segment-segment crossings (no shared endpoint geometry):
+    cell-bucketed candidate join + exact CCW predicate, pair-dedup via
+    the reference-point rule (zero distinct shuffles). The geometric
+    complement of the reference's shared-node intersection model
+    (src/graph.rs)."""
+    from ophois_spark.operators.spatial import segment_crossings
+
+    return segment_crossings(derived_segments(spark, sf_dir), SEG_RES)
+
+
+# oracle: same cell-cover candidate generation restated in SQL (the
+# _tile_sql unnest pattern) + the IDENTICAL CCW arithmetic, but with
+# pair dedup via DISTINCT instead of the engine's reference-point rule
+# — so the zero-extra-shuffle dedup is still checked against the naive
+# formulation. Exact-equal pair sets, not approximate. (A pure
+# bbox-overlap inequality join would be fully bucketing-independent,
+# but DuckDB's IEJoin raises an internal flat-vector assertion on the
+# 4-range predicate — worked around, not a semantics choice.)
+
+
+def _segment_crossings_sql() -> str:
+    n = 1 << SEG_RES
+    gx = lambda c: f"greatest(0, least({n - 1}, CAST(floor(({c} + 180.0) / 360.0 * {n}) AS BIGINT)))"  # noqa: E731
+    gy = lambda c: f"greatest(0, least({n - 1}, CAST(floor(({c} + 90.0) / 180.0 * {n}) AS BIGINT)))"  # noqa: E731
+    return f"""
+WITH raw AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS sid,
+         5.0 + (o_orderkey % 1000) * CAST(0.0001220703125 AS DOUBLE) AS x0,
+         45.0 + ((o_orderkey * 7) % 1000) * CAST(0.0001220703125 AS DOUBLE) AS y0,
+         ((o_orderkey * 13) % 21 - 10) * CAST(0.0001220703125 AS DOUBLE) AS dx,
+         ((o_orderkey * 17) % 21 - 10) * CAST(0.0001220703125 AS DOUBLE) AS dy
+  FROM orders
+),
+s AS (
+  SELECT sid, x0, y0, x0 + dx AS x1, y0 + dy AS y1 FROM raw
+  WHERE NOT (dx = 0 AND dy = 0)
+),
+xs AS (
+  SELECT sid, x0, y0, x1, y1,
+         {gy("least(y0, y1)")} AS gy0, {gy("greatest(y0, y1)")} AS gy1,
+         unnest(generate_series({gx("least(x0, x1)")}, {gx("greatest(x0, x1)")})) AS gx
+  FROM s
+),
+cov AS (
+  SELECT sid, x0, y0, x1, y1, gx, unnest(generate_series(gy0, gy1)) AS gy FROM xs
+)
+SELECT DISTINCT a.sid AS sid_a, b.sid AS sid_b
+FROM cov a JOIN cov b ON a.gx = b.gx AND a.gy = b.gy AND a.sid < b.sid
+WHERE least(a.x0, a.x1) <= greatest(b.x0, b.x1)
+  AND least(b.x0, b.x1) <= greatest(a.x0, a.x1)
+  AND least(a.y0, a.y1) <= greatest(b.y0, b.y1)
+  AND least(b.y0, b.y1) <= greatest(a.y0, a.y1)
+  AND ((a.x1 - a.x0) * (b.y0 - a.y0) - (a.y1 - a.y0) * (b.x0 - a.x0))
+    * ((a.x1 - a.x0) * (b.y1 - a.y0) - (a.y1 - a.y0) * (b.x1 - a.x0)) < 0
+  AND ((b.x1 - b.x0) * (a.y0 - b.y0) - (b.y1 - b.y0) * (a.x0 - b.x0))
+    * ((b.x1 - b.x0) * (a.y1 - b.y0) - (b.y1 - b.y0) * (a.x1 - b.x0)) < 0
+"""
+
+
+SQL_SEGMENT_CROSSINGS = _segment_crossings_sql()
+
+QUERIES.update({"segment_crossings": q_segment_crossings})
+ORACLES.update({"segment_crossings": SQL_SEGMENT_CROSSINGS})
