@@ -72,10 +72,15 @@ def main() -> None:
     counts: dict[str, int] = {}
 
     def run_pipeline() -> None:
+        # each pass persists fresh records/edges frames; drop the
+        # previous pass's so pass 2 isn't timed under ~2x cache
+        # pressure (nothing else is cached at this point)
+        spark.catalog.clearCache()
         g = graph_from_pages(pages.filter(pages["lang"] == "en"), persist_records=True)
         counts["nodes"], counts["edges"] = g.counts()
 
     t_pipeline = best_of_2("pages_pipeline", run_pipeline)
+    spark.catalog.clearCache()  # free the last pass's persisted frames
     n_nodes, n_edges = counts["nodes"], counts["edges"]
     pages_per_sec = n_pages / t_pipeline
     edges_per_sec = n_edges / t_pipeline
@@ -93,13 +98,17 @@ def main() -> None:
 
     from ophois_spark.operators.corpus import pack_sequences
 
+    from pyspark import StorageLevel
+
     hot = spark.range(16_000_000).select(
         F3.col("id").alias("doc_id"),
         F3.lit("commoncrawl").alias("source"),
         F3.repeat(F3.lit("w "), (F3.pmod(F3.col("id"), F3.lit(5)) + 1).cast("int")).alias("text"),
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hot.count()  # materialize outside the timers (generation excluded)
     best_of_2("pack_hot_source_serial", lambda: pack_sequences(hot).count())
     best_of_2("pack_hot_source_sharded32", lambda: pack_sequences(hot, shards=32).count())
+    hot.unpersist(blocking=True)  # ~16M rows; free before the ANN section
 
     # -- ANN recall@k vs the exact baseline --------------------------------
     # quantifies the approximation the ANN paths trade for scale: recall =
@@ -148,10 +157,12 @@ def main() -> None:
         "ivf_kmeans_nprobe16": ivf_topk(emb, qset, recall_k, nprobe=16, centroids=km_cents, assignment=km_assign),
         "lsh_bucket": ann_topk(emb, qset, recall_k),
     }.items():
-        t0 = time.perf_counter()
-        hits = df.select("qid", "vec_id").join(exact, ["qid", "vec_id"]).count()
-        ann_recall[variant] = round(hits / n_exact, 4)
-        timings[f"recall_{variant}"] = round(time.perf_counter() - t0, 3)
+
+        def run_recall(df=df, variant=variant) -> None:
+            hits = df.select("qid", "vec_id").join(exact, ["qid", "vec_id"]).count()
+            ann_recall[variant] = round(hits / n_exact, 4)
+
+        best_of_2(f"recall_{variant}", run_recall)
 
     total = round(sum(timings.values()), 3)
     summary = {
@@ -166,7 +177,11 @@ def main() -> None:
         "pages_per_sec": round(pages_per_sec, 1),
         "edges_per_sec": round(edges_per_sec, 1),
         "ann_recall_at_10": ann_recall,
-        "protocol": "best-of-2 per workload (symmetric), both readings in reps",
+        "protocol": (
+            "best-of-2 per workload (symmetric), both readings in reps; "
+            "sole exception: ivf_kmeans_train is single-pass (one-time "
+            "eager model fit, timed separately and disclosed here)"
+        ),
         "reps": reps,
         "cpus": cpus,
     }

@@ -242,11 +242,15 @@ def data_card(docs: DataFrame) -> DataFrame:
     """
     from ophois_spark.operators.textops import source_rollup, source_token_quantiles
 
+    from ophois_spark.operators.dedup import content_hash_col, exact_dedup
+
     roll = source_rollup(docs)
     quant = source_token_quantiles(docs).select("source", "p50", "p90", "p99")
-    reps = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("rep"))
+    reps = exact_dedup(docs).select(
+        F.col("content_hash").alias("h"), F.col("rep_doc_id").alias("rep")
+    )
     exact = (
-        docs.select("doc_id", "source", F.md5("text").alias("h"))
+        docs.select("doc_id", "source", content_hash_col(F.col("text")).alias("h"))
         .join(reps, "h")
         .groupBy("source")
         .agg(

@@ -61,10 +61,19 @@ def doc_shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFra
     )
 
 
+def content_hash_col(text: Column) -> Column:
+    """THE exact-dup identity: raw md5 of the text bytes, no
+    normalization (byte-identical contract). Single definition shared
+    by ``exact_dedup`` and every consumer that joins back on the hash
+    (``corpus.data_card``) — changing the identity in one place keeps
+    the join keys aligned."""
+    return F.md5(text)
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
-        F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_docs")
-    )
+    return docs.groupBy(
+        content_hash_col(F.col(text_col)).alias("content_hash")
+    ).agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
 
 
 # single source of truth for the affine-permutation family: the numpy/

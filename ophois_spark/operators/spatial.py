@@ -456,6 +456,25 @@ def knn_bruteforce(nodes: DataFrame, queries: DataFrame, k: int, query_id: str =
 # ---------------------------------------------------------------------------
 
 
+def _grid_x(lon: Column, n: int) -> Column:
+    """Clamped equirectangular lon → column index on an n-wide grid —
+    THE grid-cell formula. Single definition shared by
+    ``tile_assignment`` (and ``tile_pyramid`` through it) and
+    ``segment_crossings``; it must stay in lock-step with the SQL
+    oracle twins in queries.py, so any clamp/rounding change (e.g.
+    antimeridian wrap) happens exactly once."""
+    return F.greatest(
+        F.lit(0), F.least(F.lit(n - 1), F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n))
+    )
+
+
+def _grid_y(lat: Column, n: int) -> Column:
+    """Clamped equirectangular lat → row index (see ``_grid_x``)."""
+    return F.greatest(
+        F.lit(0), F.least(F.lit(n - 1), F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n))
+    )
+
+
 def segment_crossings(segments: DataFrame, res: int) -> DataFrame:
     """Pairs of segments that properly cross (strict interior/interior
     intersection) — the geometric complement of the reference's
@@ -483,12 +502,8 @@ def segment_crossings(segments: DataFrame, res: int) -> DataFrame:
     Output: (sid_a, sid_b) with sid_a < sid_b, one row per crossing pair.
     """
     n = 1 << res
-    cx = lambda lon: F.greatest(  # noqa: E731
-        F.lit(0), F.least(F.lit(n - 1), F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n))
-    )
-    cy = lambda lat: F.greatest(  # noqa: E731
-        F.lit(0), F.least(F.lit(n - 1), F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n))
-    )
+    cx = lambda lon: _grid_x(lon, n)  # noqa: E731
+    cy = lambda lat: _grid_y(lat, n)  # noqa: E731
     s = segments.select(
         "sid",
         "x0",
@@ -560,12 +575,8 @@ def tile_assignment(edges_with_coords: DataFrame, zoom: int) -> DataFrame:
     Column math: floor-scale each endpoint, explode the tile range.
     """
     n = 1 << zoom
-    tx = lambda lon: F.greatest(  # noqa: E731
-        F.lit(0), F.least(F.lit(n - 1), F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n))
-    )
-    ty = lambda lat: F.greatest(  # noqa: E731
-        F.lit(0), F.least(F.lit(n - 1), F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n))
-    )
+    tx = lambda lon: _grid_x(lon, n)  # noqa: E731
+    ty = lambda lat: _grid_y(lat, n)  # noqa: E731
     e = edges_with_coords.withColumns(
         {
             "tx0": tx(F.least("src_lon_d", "dst_lon_d")),

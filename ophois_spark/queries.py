@@ -250,11 +250,9 @@ FROM j WHERE floor(dist_m / {DISC_DELTA!r}) > 1
 
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup via md5 hash-groupBy over documents."""
-    d = load(spark, sf_dir, "documents")
-    return (
-        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
-        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
-    )
+    from ophois_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"))
 
 
 SQL_DOC_EXACT_DEDUP = """

@@ -409,7 +409,11 @@ def band_key_rows(docs: DataFrame, n_hashes: int = 16, band_rows: int = 2, k: in
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue
-                toks = ws.split(str(text).strip())
+                # strip(' ') not strip(): Spark's trim removes ASCII
+                # spaces ONLY, and split keeps the leading/trailing
+                # empty token a \t/\n boundary produces — verified
+                # equal on every edge (empty, all-space, tab-only)
+                toks = ws.split(str(text).strip(" "))
                 if len(toks) < k:
                     continue
                 sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
@@ -445,7 +449,9 @@ def stream_band_registry(
     near-dup stage.
 
     Key = (band, band_key) — an LSH bucket. State per bucket: the
-    sorted array of doc_ids it has accumulated. Each micro-batch, every
+    array of doc_ids it has accumulated (sorted; under ``max_bucket``
+    it is first-arrival-ordered instead, because registered members
+    must never be evicted). Each micro-batch, every
     NEW document in the bucket emits one candidate row per document
     already registered (plus the in-batch pairs among the new docs), as
     ``(band, band_key, doc_a, doc_b)`` with ``doc_a < doc_b``. The
@@ -503,9 +509,23 @@ def stream_band_registry(
                 iu = np.triu_indices(len(new), 1)  # in-batch pairs, a < b
                 out_a.append(new[iu[0]])
                 out_b.append(new[iu[1]])
-        merged = sorted(set(prior) | batch_ids)
-        if max_bucket is not None:
-            merged = merged[:max_bucket]
+        if max_bucket is None:
+            merged = sorted(set(prior) | batch_ids)
+        else:
+            # first-N-ARRIVALS cap: registered members are never
+            # evicted (truncating the sorted union would let a later
+            # small doc_id push out an already-registered member,
+            # breaking emission idempotence); within one micro-batch
+            # arrival order is undefined, so the new ids fill the
+            # remaining room in doc_id order for determinism. Docs
+            # that arrive with the bucket full still PAIR against the
+            # registry (above) but are not added — on at-least-once
+            # replay they re-emit those pairs, absorbed by the
+            # downstream distinct that defines the candidate set.
+            merged = list(prior)
+            room = max_bucket - len(merged)
+            if room > 0:
+                merged.extend(sorted(batch_ids - set(prior))[:room])
         state.update((merged,))
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)

@@ -234,3 +234,48 @@ def test_url_canonicalization_is_pure_codegen(spark):
     plan = plan_str(q_url_canonical_dedup(spark, SF))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "partial_count" in plan  # canonical-url dedup combines map-side
+
+
+def test_fan_out_gate_is_size_aware(spark, tmp_path):
+    """The gate replays Spark's split-planning formula, not bare file
+    count: a SMALL single-file table fires; the same single file under
+    an 'at-scale' split config (tiny maxPartitionBytes stands in for a
+    10 GB file) plans >= parallelism splits and must NOT be shuffled;
+    wide-node detection matches plan node heads, so column aliases
+    containing node names never trip it."""
+    from pyspark.sql import functions as F
+
+    from ophois_spark.plans.layout import _planned_splits, fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    out = str(tmp_path / "one_file")
+    spark.range(2000).select(
+        F.col("id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    ).coalesce(1).write.parquet(out)
+    df = spark.read.parquet(out)
+
+    assert _planned_splits(df) < par
+    assert fan_out(df) is not df  # fires on the small 1-file layout
+
+    # alias trap: narrow projection whose names contain wide-node words
+    aliased = df.select(F.col("id").alias("SortKey"), F.lit("JoinX").alias("W"))
+    assert _planned_splits(aliased) < par  # still the scan estimate
+
+    # at-scale stand-in: force the planner formula to many splits
+    conf = spark.conf
+    old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = conf.get("spark.sql.files.openCostInBytes")
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        conf.set("spark.sql.files.openCostInBytes", "0")
+        big = spark.read.parquet(out)
+        assert _planned_splits(big) >= par
+        assert fan_out(big) is big  # no repartition of at-scale input
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        conf.set("spark.sql.files.openCostInBytes", old_oc)
+
+    # wide lineage still reads the shuffle config, no file stats
+    assert _planned_splits(df.groupBy("text").count()) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

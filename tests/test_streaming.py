@@ -325,7 +325,11 @@ def near_docs_dir(spark, tmp_path_factory):
     base = " ".join(f"w{i}" for i in range(40))
     edit1 = base.replace("w20", "EDIT")          # near-dup of base
     other = " ".join(f"q{i}" for i in range(40))  # unrelated
-    rows1 = [(10, base, "a"), (11, other, "b"), (12, "tiny doc here", "c")]
+    # doc 13 carries leading-tab/trailing-newline whitespace: Spark's
+    # trim strips ASCII spaces only, so the batch tokens keep boundary
+    # empty tokens — the streaming kernel must reproduce them exactly
+    rows1 = [(10, base, "a"), (11, other, "b"), (12, "tiny doc here", "c"),
+             (13, "\t" + base + "\n", "a")]
     # file 2: near-dup of doc 10 (cross-batch pair) + exact dup of other
     rows2 = [(20, edit1, "a"), (21, other, "b")]
     schema = "doc_id long, text string, source string"
@@ -337,7 +341,7 @@ def near_docs_dir(spark, tmp_path_factory):
 def _py_shingles(text, k=3):
     import re
 
-    toks = re.split(r"[ \t\n\x0B\f\r]+", text.strip())
+    toks = re.split(r"[ \t\n\x0B\f\r]+", text.strip(" "))
     return (
         {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
         if len(toks) >= k
@@ -437,3 +441,46 @@ def test_stream_band_registry_matches_batch_candidates_and_clusters(
     }
     got_clusters = {d: (find(d), int(find(d) == d)) for d in texts}
     assert got_clusters == want_clusters
+
+
+def test_stream_band_registry_max_bucket_first_arrivals(spark, tmp_path):
+    """max_bucket keeps the FIRST N members: a later arrival with a
+    smaller doc_id never evicts a registered member (truncating the
+    sorted union would), still pairs against the capped registry, and
+    unregistered docs never act as registry members for later docs."""
+    from ophois_spark.streaming import stream_band_registry
+
+    root = str(tmp_path / "capped_docs")
+    text = " ".join(f"w{i}" for i in range(40))  # identical ⇒ same buckets
+    schema = "doc_id long, text string, source string"
+    for batch in ([(5, text, "a"), (9, text, "a")], [(1, text, "a")],
+                  [(7, text, "a")]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(root)
+
+    pairs: set[tuple] = set()
+
+    def collect(batch_df, _bid):
+        for r in batch_df.collect():
+            pairs.add((r["doc_a"], r["doc_b"]))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    q = (
+        stream_band_registry(stream, max_bucket=2)
+        .writeStream.foreachBatch(collect)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # batch1 registers {5,9}; doc 1 (smaller id, batch2) pairs but is
+    # NOT registered; doc 7 (batch3) pairs with 5 and 9 only
+    assert {(5, 9), (1, 5), (1, 9), (5, 7), (7, 9)} <= pairs
+    assert (1, 7) not in pairs
