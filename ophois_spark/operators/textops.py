@@ -279,6 +279,96 @@ def index_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return tf.join(df_, "term").select("term", "doc_id", "tf", "df")
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k retrieval over the postings index → one row per
+    (query_id, rank): (query_id, rank, doc_id, score). The consumer of
+    ``index_postings`` — the ranking a contamination/retrieval audit of
+    a training corpus actually runs (Robertson/Sparck-Jones BM25 with
+    the +1 idf shift, so idf > 0 even for terms in most docs).
+
+    Cross-engine determinism (the gate's hard part):
+    - every constant reaches both engines as the SAME double — Python
+      floats in Spark ``lit``s, their ``repr`` string-cast in the
+      DuckDB oracle (shortest round-trip, no decimal re-rounding);
+    - each per-term contribution is one fixed-shape expression tree
+      (identical association both sides) rounded to 9 dp, far above
+      ~1-ulp ``ln`` libm noise;
+    - the per-doc score SUMS contributions in term-sorted order on
+      both sides (``aggregate(array_sort(collect_list(...)))`` here,
+      ``list_reduce(list(... ORDER BY term))`` in the oracle) — a bare
+      SUM() is accumulation-order-dependent in the last ulp;
+    - final score rounded to 6 dp; rank ties broken by doc_id.
+
+    Scale shape at 10^12 docs: the query-term table is tiny and
+    broadcast, so the postings scan prunes to matching terms with no
+    shuffle; dl and the 1-row corpus stats are doc-keyed join +
+    broadcast; the per-query candidate set (docs sharing ≥1 query
+    term) is what shuffles, grouped by (query_id, doc_id) — bounded by
+    the postings of the query's terms, never the corpus. Top-k is a
+    per-query window over the already-reduced scores.
+    """
+    spark = docs.sparkSession
+    postings = index_postings(docs, text_col)
+    dl = docs.select("doc_id", n_tokens_col(F.col(text_col)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    qt = spark.createDataFrame(query_terms, "query_id int, term string")
+
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
+    denom = tfd + F.lit(k1) * (F.lit(one_minus_b) + F.lit(b) * dld / avgdl)
+    contrib = F.round(idf * (tfd * F.lit(k1p1)) / denom, 9)
+
+    per_term = (
+        postings.join(F.broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "term", contrib.alias("contrib"))
+    )
+    scored = per_term.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score",
+        )
+    )
+
+
 QUANTILES = (50, 90, 99)
 
 

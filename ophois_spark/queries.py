@@ -3105,3 +3105,91 @@ SQL_SEGMENT_CROSSINGS = _segment_crossings_sql()
 
 QUERIES.update({"segment_crossings": q_segment_crossings})
 ORACLES.update({"segment_crossings": SQL_SEGMENT_CROSSINGS})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: BM25 retrieval over the postings index
+# ---------------------------------------------------------------------------
+
+# three fixed audit queries over the synthetic vocabulary (terms chosen
+# from the generator's word list; df ~380-400 of 500 at sf0.01, so the
+# +1-shifted idf stays small but positive and rank order is contestable)
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "hash"),
+    (0, "join"),
+    (1, "vector"),
+    (1, "scan"),
+    (1, "filter"),
+    (2, "stream"),
+    (2, "window"),
+    (2, "agg"),
+]
+BM25_K = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed query set — the
+    consumer of the inverted index (`doc_postings`); the retrieval leg
+    of a contamination / corpus-audit pipeline."""
+    from ophois_spark.operators.textops import bm25_topk
+
+    return bm25_topk(load(spark, sf_dir, "documents"), BM25_QUERIES, k=BM25_K)
+
+
+def _bm25_sql() -> str:
+    from ophois_spark.operators.textops import BM25_B, BM25_K1
+
+    k1, b = BM25_K1, BM25_B
+    k1p1, one_minus_b = k1 + 1.0, 1.0 - b
+    qvals = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    # constants string-cast from Python reprs: both engines compute on
+    # the IDENTICAL doubles (shortest round-trip parse, no re-rounding)
+    ck1 = f"CAST('{k1!r}' AS DOUBLE)"
+    cb = f"CAST('{b!r}' AS DOUBLE)"
+    ck1p1 = f"CAST('{k1p1!r}' AS DOUBLE)"
+    c1mb = f"CAST('{one_minus_b!r}' AS DOUBLE)"
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM ex WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id,
+              CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS dl
+       FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+qt AS (SELECT * FROM (VALUES {qvals}) AS v(query_id, term)),
+per_term AS (
+  SELECT qt.query_id, tf.doc_id, tf.term,
+         round(
+           ln((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf.tf AS DOUBLE) * {ck1p1})
+           / (CAST(tf.tf AS DOUBLE)
+              + {ck1} * ({c1mb} + {cb} * CAST(dl.dl AS DOUBLE)
+                                  / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))),
+           9) AS contrib
+  FROM tf
+  JOIN df USING (term)
+  JOIN qt ON qt.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         round(list_reduce(list(contrib ORDER BY term), (x, y) -> x + y), 6) AS score
+  FROM per_term GROUP BY query_id, doc_id
+),
+r AS (SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM scored)
+SELECT CAST(query_id AS INT) AS query_id, rank, CAST(doc_id AS BIGINT) AS doc_id, score
+FROM r WHERE rank <= {BM25_K}
+"""
+
+
+SQL_BM25_TOPK = _bm25_sql()
+
+QUERIES.update({"bm25_topk": q_bm25_topk})
+ORACLES.update({"bm25_topk": SQL_BM25_TOPK})
