@@ -83,3 +83,62 @@ def write_metrics(g: StreetGraph, param: str, directory: str = "./ophois_metrics
             f.write(payload)
         out[name] = path
     return out
+
+
+def triangle_counts(g: StreetGraph) -> DataFrame:
+    """Per-node triangle participation count → (id, n_triangles), all
+    nodes (0 for triangle-free). A graph-quality metric the reference's
+    analysis layer stops short of (src/metrics.rs has order/degree/
+    length only) — closed here with the MapReduce-scalable enumeration.
+
+    Degree-ordered orientation (Suri & Vassilvitskii, WWW'11): each
+    canonical edge is directed from its lower (degree, id) endpoint to
+    the higher, so every node's OUT-degree is bounded (a hub of degree
+    d receives its wedges from low-degree spokes instead of fanning out
+    d^2 of them) — the wedge join's skew is capped by design, not by
+    AQE rescue. Each triangle has exactly one source node under a total
+    order, so it is enumerated once:
+
+      wedges (a->b, a->c) self-join on the source  →  closure check =
+      one left-semi equi-join against the oriented edge set.
+
+    Per-node counts then explode each triangle's 3 corners — bounded by
+    3x the triangle count, not the wedge count.
+    """
+    deg = g.degrees()
+    e = (
+        g.edges.join(deg.withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("degree", "sdeg")
+        .join(deg.withColumnRenamed("id", "dst"), "dst")
+        .withColumnRenamed("degree", "ddeg")
+    )
+    skey = F.struct(F.col("sdeg").alias("d"), F.col("src").alias("n"))
+    dkey = F.struct(F.col("ddeg").alias("d"), F.col("dst").alias("n"))
+    fwd = skey < dkey
+    oriented = e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(fwd, dkey).otherwise(skey).alias("vkey"),
+    ).localCheckpoint(eager=True)
+
+    a = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("vkey").alias("bkey"))
+    c = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("vkey").alias("ckey"))
+    wedges = (
+        a.join(c, "a")
+        .filter(F.col("bkey") < F.col("ckey"))
+        .select("a", "b", "c")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    )
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionByName(tri.select(F.col("b").alias("id")))
+        .unionByName(tri.select(F.col("c").alias("id")))
+    )
+    per_node = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return g.nodes.select("id").join(per_node, "id", "left").select(
+        "id", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+    )

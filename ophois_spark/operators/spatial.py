@@ -870,3 +870,55 @@ def raster_to_points(
         "zoom int, tile_x long, tile_y long, px_x long, px_y long, "
         "lon_d double, lat_d double",
     )
+
+
+def bbox_covering_cells(
+    lat_min: float, lat_max: float, lon_min: float, lon_max: float, res: int
+) -> list[int]:
+    """Covering cell set of a lat/lon box at ``res`` (+1-cell margin per
+    side, so the set is a guaranteed SUPERSET — the exact coordinate
+    filter downstream owns the boundary, the cells only prune)."""
+    from ophois_spark.kernels.cells import cell_id
+
+    n = 1 << res
+    x0 = int(math.floor((lon_min + 180.0) / 360.0 * float(n))) - 1
+    x1 = int(math.floor((lon_max + 180.0) / 360.0 * float(n))) + 1
+    y0 = max(0, int(math.floor((lat_min + 90.0) / 180.0 * float(n))) - 1)
+    y1 = min(n - 1, int(math.floor((lat_max + 90.0) / 180.0 * float(n))) + 1)
+    xs, ys = np.meshgrid(np.arange(x0, x1 + 1) % n, np.arange(y0, y1 + 1))
+    lon_c = (xs.ravel() + 0.5) / n * 360.0 - 180.0
+    lat_c = (ys.ravel() + 0.5) / n * 180.0 - 90.0
+    return sorted(set(cell_id(lon_c, lat_c, res).tolist()))
+
+
+def bbox_query(
+    nodes: DataFrame,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    res: int,
+) -> DataFrame:
+    """Spatial range query through the tiling index → (id, lat_d,
+    lon_d) of nodes inside the closed box.
+
+    The covering-cell set is enumerated DRIVER-side (a bbox at fixed
+    res is a few dozen to a few thousand ints) and pushed into the scan
+    as an ``isin`` predicate on the cell column — on a cell-bucketed /
+    cell-partitioned 10^12-row table this is partition pruning, so the
+    scan touches only covering buckets instead of the world. The exact
+    closed-interval coordinate comparison then owns the boundary; the
+    result is therefore identical to the naive full-scan WHERE (which
+    is exactly what the oracle runs)."""
+    cells = bbox_covering_cells(lat_min, lat_max, lon_min, lon_max, res)
+    return (
+        with_cells(nodes, res)
+        .filter(F.col("cell").isin(cells))
+        .filter(
+            (F.col("lat_d") >= F.lit(lat_min))
+            & (F.col("lat_d") <= F.lit(lat_max))
+            & (F.col("lon_d") >= F.lit(lon_min))
+            & (F.col("lon_d") <= F.lit(lon_max))
+        )
+        .select("id", "lat_d", "lon_d")
+    )

@@ -369,6 +369,74 @@ def bm25_topk(
     )
 
 
+DUPSPAN_W = 8
+
+
+def dup_ngram_coverage(
+    docs: DataFrame, w: int = DUPSPAN_W, text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22 — the exact
+    complement of the MinHash near-dup leg): per document, the fraction
+    of token positions covered by a ``w``-token n-gram that occurs more
+    than once in the corpus (including within one document)
+    → (doc_id, n_tokens, n_dup_positions, dup_fraction).
+
+    Shape, all codegen / no UDF: rolling grams are built per row with
+    ``transform(sequence) + slice + array_join`` (zero shuffle), then
+
+      occurrences (doc, pos, md5(gram))
+      → gram counts: ONE map-side-combinable groupBy on the hash
+      → dup occurrences: left-semi equi-join back (only grams seen >1×)
+      → covered positions: explode w per DUP occurrence only — the
+        blow-up is bounded by actual duplication, not corpus size
+      → distinct + per-doc count.
+
+    At 10^12 docs every stage keys on gram-hash or doc_id (AQE splits a
+    pathological boilerplate gram); dup_fraction is the per-doc signal a
+    corpus build thresholds before tokenization."""
+    base = docs.select(
+        "doc_id", tokens_col(F.col(text_col)).alias("t")
+    ).withColumn("n", F.size("t"))
+    occ = base.filter(F.col("n") >= w).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - w),
+                lambda i: F.md5(F.array_join(F.slice("t", i + 1, w), " ")),
+            )
+        ).alias("pos", "gh"),
+    )
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gh")
+    )
+    covered = (
+        occ.join(dup, "gh", "left_semi")
+        .select("doc_id", F.explode(F.sequence("pos", F.col("pos") + (w - 1))).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_positions"))
+    )
+    ntok = docs.select("doc_id", n_tokens_col(F.col(text_col)).alias("n_tokens"))
+    return ntok.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias("n_dup_positions"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.coalesce("n_dup_positions", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                9,
+            )
+        )
+        .alias("dup_fraction"),
+    )
+
+
 QUANTILES = (50, 90, 99)
 
 

@@ -3193,3 +3193,199 @@ SQL_BM25_TOPK = _bm25_sql()
 
 QUERIES.update({"bm25_topk": q_bm25_topk})
 ORACLES.update({"bm25_topk": SQL_BM25_TOPK})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: multi-source traversal (BFS hops + bounded shortest path)
+# ---------------------------------------------------------------------------
+
+# deterministic scale-independent seed set: the ROUTE_N_SEEDS nodes with
+# the smallest md5(id) — both engines hash the VARCHAR id to the same
+# lowercase hex and sort it identically (ASCII), so the seed set is
+# restatable as ORDER BY md5(id) LIMIT n with no ties possible
+ROUTE_N_SEEDS = 5
+ROUTE_BFS_HOPS = 6
+ROUTE_DIST_HOPS = 3
+
+
+def _route_seeds(g: StreetGraph) -> DataFrame:
+    return g.nodes.select("id").orderBy(F.md5(F.col("id"))).limit(ROUTE_N_SEEDS)
+
+
+def q_seed_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop count from the seed set, bounded at
+    ROUTE_BFS_HOPS (frontier-join iteration; see operators/routing.py)."""
+    from ophois_spark.operators.routing import bfs_hops
+
+    g = derived_graph(spark, sf_dir)
+    return bfs_hops(g, _route_seeds(g), max_hops=ROUTE_BFS_HOPS)
+
+
+SQL_SEED_HOP_DISTANCE = f"""
+WITH RECURSIVE nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+bi AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+seeds AS (SELECT id FROM nodes ORDER BY md5(id) LIMIT {ROUTE_N_SEEDS}),
+r(id, hops) AS (
+  SELECT id, 0 FROM seeds
+  UNION
+  SELECT bi.b, r.hops + 1 FROM r JOIN bi ON r.id = bi.a
+  WHERE r.hops < {ROUTE_BFS_HOPS}
+)
+SELECT id, CAST(MIN(hops) AS INT) AS hops FROM r GROUP BY id
+"""
+
+
+def q_seed_distance_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop multi-source shortest path in integer metres
+    (floor(haversine) edge weights, exact min-plus — ROUTE_DIST_HOPS
+    Bellman-Ford rounds; see operators/routing.py)."""
+    from ophois_spark.operators.routing import bounded_dist_m
+
+    g = derived_graph(spark, sf_dir)
+    return bounded_dist_m(g, _route_seeds(g), max_hops=ROUTE_DIST_HOPS)
+
+
+SQL_SEED_DISTANCE_M = f"""
+WITH RECURSIVE nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+w AS (
+  SELECT e.src, e.dst,
+         CAST(floor({_hav_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")}) AS BIGINT) AS w
+  FROM edges e JOIN nodes a ON e.src = a.id JOIN nodes b ON e.dst = b.id
+),
+bi AS (SELECT src AS a, dst AS b, w FROM w UNION ALL SELECT dst, src, w FROM w),
+seeds AS (SELECT id FROM nodes ORDER BY md5(id) LIMIT {ROUTE_N_SEEDS}),
+r(id, d, h) AS (
+  SELECT id, CAST(0 AS BIGINT), 0 FROM seeds
+  UNION
+  SELECT bi.b, r.d + bi.w, r.h + 1 FROM r JOIN bi ON r.id = bi.a
+  WHERE r.h < {ROUTE_DIST_HOPS}
+)
+SELECT id, MIN(d) AS dist_m FROM r GROUP BY id
+"""
+
+
+QUERIES.update(
+    {"seed_hop_distance": q_seed_hop_distance, "seed_distance_m": q_seed_distance_m}
+)
+ORACLES.update(
+    {"seed_hop_distance": SQL_SEED_HOP_DISTANCE, "seed_distance_m": SQL_SEED_DISTANCE_M}
+)
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: exact-substring duplication coverage (Lee et al. ACL'22)
+# ---------------------------------------------------------------------------
+
+
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of token positions covered by a corpus-repeated
+    w-token n-gram — the exact-substring complement of the MinHash leg
+    (operators/textops.py: dup_ngram_coverage)."""
+    from ophois_spark.operators.textops import dup_ngram_coverage
+
+    return dup_ngram_coverage(load(spark, sf_dir, "documents"))
+
+
+def _dup_ngram_sql() -> str:
+    from ophois_spark.operators.textops import DUPSPAN_W
+
+    w = DUPSPAN_W
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+occ AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i+1: i+{w}], ' ')) AS gh
+  FROM base, unnest(generate_series(0, n - {w})) AS u(i)
+  WHERE n >= {w}
+),
+dup AS (SELECT gh FROM occ GROUP BY gh HAVING COUNT(*) > 1),
+cov AS (
+  SELECT DISTINCT doc_id, pos + j AS p
+  FROM occ JOIN dup USING (gh), unnest(generate_series(0, {w} - 1)) AS g(j)
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_dup FROM cov GROUP BY doc_id),
+ntok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens
+  FROM documents
+)
+SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup_positions,
+       CASE WHEN n.n_tokens = 0 THEN 0.0
+            ELSE round(CAST(COALESCE(c.n_dup, 0) AS DOUBLE)
+                       / CAST(n.n_tokens AS DOUBLE), 9) END AS dup_fraction
+FROM ntok n LEFT JOIN cnt c USING (doc_id)
+"""
+
+
+SQL_DUP_NGRAM_COVERAGE = _dup_ngram_sql()
+
+QUERIES.update({"dup_ngram_coverage": q_dup_ngram_coverage})
+ORACLES.update({"dup_ngram_coverage": SQL_DUP_NGRAM_COVERAGE})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: triangle counting (degree-ordered wedge enumeration)
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation via degree-ordered orientation
+    (operators/metrics.py: triangle_counts; skew capped by construction)."""
+    from ophois_spark.operators.metrics import triangle_counts
+
+    return triangle_counts(derived_graph(spark, sf_dir))
+
+
+# oracle enumerates each triangle once as x < y < z over canonical edges
+SQL_TRIANGLE_COUNTS = f"""
+WITH nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+tri AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id)
+SELECT n.id, CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN cnt c ON n.id = c.id
+"""
+
+QUERIES.update({"triangle_counts": q_triangle_counts})
+ORACLES.update({"triangle_counts": SQL_TRIANGLE_COUNTS})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: bbox range query through the cell index
+# ---------------------------------------------------------------------------
+
+BBOX = (45.004, 45.012, 5.003, 5.009)  # lat_min, lat_max, lon_min, lon_max
+
+
+def q_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-box spatial range query, cell-index pruned (covering-cell
+    isin pushdown + exact filter; operators/spatial.py: bbox_query).
+    Result must equal the oracle's naive full-scan WHERE."""
+    from ophois_spark.operators.spatial import bbox_query
+
+    return bbox_query(derived_nodes(spark, sf_dir), *BBOX, res=CELL_RES)
+
+
+def _bbox_sql() -> str:
+    lat_min, lat_max, lon_min, lon_max = BBOX
+    return f"""
+WITH nodes AS ({_NODES_SQL})
+SELECT id, lat_d, lon_d FROM nodes
+WHERE lat_d >= CAST('{lat_min!r}' AS DOUBLE) AND lat_d <= CAST('{lat_max!r}' AS DOUBLE)
+  AND lon_d >= CAST('{lon_min!r}' AS DOUBLE) AND lon_d <= CAST('{lon_max!r}' AS DOUBLE)
+"""
+
+
+SQL_BBOX_QUERY = _bbox_sql()
+
+QUERIES.update({"bbox_query": q_bbox_query})
+ORACLES.update({"bbox_query": SQL_BBOX_QUERY})

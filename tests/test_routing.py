@@ -1,0 +1,89 @@
+"""Multi-source traversal: BFS hops and bounded integer-metre shortest
+paths pinned on hand graphs (the DuckDB recursive-CTE oracle gate is in
+test_oracle_parity; this pins the SEMANTICS — minimality, hop bound,
+unreachable absence, walk-vs-path equivalence — independently)."""
+
+import math
+
+from ophois_spark.kernels.geo import haversine
+from ophois_spark.operators.routing import bfs_hops, bounded_dist_m
+from ophois_spark.sources.graph_io import graph_from_tuples
+
+# chain a-b-c-d-e, triangle-free branch c-f, isolated node z
+NODES = [
+    ("a", "45.0", "5.0"),
+    ("b", "45.0", "5.001"),
+    ("c", "45.0", "5.002"),
+    ("d", "45.0", "5.003"),
+    ("e", "45.0", "5.004"),
+    ("f", "45.001", "5.002"),
+    ("z", "44.0", "4.0"),
+]
+LINKS = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("c", "f")]
+
+
+def _seeds(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id string")
+
+
+def test_bfs_hops_single_seed(spark):
+    g = graph_from_tuples(spark, NODES, LINKS)
+    got = {r["id"]: r["hops"] for r in bfs_hops(g, _seeds(spark, ["a"]), 8).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4, "f": 3}
+    # isolated node never appears
+    assert "z" not in got
+
+
+def test_bfs_hops_multi_seed_min(spark):
+    g = graph_from_tuples(spark, NODES, LINKS)
+    got = {r["id"]: r["hops"] for r in bfs_hops(g, _seeds(spark, ["a", "e"]), 8).collect()}
+    # distance is the MIN over seeds
+    assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2, "f": 3}
+
+
+def test_bfs_hop_bound_truncates(spark):
+    g = graph_from_tuples(spark, NODES, LINKS)
+    got = {r["id"]: r["hops"] for r in bfs_hops(g, _seeds(spark, ["a"]), 2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def _edge_w(u, v):
+    n = {i: (float(lat), float(lon)) for i, lat, lon in NODES}
+    (lat1, lon1), (lat2, lon2) = n[u], n[v]
+    return math.floor(haversine(lon1, lat1, lon2, lat2))
+
+
+def test_bounded_dist_matches_hand_dijkstra(spark):
+    g = graph_from_tuples(spark, NODES, LINKS)
+    w = {frozenset(e): _edge_w(*e) for e in LINKS}
+    # hand Bellman-Ford over the tiny graph, 3 rounds from seed a
+    dist = {"a": 0}
+    for _ in range(3):
+        nxt = dict(dist)
+        for e in LINKS:
+            for u, v in (e, e[::-1]):
+                if u in dist:
+                    cand = dist[u] + w[frozenset(e)]
+                    if cand < nxt.get(v, math.inf):
+                        nxt[v] = cand
+        dist = nxt
+    got = {
+        r["id"]: r["dist_m"]
+        for r in bounded_dist_m(g, _seeds(spark, ["a"]), 3).collect()
+    }
+    assert got == dist
+    # e is 4 hops out: absent under the 3-hop bound
+    assert "e" not in got and "z" not in got
+
+
+def test_bounded_dist_early_exit_is_fixpoint(spark):
+    # max_hops far above the diameter: early exit returns true shortest
+    g = graph_from_tuples(spark, NODES, LINKS)
+    got = {
+        r["id"]: r["dist_m"]
+        for r in bounded_dist_m(g, _seeds(spark, ["a"]), 20).collect()
+    }
+    w = {frozenset(e): _edge_w(*e) for e in LINKS}
+    path = lambda *es: sum(w[frozenset(e)] for e in es)
+    assert got["e"] == path(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    assert got["f"] == path(("a", "b"), ("b", "c"), ("c", "f"))
