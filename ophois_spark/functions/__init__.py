@@ -30,6 +30,7 @@ __all__ = [
     "cell_expr",
     "cell_parent_expr",
     "fmt_f64",
+    "bearing_deg",
 ]
 
 
@@ -49,6 +50,24 @@ def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colum
         * F.cos(F.radians(lat2))
     )
     return F.lit(EARTH_RADIUS_M) * (F.lit(2.0) * F.atan2(F.sqrt(a), F.sqrt(F.lit(1.0) - a)))
+
+
+def bearing_deg(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Initial great-circle bearing in degrees [0, 360), pure Column
+    arithmetic (whole-stage codegen, no UDF).
+
+    θ = atan2(sin Δλ · cos φ₂, cos φ₁ · sin φ₂ − sin φ₁ · cos φ₂ · cos Δλ),
+    shifted from (−180, 180] into [0, 360). Due-north/south edges
+    (Δλ = 0) hit atan2's exact 0/π results, so they land on 0°/180°
+    identically on every IEEE engine; consumers floor to whole degrees
+    (the floored-metre discipline) before any cross-engine comparison.
+    """
+    d_lon = F.radians(lon2 - lon1)
+    y = F.sin(d_lon) * F.cos(F.radians(lat2))
+    x = F.cos(F.radians(lat1)) * F.sin(F.radians(lat2)) - F.sin(
+        F.radians(lat1)
+    ) * F.cos(F.radians(lat2)) * F.cos(d_lon)
+    return (F.degrees(F.atan2(y, x)) + F.lit(360.0)) % F.lit(360.0)
 
 
 def midpoint_xy(x1: Column, y1: Column, x2: Column, y2: Column) -> tuple[Column, Column]:

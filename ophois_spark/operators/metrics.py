@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ophois_spark.functions import bearing_deg
 from ophois_spark.operators.graph import StreetGraph
 
 
@@ -141,4 +142,71 @@ def triangle_counts(g: StreetGraph) -> DataFrame:
     per_node = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
     return g.nodes.select("id").join(per_node, "id", "left").select(
         "id", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+    )
+
+
+def clustering_coefficients(g: StreetGraph) -> DataFrame:
+    """Per-node local clustering coefficient → (id, degree,
+    n_triangles, lcc), all nodes (0.0 when degree < 2).
+
+    lcc(v) = 2·t(v) / (d(v)·(d(v)−1)) — the classic Watts–Strogatz
+    local density. Composes the two already-scalable relations
+    (`triangle_counts`, `degrees`) with ONE equi-join + a codegen
+    projection, so its scale profile is exactly theirs. The quotient's
+    operands are exact small integers on both engines, so the double
+    division (then round-9) is bit-identical cross-engine — the
+    integer-operand discipline from the floored-metre lesson.
+    """
+    tri = triangle_counts(g)
+    deg = g.degrees()
+    return tri.join(deg, "id").select(
+        "id",
+        "degree",
+        "n_triangles",
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(2.0)
+                * F.col("n_triangles")
+                / (F.col("degree") * (F.col("degree") - 1)),
+                9,
+            )
+        )
+        .alias("lcc"),
+    )
+
+
+def bearing_distribution(g: StreetGraph) -> DataFrame:
+    """floor(initial bearing °) → link count over canonical links
+    → (bearing_deg int, n_links bigint), the orientation histogram
+    (street-grid alignment entropy — Boeing, "Urban spatial order",
+    Appl. Netw. Sci. 2019) the reference's metrics layer (order /
+    degree / length, src/metrics.rs) stops short of.
+
+    Same shape as `length_distribution`: the bearing is one codegen
+    projection over `edges_with_coords` (functions.bearing_deg — pure
+    atan2 arithmetic, no UDF), then ONE map-side-combinable groupBy on
+    ≤360 keys; at 10^12 edges the shuffle payload is 360 partial
+    counts per task. Floored whole degrees are the cross-engine
+    contract (trig differs by ~1 ulp between engines; a floor boundary
+    hit needs an exactly-integer fractional bearing, and the exact
+    cases atan2 produces — 0°/180° — are identical IEEE results).
+    """
+    return (
+        g.edges_with_coords()
+        .select(
+            F.floor(
+                bearing_deg(
+                    F.col("src_lon_d"),
+                    F.col("src_lat_d"),
+                    F.col("dst_lon_d"),
+                    F.col("dst_lat_d"),
+                )
+            )
+            .cast("int")
+            .alias("bearing_deg")
+        )
+        .groupBy("bearing_deg")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .orderBy("bearing_deg")
     )

@@ -481,3 +481,58 @@ def source_token_quantiles(docs: DataFrame, text_col: str = "text") -> DataFrame
     return ranked.groupBy("source").agg(
         F.max("n").alias("n_docs"), *picks
     )
+
+
+REP_GRAM_N = 2
+
+
+def doc_repetition(docs: DataFrame, n: int = REP_GRAM_N, text_col: str = "text") -> DataFrame:
+    """Within-document repetition (Rae et al., Gopher appendix A1.1 —
+    the "fraction of tokens in the most-common n-gram" quality
+    signal): per document the top n-gram's occurrence count and the
+    token share it covers
+    → (doc_id, n_tokens, top_gram_count, top_gram_share).
+
+    Complements the CORPUS-level legs (minhash/simhash/dup-ngram
+    coverage): this one needs no cross-doc state at all — rolling
+    grams are zero-shuffle codegen (`transform(sequence)+slice+
+    array_join`), then two map-side-combinable groupBys keyed on
+    doc_id, so at 10^12 docs the stage parallelism is per-document
+    with no hot key possible (a doc's gram count is bounded by its
+    own length). Share = count·n / n_tokens with exact integer
+    operands, so the double quotient is bit-identical cross-engine.
+    """
+    base = docs.select("doc_id", tokens_col(F.col(text_col)).alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    grams = base.filter(F.col("n") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - n),
+                lambda i: F.array_join(F.slice("t", i + 1, n), " "),
+            )
+        ).alias("g"),
+    )
+    top = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_gram_count"))
+    )
+    ntok = docs.select("doc_id", n_tokens_col(F.col(text_col)).alias("n_tokens"))
+    return ntok.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("top_gram_count", F.lit(0)).cast("long").alias("top_gram_count"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.coalesce("top_gram_count", F.lit(0)).cast("double")
+                * F.lit(float(n))
+                / F.col("n_tokens").cast("double"),
+                9,
+            )
+        )
+        .alias("top_gram_share"),
+    )

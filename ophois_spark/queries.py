@@ -3389,3 +3389,131 @@ SQL_BBOX_QUERY = _bbox_sql()
 
 QUERIES.update({"bbox_query": q_bbox_query})
 ORACLES.update({"bbox_query": SQL_BBOX_QUERY})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: clustering coefficient, bearing histogram, in-doc repetition
+# ---------------------------------------------------------------------------
+
+
+def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (Watts-Strogatz), composed
+    from the gated triangle + degree relations
+    (operators/metrics.py: clustering_coefficients)."""
+    from ophois_spark.operators.metrics import clustering_coefficients
+
+    return clustering_coefficients(derived_graph(spark, sf_dir))
+
+
+SQL_CLUSTERING_COEFFICIENTS = f"""
+WITH nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+tri AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+tcnt AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id),
+ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+dcnt AS (SELECT id, COUNT(*) AS d FROM ends GROUP BY id)
+SELECT n.id,
+       CAST(COALESCE(dc.d, 0) AS INT) AS degree,
+       CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN COALESCE(dc.d, 0) < 2 THEN 0.0
+            ELSE round(2.0 * COALESCE(tc.t, 0) / (dc.d * (dc.d - 1)), 9)
+       END AS lcc
+FROM nodes n LEFT JOIN dcnt dc ON n.id = dc.id LEFT JOIN tcnt tc ON n.id = tc.id
+"""
+
+
+def q_bearing_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Street-orientation histogram: floor(initial bearing) -> link
+    count (operators/metrics.py: bearing_distribution)."""
+    from ophois_spark.operators.metrics import bearing_distribution
+
+    return bearing_distribution(derived_graph(spark, sf_dir))
+
+
+def _bearing_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Initial bearing in [0, 360) degrees — same formula shape as
+    functions.bearing_deg so doubles agree to the last ulp."""
+    return (
+        f"((degrees(atan2("
+        f"sin(radians(({lon2}) - ({lon1}))) * cos(radians({lat2})), "
+        f"cos(radians({lat1})) * sin(radians({lat2})) "
+        f"- sin(radians({lat1})) * cos(radians({lat2})) * cos(radians(({lon2}) - ({lon1})))"
+        f")) + 360.0) % 360.0)"
+    )
+
+
+SQL_BEARING_DISTRIBUTION = f"""
+WITH nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+b AS (
+  SELECT CAST(floor({_bearing_sql("n1.lat_d", "n1.lon_d", "n2.lat_d", "n2.lon_d")}) AS INT)
+           AS bearing_deg
+  FROM edges e JOIN nodes n1 ON e.src = n1.id JOIN nodes n2 ON e.dst = n2.id
+)
+SELECT bearing_deg, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM b GROUP BY bearing_deg
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition: top n-gram count + token share (Gopher
+    A1.1 signal; operators/textops.py: doc_repetition)."""
+    from ophois_spark.operators.textops import doc_repetition
+
+    return doc_repetition(load(spark, sf_dir, "documents"))
+
+
+def _doc_repetition_sql() -> str:
+    from ophois_spark.operators.textops import REP_GRAM_N
+
+    n = REP_GRAM_N
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+grams AS (
+  SELECT doc_id, array_to_string(t[i+1: i+{n}], ' ') AS g
+  FROM base, unnest(generate_series(0, n - {n})) AS u(i)
+  WHERE n >= {n}
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_gram_count
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+ntok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens
+  FROM documents
+)
+SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(tp.top_gram_count, 0) AS BIGINT) AS top_gram_count,
+       CASE WHEN nt.n_tokens = 0 THEN 0.0
+            ELSE round(CAST(COALESCE(tp.top_gram_count, 0) AS DOUBLE) * {float(n)!r}
+                       / CAST(nt.n_tokens AS DOUBLE), 9) END AS top_gram_share
+FROM ntok nt LEFT JOIN top tp ON nt.doc_id = tp.doc_id
+"""
+
+
+SQL_DOC_REPETITION = _doc_repetition_sql()
+
+QUERIES.update(
+    {
+        "clustering_coefficients": q_clustering_coefficients,
+        "bearing_distribution": q_bearing_distribution,
+        "doc_repetition": q_doc_repetition,
+    }
+)
+ORACLES.update(
+    {
+        "clustering_coefficients": SQL_CLUSTERING_COEFFICIENTS,
+        "bearing_distribution": SQL_BEARING_DISTRIBUTION,
+        "doc_repetition": SQL_DOC_REPETITION,
+    }
+)
