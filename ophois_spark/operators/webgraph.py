@@ -55,20 +55,28 @@ def pagerank_converged(
     point — the real stopping rule, not an unroll count.
 
     Because the arithmetic is 64-bit integer, the iteration map is a
-    deterministic function on a finite lattice: the damped truncating
-    update contracts until the rank vector reproduces itself exactly,
-    so the stopping rule is ``L1 residual == 0`` — no epsilon to tune,
-    and once fixed, further rounds are identities (which is what lets
-    a SQL oracle pin the result by unrolling to ANY round count at or
-    beyond the measured fixpoint round).
+    deterministic function on a finite lattice, so the orbit from the
+    uniform start MUST become recurrent: either a true fixed point
+    (L1 residual == 0 — the 500-doc gate overlay fixes at round 62)
+    or a short limit cycle (truncating division is not monotone, so a
+    period ≥ 2 oscillation of a few final units is possible — the
+    5000-doc overlay enters one instead of fixing). The stopping rule
+    is therefore STATE RECURRENCE: stop at the first round whose rank
+    vector reproduces any earlier round's. Both outcomes are exactly
+    deterministic (no epsilon, no shuffle-order dependence), so a SQL
+    oracle replays the result by unrolling to the measured stop round
+    (for a fixed point, to ANY count at or beyond it, since further
+    rounds are identities).
 
-    Loop cost: ONE Spark action per round — the residual aggregation
-    both materializes the round's lazily-checkpointed rank relation
-    and reads off the convergence signal (the ``components.py``
-    fixpoint-loop shape; per-round lineage is truncated so round k
-    never replays rounds 1..k-1). ``max_rounds`` is a safety cap; the
-    loop raises if it trips, because returning a non-fixpoint would
-    silently break the oracle contract.
+    Recurrence is detected on an exact integer signature per round —
+    (count, sum, xor of per-row hashes), order-independent — which is
+    also the round's single Spark action: the aggregation materializes
+    the lazily-checkpointed rank relation and reads off the signal at
+    once (the ``components.py`` fixpoint-loop shape; per-round lineage
+    is truncated so round k never replays rounds 1..k-1).
+    ``max_rounds`` is a safety cap; the loop raises if it trips,
+    because returning a non-recurrent state would silently break the
+    oracle contract.
     """
     base = (DAMPING_DEN - DAMPING_NUM) * scale // DAMPING_DEN
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -76,6 +84,16 @@ def pagerank_converged(
     ranks = nodes.select("id", F.lit(scale).cast("long").alias("rank")).localCheckpoint(
         eager=False
     )
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rank").alias("s"),
+            F.bit_xor(F.xxhash64("id", "rank")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["s"], row["h"])
+
+    seen: dict[tuple, int] = {_sig(ranks): 0}
     for rounds in range(1, max_rounds + 1):
         sums = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -83,7 +101,7 @@ def pagerank_converged(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        new = (
+        ranks = (
             nodes.join(sums, "id", "left")
             .select(
                 "id",
@@ -94,16 +112,12 @@ def pagerank_converged(
             )
             .localCheckpoint(eager=False)
         )
-        residual = (
-            new.join(ranks.withColumnRenamed("rank", "prev"), "id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("r"))
-            .collect()[0]["r"]
-        )
-        ranks = new
-        if residual == 0:
+        sig = _sig(ranks)
+        if sig in seen:
             return ranks, rounds
+        seen[sig] = rounds
     raise RuntimeError(
-        f"integer pagerank did not reach its fixed point in {max_rounds} rounds"
+        f"integer pagerank did not recur within {max_rounds} rounds"
     )
 
 

@@ -2409,20 +2409,25 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fixpoint pin for the CONVERGED variant's oracle: the engine stops at
-# the exact integer fixed point (L1 residual == 0 — measured round 62
-# on the 500-doc overlay at BOTH gate scales, pinned by
-# tests/test_webgraph_pack.py); every round past the fixpoint is an
-# identity, so the oracle may unroll to any count >= the measured
-# round and 64 leaves margin without bloating the CTE chain.
+# Fixpoint pin for the CONVERGED variant's oracle: at the gate scales
+# the engine stops at the exact integer fixed point (measured round 62
+# on the 500-doc overlay, pinned by tests/test_webgraph_pack.py);
+# every round past a fixpoint is an identity, so the oracle may unroll
+# to any count >= the measured round and 64 leaves margin without
+# bloating the CTE chain. (On overlays where the truncating map enters
+# a short limit cycle instead — the 5000-doc one does at round 72 —
+# the engine returns the first recurrent state, equally deterministic;
+# only fixpoint scales are oracle-gated.)
 PAGERANK_PIN_ROUNDS = 64
 
 
 def q_link_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer PageRank with the REAL stopping rule (L1 residual == 0,
-    one aggregation action per round) instead of a fixed unroll; the
-    integer lattice makes the fixed point exact, which is what lets a
-    SQL oracle pin a convergence-driven result at all."""
+    """Integer PageRank with the REAL stopping rule (state recurrence —
+    exact fixed point or first limit-cycle re-entry, detected on an
+    order-independent integer signature, one aggregation action per
+    round) instead of a fixed unroll; integer arithmetic makes the
+    orbit exactly deterministic, which is what lets a SQL oracle pin a
+    convergence-driven result at all."""
     from ophois_spark.operators.webgraph import pagerank_converged
 
     nodes, edges = _link_overlay(spark, sf_dir)
