@@ -2421,20 +2421,35 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAGERANK_PIN_ROUNDS = 64
 
 
+_PAGERANK_CACHE: dict = {}
+
+
 def q_link_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank with the REAL stopping rule (state recurrence —
     exact fixed point or first limit-cycle re-entry, detected on an
     order-independent integer signature, one aggregation action per
     round) instead of a fixed unroll; integer arithmetic makes the
     orbit exactly deterministic, which is what lets a SQL oracle pin a
-    convergence-driven result at all."""
+    convergence-driven result at all.
+
+    Memoized per (session, sf_dir) like ``derived_graph``: the
+    converged relation is a pure function of the overlay and its loop
+    runs eagerly (one action per round), so a consumer such as
+    ``top_pages_by_rank`` must not replay the whole orbit. The result
+    is already round-checkpointed; the memo stores the final relation.
+    """
     from ophois_spark.operators.webgraph import pagerank_converged
 
-    nodes, edges = _link_overlay(spark, sf_dir)
-    r, _rounds = pagerank_converged(nodes, edges)
-    return r.select(
-        F.col("id").cast("long").alias("doc_id"), F.col("rank").cast("long").alias("rank")
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAGERANK_CACHE:
+        _PAGERANK_CACHE.clear()
+        nodes, edges = _link_overlay(spark, sf_dir)
+        r, _rounds = pagerank_converged(nodes, edges)
+        _PAGERANK_CACHE[key] = r.select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    return _PAGERANK_CACHE[key]
 
 
 TOP_PAGES_N = 25
