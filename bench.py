@@ -86,8 +86,20 @@ def main() -> None:
     edges_per_sec = n_edges / t_pipeline
 
     # -- operator queries ---------------------------------------------------
+    # memoized queries (MEMO_RESETS) drop their session memo before each
+    # pass so both passes time the query's own work — without the reset
+    # pass 2 is a cache hit and best-of-2 would report ~0 s. Downstream
+    # consumers of a memo (e.g. top_pages_by_rank) stay warm by design.
+    from ophois_spark.queries import MEMO_RESETS
+
     for name, fn in sorted(QUERIES.items()):
-        best_of_2(name, lambda fn=fn: fn(spark, sf_dir).count())
+        reset = MEMO_RESETS.get(name, lambda: None)
+
+        def run_query(fn=fn, reset=reset) -> None:
+            reset()
+            fn(spark, sf_dir).count()
+
+        best_of_2(name, run_query)
 
     # -- hot-source sequence packing: sharded flattening evidence ----------
     # one giant source (the Common-Crawl shape) forces the packing
