@@ -7,8 +7,16 @@ Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR``
   SF's lineitem volume) → fused XML extract → cross-page dedup'd graph
   → degree metrics. Reports pages/sec and edges/sec (BASELINE.json
   ``metric``).
-- the registered operator queries at the SF dir (each fully executed
-  via count()).
+- the registered operator queries at the SF dir, each fully executed
+  through a noop-write sink. NOT count(): count() lets Catalyst prune
+  any node whose output the count doesn't need — a projection-only
+  query degenerates to a parquet row count and a packing window is
+  removed entirely (verified: the optimized count plan of
+  pack_sequences contains no Window node). The noop datasource
+  materializes every output column, so the timing covers the operator
+  under test. Round-4 protocol change, disclosed in BENCH/BASELINE.md;
+  r<=3 per-query numbers for projection-only operators are NOT
+  comparable (they timed only the scan).
 
 Output: ``{"metric": ..., "value": <total sec>, "unit": "sec",
 "queries": {...}, "sf": ..., "pages_per_sec": ..., "edges_per_sec": ...}``
@@ -54,6 +62,10 @@ def main() -> None:
     # Both raw readings are DISCLOSED per workload in the "reps" map.
     reps: dict[str, list[float]] = {}
 
+    def materialize(df) -> None:
+        # full-column materialization that Catalyst cannot prune
+        df.write.mode("overwrite").format("noop").save()
+
     def best_of_2(name: str, run) -> float:
         t0 = time.perf_counter()
         run()
@@ -97,7 +109,7 @@ def main() -> None:
 
         def run_query(fn=fn, reset=reset) -> None:
             reset()
-            fn(spark, sf_dir).count()
+            materialize(fn(spark, sf_dir))
 
         best_of_2(name, run_query)
 
@@ -118,8 +130,8 @@ def main() -> None:
         F3.repeat(F3.lit("w "), (F3.pmod(F3.col("id"), F3.lit(5)) + 1).cast("int")).alias("text"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     hot.count()  # materialize outside the timers (generation excluded)
-    best_of_2("pack_hot_source_serial", lambda: pack_sequences(hot).count())
-    best_of_2("pack_hot_source_sharded32", lambda: pack_sequences(hot, shards=32).count())
+    best_of_2("pack_hot_source_serial", lambda: materialize(pack_sequences(hot)))
+    best_of_2("pack_hot_source_sharded32", lambda: materialize(pack_sequences(hot, shards=32)))
     hot.unpersist(blocking=True)  # ~16M rows; free before the ANN section
 
     # -- ANN recall@k vs the exact baseline --------------------------------
@@ -192,7 +204,10 @@ def main() -> None:
         "protocol": (
             "best-of-2 per workload (symmetric), both readings in reps; "
             "sole exception: ivf_kmeans_train is single-pass (one-time "
-            "eager model fit, timed separately and disclosed here)"
+            "eager model fit, timed separately and disclosed here); "
+            "queries executed via noop-write sink (full-column "
+            "materialization; count() would let Catalyst prune "
+            "projection/window nodes — round-4 protocol change)"
         ),
         "reps": reps,
         "cpus": cpus,

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ophois_spark.plans.cache import swap_cached
+
 # tiny per-language stopword profiles (n-gram/stopword heuristic)
 LANG_PROFILES: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "eine", "mit", "von"],
@@ -195,7 +197,11 @@ def winnow_overlap_pairs(
     fan-out the df cap bounds; the final count is map-side combinable.
     No all-pairs path exists.
     """
-    fps = winnow_fingerprint(docs, text_col)
+    # the fingerprint projection (regexp canonicalization + per-position
+    # Karp-Rabin + window minima over every document) feeds BOTH the
+    # df-cap aggregate and the a/b sides of the pair self-join — persist
+    # it once or the whole fingerprint computation runs three times
+    fps = swap_cached("winnow_overlap.fps", winnow_fingerprint(docs, text_col))
     keep = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -398,14 +404,20 @@ def dup_ngram_coverage(
     base = docs.select(
         "doc_id", tokens_col(F.col(text_col)).alias("t")
     ).withColumn("n", F.size("t"))
-    occ = base.filter(F.col("n") >= w).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n") - w),
-                lambda i: F.md5(F.array_join(F.slice("t", i + 1, w), " ")),
-            )
-        ).alias("pos", "gh"),
+    # occ (tokenize + md5 of every w-gram of every document) feeds both
+    # the gram-count aggregate and the semi-join probe — persist it once
+    # or the dominant tokenize/hash/explode cost runs twice
+    occ = swap_cached(
+        "dup_ngram.occ",
+        base.filter(F.col("n") >= w).select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - w),
+                    lambda i: F.md5(F.array_join(F.slice("t", i + 1, w), " ")),
+                )
+            ).alias("pos", "gh"),
+        ),
     )
     dup = (
         occ.groupBy("gh")

@@ -1,5 +1,7 @@
 """Unit semantics for pagerank / corpus_sample / pack_sequences."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -51,6 +53,10 @@ def test_pack_sequences_chunk_boundaries(spark):
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"),
+    reason="driver testdata not present",
+)
 def test_pagerank_converged_fixpoint_and_pin(spark):
     """The convergence loop stops at the EXACT integer fixed point, the
     measured round count matches the oracle pin at both gate scales
