@@ -35,7 +35,7 @@ target scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ophois_spark.operators.dedup import NEAR_DUP_JACCARD, near_dup_clusters
@@ -152,6 +152,63 @@ def corpus_sample(docs: DataFrame, rates: DataFrame) -> DataFrame:
         .withColumn("bucket", h % SAMPLE_DENOM)
         .filter(F.col("bucket") < F.col("rate_permyriad"))
         .select("doc_id", "source", "rate_permyriad")
+    )
+
+
+TOPN_PER_SOURCE = 10  # per-source quota (per-host cap)
+TOPN_SALTS = 4  # tournament fan-out for the hot-source path
+
+
+def source_topn(
+    docs: DataFrame, n: int = TOPN_PER_SOURCE, salts: int = TOPN_SALTS
+) -> DataFrame:
+    """Per-source deterministic quota cap → kept
+    (doc_id, source, sample_rank): each source's ``n`` documents with
+    the smallest identity hash — the per-host cap a corpus build
+    applies so no single crawl host dominates the mixture (the exact-N
+    complement of ``corpus_sample``'s Bernoulli rates). The hash key
+    is the same ``md5(source ':' doc_id)`` identity as corpus_sample,
+    so decisions are reproducible under any partitioning, cluster
+    size, or retry, and incremental rebuilds keep unchanged rows'
+    decisions.
+
+    Hot-key-safe by construction: the naive form is ONE
+    ``Window.partitionBy(source)`` row_number — which serializes a
+    dominant source (the Common-Crawl shape) onto a single task, the
+    same trap ``pack_sequences`` documents. Instead a two-phase
+    tournament: phase 1 ranks within ``(source, pmod(doc_id, salts))``
+    — ``salts`` bounded groups per source — and keeps each group's
+    local top-``n``; phase 2 ranks the ≤ ``salts·n`` survivors per
+    source. Any doc in the global top-``n`` beats every doc below it,
+    and all docs above it survive phase 1, so phase-2 ranks of the
+    kept rows EQUAL the naive single-window ranks — the oracle states
+    the naive form and the gate checks exact equality. The phase-2
+    window's per-key group is capped at ``salts·n`` rows regardless of
+    corpus skew.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    salted = docs.select("doc_id", "source").withColumn("hk", h).withColumn(
+        "salt", F.pmod(F.col("doc_id"), F.lit(salts)).cast("int")
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("hk", "doc_id")
+    survivors = (
+        salted.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= n)
+        .drop("r", "salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= n)
+        .select("doc_id", "source", F.col("sample_rank").cast("int").alias("sample_rank"))
     )
 
 

@@ -2563,6 +2563,38 @@ WHERE ('0x' || substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 7)):
 SQL_CORPUS_SAMPLE = _corpus_sample_sql()
 
 
+def q_source_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic quota cap (per-host cap): each
+    source's n docs with the smallest identity hash, computed as a
+    two-phase salted tournament (no single-window hot-source
+    serialization); the oracle states the naive single window and the
+    gate checks exact equality of rows AND ranks."""
+    from ophois_spark.operators.corpus import source_topn
+
+    return source_topn(load(spark, sf_dir, "documents"))
+
+
+def _source_topn_sql() -> str:
+    from ophois_spark.operators.corpus import TOPN_PER_SOURCE
+
+    return f"""
+SELECT doc_id, source, CAST(rnk AS INT) AS sample_rank
+FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+                    doc_id
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= {TOPN_PER_SOURCE}
+"""
+
+
+SQL_SOURCE_TOPN = _source_topn_sql()
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing of the corpus into fixed token budgets
     (the pretraining-loader layout), as an exact running-sum window."""
@@ -2654,6 +2686,7 @@ QUERIES.update(
         "link_pagerank_converged": q_link_pagerank_converged,
         "top_pages_by_rank": q_top_pages_by_rank,
         "corpus_sample": q_corpus_sample,
+        "source_topn": q_source_topn,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_sharded": q_pack_sequences_sharded,
     }
@@ -2664,6 +2697,7 @@ ORACLES.update(
         "link_pagerank_converged": SQL_LINK_PAGERANK_CONVERGED,
         "top_pages_by_rank": SQL_TOP_PAGES_BY_RANK,
         "corpus_sample": SQL_CORPUS_SAMPLE,
+        "source_topn": SQL_SOURCE_TOPN,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_sequences_sharded": SQL_PACK_SEQUENCES_SHARDED,
     }

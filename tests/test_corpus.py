@@ -49,3 +49,49 @@ def test_funnel_stages(spark):
 def test_empty_corpus_survives(spark):
     out = corpus_pipeline(_docs(spark, [(1, "", "a")]))
     assert out.count() == 0
+
+
+def test_source_topn_equals_naive_window(spark):
+    """The two-phase salted tournament returns EXACTLY the naive
+    single-window per-source top-n (rows and ranks), on a corpus with
+    one dominant source, and is partitioning-independent."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ophois_spark.operators.corpus import source_topn
+
+    rows = [(i, f"w{i}", "commoncrawl" if i % 10 else "rare") for i in range(400)]
+    docs = _docs(spark, rows)
+    got = sorted(
+        (r.doc_id, r.source, r.sample_rank)
+        for r in source_topn(docs, n=7, salts=4).collect()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    naive = (
+        docs.withColumn(
+            "sample_rank",
+            F.row_number().over(Window.partitionBy("source").orderBy(h, "doc_id")),
+        )
+        .filter(F.col("sample_rank") <= 7)
+        .select("doc_id", "source", "sample_rank")
+    )
+    want = sorted((r.doc_id, r.source, r.sample_rank) for r in naive.collect())
+    assert got == want
+    repart = sorted(
+        (r.doc_id, r.source, r.sample_rank)
+        for r in source_topn(docs.repartition(13), n=7, salts=4).collect()
+    )
+    assert repart == want
+    # every source with >= n docs is capped at exactly n
+    per_src = {}
+    for _, s, _ in got:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert per_src == {"commoncrawl": 7, "rare": 7}
