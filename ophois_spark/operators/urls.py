@@ -65,3 +65,13 @@ def url_canonical_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.min("doc_id").alias("doc_id"),
         )
     )
+
+
+def host_of(url: Column) -> Column:
+    """Host identity key: lowercase the authority, strip ``www.`` and
+    ANY port (host identity ignores ports entirely, unlike
+    ``canonical_url`` which keeps non-default ones). One codegen
+    projection — usable as a groupBy/join key straight off the scan."""
+    hostport = F.lower(F.regexp_extract(url, URL_RX, 2))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    return F.substring_index(host, ":", 1)

@@ -154,3 +154,64 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def host_rollup(pages: DataFrame, edges: DataFrame, url_col: str = "url") -> DataFrame:
+    """→ (host, n_docs, n_out_links, n_intra_links, n_inter_links,
+    n_dst_hosts): the crawl-forensics rollup — per host, how many pages
+    it contributes and how its outgoing links split between self-links
+    (navigation boilerplate) and cross-host links (the edges that carry
+    PageRank mass and schedule the crawl frontier).
+
+    ``pages``: (doc_id, url) — host is extracted with
+    :func:`ophois_spark.operators.urls.host_of`, so messy spellings
+    (case, ports, www) land on one key. ``edges``: (src, dst) doc-id
+    pairs.
+
+    Scale shape at 10^12 edges: the host map is one narrow projection
+    of ``pages`` (same cardinality as the node set — NOT broadcastable
+    at corpus scale, so both endpoint joins are shuffle joins on
+    doc_id; bucketing pages and edges by doc_id/src makes the src-side
+    join co-located, see sources/bucketed.py). The final per-host
+    aggregation is algebraic except ``n_dst_hosts``
+    (count-distinct ships one row per distinct (src_host, dst_host)
+    pair after partial dedup — bounded by the host-graph edge count,
+    orders of magnitude below the link count). Hot hosts (every corpus
+    has a wikipedia.org) collapse map-side in the algebraic terms; the
+    distinct term rides AQE skew-split.
+    """
+    from ophois_spark.operators.urls import host_of
+
+    h = pages.select("doc_id", host_of(F.col(url_col)).alias("host"))
+    eh = (
+        edges.join(
+            h.select(F.col("doc_id").alias("src"), F.col("host").alias("src_host")),
+            "src",
+        )
+        .join(
+            h.select(F.col("doc_id").alias("dst"), F.col("host").alias("dst_host")),
+            "dst",
+        )
+    )
+    link_agg = eh.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_out_links"),
+        F.sum(
+            F.when(F.col("src_host") == F.col("dst_host"), 1).otherwise(0)
+        ).alias("n_intra_links"),
+        F.countDistinct("dst_host").alias("n_dst_hosts"),
+    )
+    docs_agg = h.groupBy("host").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        docs_agg.join(link_agg, "host", "left")
+        .select(
+            "host",
+            "n_docs",
+            F.coalesce("n_out_links", F.lit(0)).alias("n_out_links"),
+            F.coalesce("n_intra_links", F.lit(0)).alias("n_intra_links"),
+            (
+                F.coalesce("n_out_links", F.lit(0))
+                - F.coalesce("n_intra_links", F.lit(0))
+            ).alias("n_inter_links"),
+            F.coalesce("n_dst_hosts", F.lit(0)).alias("n_dst_hosts"),
+        )
+    )

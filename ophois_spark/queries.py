@@ -3586,3 +3586,77 @@ ORACLES.update(
         "doc_repetition": SQL_DOC_REPETITION,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: host-level webgraph rollup
+# ---------------------------------------------------------------------------
+
+
+def q_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl rollup over the messy-URL overlay (the same five
+    spelling variants per host identity as ``url_canonical_dedup``, so
+    host extraction is exercised on dirty input) joined with the
+    deterministic link overlay: → (host, n_docs, n_out_links,
+    n_intra_links, n_inter_links, n_dst_hosts). The oracle states the
+    host key from the overlay's ground truth — the gate therefore
+    asserts the engine's regex host extraction AND the two endpoint
+    joins AND the rollup, end to end."""
+    from ophois_spark.operators.webgraph import host_rollup
+
+    d = load(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 40).cast("string")
+    p = F.concat(F.lit("/p/"), (F.col("doc_id") % 8).cast("string"))
+    v = F.expr("(doc_id div 40) % 5")
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://www.example"), h, F.lit(".com:80"), p))
+        .when(v == 1, F.concat(F.lit("HTTP://EXAMPLE"), h, F.lit(".COM"), p))
+        .when(v == 2, F.concat(F.lit("http://example"), h, F.lit(".com:8080"), p))
+        .when(v == 3, F.concat(F.lit("https://www.example"), h, F.lit(".com:443"), p))
+        .otherwise(F.concat(F.lit("https://example"), h, F.lit(".com"), p))
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    _, edges = _link_overlay(spark, sf_dir)
+    out = host_rollup(pages, edges)
+    return out.select(
+        "host",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_out_links").cast("long").alias("n_out_links"),
+        F.col("n_intra_links").cast("long").alias("n_intra_links"),
+        F.col("n_inter_links").cast("long").alias("n_inter_links"),
+        F.col("n_dst_hosts").cast("long").alias("n_dst_hosts"),
+    )
+
+
+SQL_HOST_ROLLUP = """
+WITH n AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+c AS (SELECT COUNT(*) AS cnt FROM documents),
+j0 AS (SELECT id, unnest(generate_series(1, 1 + (id % 3))) AS j FROM n),
+e AS MATERIALIZED (
+  SELECT DISTINCT id AS src, (id*31 + 97*j) % (SELECT cnt FROM c) AS dst
+  FROM j0 WHERE (id*31 + 97*j) % (SELECT cnt FROM c) <> id),
+h AS MATERIALIZED (
+  SELECT doc_id, 'example' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host
+  FROM documents),
+eh AS (
+  SELECT hs.host AS src_host, hd.host AS dst_host
+  FROM e JOIN h hs ON hs.doc_id = e.src JOIN h hd ON hd.doc_id = e.dst),
+la AS (
+  SELECT src_host AS host,
+         COUNT(*) AS n_out_links,
+         SUM(CASE WHEN src_host = dst_host THEN 1 ELSE 0 END) AS n_intra_links,
+         COUNT(DISTINCT dst_host) AS n_dst_hosts
+  FROM eh GROUP BY src_host),
+da AS (SELECT host, COUNT(*) AS n_docs FROM h GROUP BY host)
+SELECT da.host,
+       CAST(da.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(la.n_out_links, 0) AS BIGINT) AS n_out_links,
+       CAST(COALESCE(la.n_intra_links, 0) AS BIGINT) AS n_intra_links,
+       CAST(COALESCE(la.n_out_links, 0) - COALESCE(la.n_intra_links, 0) AS BIGINT)
+         AS n_inter_links,
+       CAST(COALESCE(la.n_dst_hosts, 0) AS BIGINT) AS n_dst_hosts
+FROM da LEFT JOIN la ON la.host = da.host
+"""
+
+QUERIES.update({"host_rollup": q_host_rollup})
+ORACLES.update({"host_rollup": SQL_HOST_ROLLUP})
