@@ -156,6 +156,134 @@ def pagerank(
     return ranks
 
 
+def host_graph(
+    pages: DataFrame, edges: DataFrame, url_col: str = "url"
+) -> tuple[DataFrame, DataFrame]:
+    """→ (hosts(id), host_edges(src, dst)): collapse the page-level
+    link graph to the DISTINCT simple inter-host graph — the relation
+    host-level centrality, crawl scheduling, and link-spam forensics
+    all consume. Intra-host edges are dropped (navigation boilerplate,
+    not endorsement) and parallel edges collapse to one, the standard
+    host-graph construction.
+
+    Scale shape at 10^12 edges: two shuffle joins on doc_id map the
+    endpoints to hosts (same shape as :func:`host_rollup` — bucket
+    pages+edges by doc_id/src to co-locate the src side), then ONE
+    distinct whose input is already down to (src_host, dst_host)
+    pairs; partial (map-side) dedup collapses the hot-host fan-in
+    before the shuffle, so the exchanged volume is bounded by the
+    host-graph edge count, not the link count.
+    """
+    from ophois_spark.operators.urls import host_of
+
+    h = pages.select("doc_id", host_of(F.col(url_col)).alias("host"))
+    he = (
+        edges.join(
+            h.select(F.col("doc_id").alias("src"), F.col("host").alias("src_host")),
+            "src",
+        )
+        .join(
+            h.select(F.col("doc_id").alias("dst"), F.col("host").alias("dst_host")),
+            "dst",
+        )
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+    )
+    hosts = h.select(F.col("host").alias("id")).distinct()
+    return hosts, he
+
+
+HITS_ITERS = 2
+
+
+def hits_scores(nodes: DataFrame, edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """→ (id, hub, auth): Kleinberg HITS (JACM'99) in exact 64-bit
+    integer arithmetic, ``iters`` unrolled mutual-reinforcement rounds
+    from the all-ones start, WITHOUT the per-round normalization.
+
+    Normalization in the textbook iteration is a positive scalar per
+    round — it never changes the ORDERING of scores within a round,
+    which is what corpus curation consumes (rank pages/hosts by hub or
+    authority). Dropping it keeps every value an exact integer sum, so
+    the result is bit-identical across engines and partitionings and an
+    ANSI-SQL oracle replays it by unrolling (the same replayability
+    contract as integer :func:`pagerank`). Growth per round is bounded
+    by max-degree × previous max, so int64 holds for small ``iters`` on
+    bounded-degree graphs; callers owning dense graphs should rescale
+    between rounds (a DIV by a pinned constant keeps replayability).
+
+    Per round: auth ← Σ over in-edges of hub, hub ← Σ over out-edges
+    of the NEW auth — each ONE equi-join of the edge relation with the
+    previous score vector plus one algebraic (map-side-combinable)
+    aggregation; hot hubs/authorities collapse in the partial agg.
+    """
+    a = nodes.select("id", F.lit(1).cast("long").alias("auth"))
+    h = nodes.select("id", F.lit(1).cast("long").alias("hub"))
+    e = edges.localCheckpoint(eager=False)
+    for _ in range(iters):
+        a = (
+            nodes.join(
+                e.join(h.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("hub").alias("s")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("s", F.lit(0)).cast("long").alias("auth"))
+            .localCheckpoint(eager=False)
+        )
+        h = (
+            nodes.join(
+                e.join(a.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("auth").alias("s")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("s", F.lit(0)).cast("long").alias("hub"))
+            .localCheckpoint(eager=False)
+        )
+    return h.join(a, "id").select("id", "hub", "auth")
+
+
+def reciprocal_link_share(host_edges: DataFrame) -> DataFrame:
+    """→ (host, n_out, n_reciprocal, reciprocal_pct): per source host,
+    how many of its distinct outgoing inter-host links are returned by
+    the target — the classic link-exchange/link-farm signal (organic
+    endorsement on the web is overwhelmingly one-directional; TrustRank
+    -era spam forensics threshold on exactly this share).
+
+    ``host_edges`` must already be the DISTINCT simple host graph
+    (:func:`host_graph`). Reciprocity is ONE self-equi-join on the
+    swapped key (left-semi, so nothing is materialized beyond the
+    match bit) followed by one algebraic rollup; the percentage is
+    floored to whole percent — the integer cross-engine contract this
+    repo applies to every ratio.
+    """
+    e = host_edges.select("src", "dst")
+    rec = e.join(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    )
+    n_out = e.groupBy(F.col("src").alias("host")).agg(F.count(F.lit(1)).alias("n_out"))
+    n_rec = rec.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    return (
+        n_out.join(n_rec, "host", "left")
+        .select(
+            "host",
+            "n_out",
+            F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
+            F.expr("(100 * coalesce(n_reciprocal, 0)) div n_out").alias(
+                "reciprocal_pct"
+            ),
+        )
+    )
+
+
 def host_rollup(pages: DataFrame, edges: DataFrame, url_col: str = "url") -> DataFrame:
     """→ (host, n_docs, n_out_links, n_intra_links, n_inter_links,
     n_dst_hosts): the crawl-forensics rollup — per host, how many pages

@@ -3593,17 +3593,14 @@ ORACLES.update(
 # ---------------------------------------------------------------------------
 
 
-def q_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-host crawl rollup over the messy-URL overlay (the same five
-    spelling variants per host identity as ``url_canonical_dedup``, so
-    host extraction is exercised on dirty input) joined with the
-    deterministic link overlay: → (host, n_docs, n_out_links,
-    n_intra_links, n_inter_links, n_dst_hosts). The oracle states the
-    host key from the overlay's ground truth — the gate therefore
-    asserts the engine's regex host extraction AND the two endpoint
-    joins AND the rollup, end to end."""
-    from ophois_spark.operators.webgraph import host_rollup
-
+def _dirty_url_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy-URL overlay on documents → (doc_id, url): 40 host
+    identities (doc_id % 40), each spelled five deterministic dirty
+    ways (case, www, default/explicit/odd ports — the same variant
+    set as ``url_canonical_dedup``'s overlay), so every host-keyed
+    query exercises regex host extraction on adversarial input. The
+    ground truth an oracle restates: host(doc) = 'example' ||
+    (doc_id % 40) || '.com'."""
     d = load(spark, sf_dir, "documents")
     h = (F.col("doc_id") % 40).cast("string")
     p = F.concat(F.lit("/p/"), (F.col("doc_id") % 8).cast("string"))
@@ -3615,7 +3612,35 @@ def q_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 3, F.concat(F.lit("https://www.example"), h, F.lit(".com:443"), p))
         .otherwise(F.concat(F.lit("https://example"), h, F.lit(".com"), p))
     )
-    pages = d.select("doc_id", url.alias("url"))
+    return d.select("doc_id", url.alias("url"))
+
+
+# The oracle-side restatement of _dirty_url_pages' ground-truth host
+# key plus the shared link overlay, used by every host-graph oracle.
+_SQL_HOST_CTES = """
+n AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+c AS (SELECT COUNT(*) AS cnt FROM documents),
+j0 AS (SELECT id, unnest(generate_series(1, 1 + (id % 3))) AS j FROM n),
+e AS MATERIALIZED (
+  SELECT DISTINCT id AS src, (id*31 + 97*j) % (SELECT cnt FROM c) AS dst
+  FROM j0 WHERE (id*31 + 97*j) % (SELECT cnt FROM c) <> id),
+h AS MATERIALIZED (
+  SELECT doc_id, 'example' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host
+  FROM documents)"""
+
+
+def q_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl rollup over the messy-URL overlay (the same five
+    spelling variants per host identity as ``url_canonical_dedup``, so
+    host extraction is exercised on dirty input) joined with the
+    deterministic link overlay: → (host, n_docs, n_out_links,
+    n_intra_links, n_inter_links, n_dst_hosts). The oracle states the
+    host key from the overlay's ground truth — the gate therefore
+    asserts the engine's regex host extraction AND the two endpoint
+    joins AND the rollup, end to end."""
+    from ophois_spark.operators.webgraph import host_rollup
+
+    pages = _dirty_url_pages(spark, sf_dir)
     _, edges = _link_overlay(spark, sf_dir)
     out = host_rollup(pages, edges)
     return out.select(
@@ -3628,16 +3653,8 @@ def q_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_HOST_ROLLUP = """
-WITH n AS MATERIALIZED (SELECT doc_id AS id FROM documents),
-c AS (SELECT COUNT(*) AS cnt FROM documents),
-j0 AS (SELECT id, unnest(generate_series(1, 1 + (id % 3))) AS j FROM n),
-e AS MATERIALIZED (
-  SELECT DISTINCT id AS src, (id*31 + 97*j) % (SELECT cnt FROM c) AS dst
-  FROM j0 WHERE (id*31 + 97*j) % (SELECT cnt FROM c) <> id),
-h AS MATERIALIZED (
-  SELECT doc_id, 'example' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host
-  FROM documents),
+SQL_HOST_ROLLUP = f"""
+WITH {_SQL_HOST_CTES},
 eh AS (
   SELECT hs.host AS src_host, hd.host AS dst_host
   FROM e JOIN h hs ON hs.doc_id = e.src JOIN h hd ON hd.doc_id = e.dst),
@@ -3660,3 +3677,179 @@ FROM da LEFT JOIN la ON la.host = da.host
 
 QUERIES.update({"host_rollup": q_host_rollup})
 ORACLES.update({"host_rollup": SQL_HOST_ROLLUP})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: host-graph centrality + link-spam forensics
+# ---------------------------------------------------------------------------
+
+# DISTINCT simple inter-host graph, the oracle twin of
+# operators.webgraph.host_graph over the shared overlays.
+_SQL_HOST_EDGES_CTE = """
+he AS MATERIALIZED (
+  SELECT DISTINCT hs.host AS src, hd.host AS dst
+  FROM e JOIN h hs ON hs.doc_id = e.src JOIN h hd ON hd.doc_id = e.dst
+  WHERE hs.host <> hd.host)"""
+
+
+def _host_graph(spark: SparkSession, sf_dir: str):
+    """Engine-side shared lineage for the host-graph queries: dirty-URL
+    overlay → host extraction → distinct simple inter-host graph."""
+    from ophois_spark.operators.webgraph import host_graph
+
+    pages = _dirty_url_pages(spark, sf_dir)
+    _, edges = _link_overlay(spark, sf_dir)
+    return host_graph(pages, edges)
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the HOST graph — the crawl-scheduling /
+    seed-quality score (host-level centrality is what frontier
+    prioritization actually consumes; page-level rank is too sparse on
+    a fresh crawl). Composes three gated layers end to end: dirty-URL
+    host extraction, the distinct inter-host projection, and the
+    exactly-replayable integer PageRank loop."""
+    from ophois_spark.operators.webgraph import pagerank
+
+    hosts, he = _host_graph(spark, sf_dir)
+    r = pagerank(hosts, he)
+    return r.select(
+        F.col("id").alias("host"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _host_pagerank_sql() -> str:
+    from ophois_spark.operators.webgraph import (
+        DAMPING_DEN,
+        DAMPING_NUM,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+    )
+
+    base = (DAMPING_DEN - DAMPING_NUM) * PAGERANK_SCALE // DAMPING_DEN
+    parts = [
+        _SQL_HOST_CTES.strip(),
+        _SQL_HOST_EDGES_CTE.strip(),
+        "hn AS MATERIALIZED (SELECT DISTINCT host AS id FROM h)",
+        "od AS (SELECT src, COUNT(*) AS d FROM he GROUP BY src)",
+        f"r0 AS (SELECT id, CAST({PAGERANK_SCALE} AS BIGINT) AS rank FROM hn)",
+    ]
+    for k in range(1, PAGERANK_ITERS + 1):
+        parts.append(f"""r{k} AS MATERIALIZED (
+  SELECT hn.id,
+         CAST({base} + ({DAMPING_NUM} * COALESCE(x.s, 0)) // {DAMPING_DEN} AS BIGINT) AS rank
+  FROM hn LEFT JOIN (
+    SELECT he.dst AS id, SUM(r{k - 1}.rank // od.d) AS s
+    FROM he JOIN r{k - 1} ON r{k - 1}.id = he.src JOIN od ON od.src = he.src
+    GROUP BY he.dst) x ON x.id = hn.id)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id AS host, rank FROM r{PAGERANK_ITERS}"
+    )
+
+
+SQL_HOST_PAGERANK = _host_pagerank_sql()
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hubs/authorities over the page-level link overlay
+    in exact integer arithmetic (fixed unroll, no normalization — the
+    ordering-preserving replayable form; see operators/webgraph.py):
+    → (doc_id, hub, auth)."""
+    from ophois_spark.operators.webgraph import hits_scores
+
+    nodes, edges = _link_overlay(spark, sf_dir)
+    s = hits_scores(nodes, edges)
+    return s.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("hub").cast("long").alias("hub"),
+        F.col("auth").cast("long").alias("auth"),
+    )
+
+
+def _hits_sql() -> str:
+    from ophois_spark.operators.webgraph import HITS_ITERS
+
+    parts = [
+        "n AS MATERIALIZED (SELECT doc_id AS id FROM documents)",
+        "c AS (SELECT COUNT(*) AS cnt FROM documents)",
+        "j0 AS (SELECT id, unnest(generate_series(1, 1 + (id % 3))) AS j FROM n)",
+        """e AS MATERIALIZED (
+  SELECT DISTINCT id AS src, (id*31 + 97*j) % (SELECT cnt FROM c) AS dst
+  FROM j0 WHERE (id*31 + 97*j) % (SELECT cnt FROM c) <> id)""",
+        "h0 AS (SELECT id, CAST(1 AS BIGINT) AS hub FROM n)",
+    ]
+    for k in range(1, HITS_ITERS + 1):
+        parts.append(f"""a{k} AS MATERIALIZED (
+  SELECT n.id, CAST(COALESCE(x.s, 0) AS BIGINT) AS auth
+  FROM n LEFT JOIN (
+    SELECT e.dst AS id, SUM(h{k - 1}.hub) AS s
+    FROM e JOIN h{k - 1} ON h{k - 1}.id = e.src GROUP BY e.dst) x
+  ON x.id = n.id)""")
+        parts.append(f"""h{k} AS MATERIALIZED (
+  SELECT n.id, CAST(COALESCE(x.s, 0) AS BIGINT) AS hub
+  FROM n LEFT JOIN (
+    SELECT e.src AS id, SUM(a{k}.auth) AS s
+    FROM e JOIN a{k} ON a{k}.id = e.dst GROUP BY e.src) x
+  ON x.id = n.id)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(n.id AS BIGINT) AS doc_id, h{HITS_ITERS}.hub, a{HITS_ITERS}.auth
+FROM n JOIN h{HITS_ITERS} ON h{HITS_ITERS}.id = n.id
+       JOIN a{HITS_ITERS} ON a{HITS_ITERS}.id = n.id"""
+    )
+
+
+SQL_HITS_SCORES = _hits_sql()
+
+
+def q_host_reciprocal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm forensics over the host graph: per host, the share of
+    its distinct outgoing inter-host links that are reciprocated
+    (→ host, n_out, n_reciprocal, reciprocal_pct; percentage floored
+    to whole percent per the integer cross-engine contract)."""
+    from ophois_spark.operators.webgraph import reciprocal_link_share
+
+    _, he = _host_graph(spark, sf_dir)
+    out = reciprocal_link_share(he)
+    return out.select(
+        "host",
+        F.col("n_out").cast("long").alias("n_out"),
+        F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
+        F.col("reciprocal_pct").cast("long").alias("reciprocal_pct"),
+    )
+
+
+SQL_HOST_RECIPROCAL_LINKS = f"""
+WITH {_SQL_HOST_CTES},
+{_SQL_HOST_EDGES_CTE},
+r AS (
+  SELECT e1.src, e1.dst FROM he e1
+  WHERE EXISTS (SELECT 1 FROM he e2 WHERE e2.src = e1.dst AND e2.dst = e1.src)),
+no AS (SELECT src AS host, COUNT(*) AS n_out FROM he GROUP BY src),
+nr AS (SELECT src AS host, COUNT(*) AS n_reciprocal FROM r GROUP BY src)
+SELECT no.host,
+       CAST(no.n_out AS BIGINT) AS n_out,
+       CAST(COALESCE(nr.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+       CAST((100 * COALESCE(nr.n_reciprocal, 0)) // no.n_out AS BIGINT)
+         AS reciprocal_pct
+FROM no LEFT JOIN nr ON nr.host = no.host
+"""
+
+QUERIES.update(
+    {
+        "host_pagerank": q_host_pagerank,
+        "hits_scores": q_hits_scores,
+        "host_reciprocal_links": q_host_reciprocal_links,
+    }
+)
+ORACLES.update(
+    {
+        "host_pagerank": SQL_HOST_PAGERANK,
+        "hits_scores": SQL_HITS_SCORES,
+        "host_reciprocal_links": SQL_HOST_RECIPROCAL_LINKS,
+    }
+)

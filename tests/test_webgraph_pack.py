@@ -175,3 +175,76 @@ def test_canonical_url_idempotent(spark):
     once = df.select(canonical_url(F.col("url")).alias("c"))
     twice = once.select(canonical_url(F.col("c")).alias("c"))
     assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
+
+
+def test_hits_hand_computed(spark):
+    # Graph: 0->1, 0->2, 3->1 (0 is the hub; 1 the authority).
+    # a1 = indeg: a1(1)=2, a1(2)=1, a1(0)=a1(3)=0
+    # h1(0) = a1(1)+a1(2) = 3, h1(3) = a1(1) = 2
+    # a2(1) = h1(0)+h1(3) = 5, a2(2) = h1(0) = 3
+    # h2(0) = a2(1)+a2(2) = 8, h2(3) = a2(1) = 5
+    from ophois_spark.operators.webgraph import hits_scores
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 1)], "src long, dst long"
+    )
+    got = {r.id: (r.hub, r.auth) for r in hits_scores(nodes, edges).collect()}
+    assert got == {0: (8, 0), 1: (0, 5), 2: (0, 3), 3: (5, 0)}
+
+
+def test_hits_partitioning_independent(spark):
+    from ophois_spark.operators.webgraph import hits_scores
+
+    nodes = spark.range(30).select("id")
+    edges = nodes.select(
+        F.col("id").alias("src"), ((F.col("id") * 11 + 5) % 30).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    a = sorted(map(tuple, hits_scores(nodes, edges).collect()))
+    b = sorted(
+        map(
+            tuple,
+            hits_scores(nodes.repartition(9), edges.repartition(5)).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_reciprocal_link_share_hand_computed(spark):
+    # a->b, b->a (reciprocated); a->c (not); c->b (not).
+    from ophois_spark.operators.webgraph import reciprocal_link_share
+
+    he = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    got = {
+        r.host: (r.n_out, r.n_reciprocal, r.reciprocal_pct)
+        for r in reciprocal_link_share(he).collect()
+    }
+    assert got == {"a": (2, 1, 50), "b": (1, 1, 100), "c": (1, 0, 0)}
+
+
+def test_host_graph_dirty_urls_collapse(spark):
+    # Five spellings of one host identity collapse to a single node;
+    # intra-host and parallel edges collapse in the host graph.
+    from ophois_spark.operators.webgraph import host_graph
+
+    pages = spark.createDataFrame(
+        [
+            (0, "http://www.one.com:80/a"),
+            (1, "HTTP://ONE.COM/b"),
+            (2, "https://one.com:443/c"),
+            (3, "http://two.com/"),
+            (4, "http://www.two.com:8080/x"),
+        ],
+        "doc_id long, url string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 3), (1, 3), (2, 4), (3, 0)],
+        "src long, dst long",
+    )
+    hosts, he = host_graph(pages, edges)
+    assert sorted(r.id for r in hosts.collect()) == ["one.com", "two.com"]
+    got = sorted((r.src, r.dst) for r in he.collect())
+    assert got == [("one.com", "two.com"), ("two.com", "one.com")]
