@@ -3853,3 +3853,139 @@ ORACLES.update(
         "host_reciprocal_links": SQL_HOST_RECIPROCAL_LINKS,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: Ramer-Douglas-Peucker polyline simplification
+# ---------------------------------------------------------------------------
+
+RDP_WAY_LEN = 25  # vertices per synthetic way (bounded, scale-realistic)
+RDP_EPS = 600  # integer tolerance on the micro-degree-style grid
+# Oracle unroll bound: recursion depth <= interior vertices per way
+# (each round every active segment either splits, removing its pivot,
+# or retires) and way length is pinned at ~RDP_WAY_LEN by construction,
+# so depth <= RDP_WAY_LEN - 1 at EVERY sf; rounds past the fixpoint are
+# no-ops on an empty active set. 28 = 24 worst case + margin for the
+# +-1-vertex remainder ways.
+RDP_UNROLL = 28
+
+
+def _walk_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer random-walk polylines over customer:
+    n_cust/25 ways of ~25 vertices each (way COUNT scales with sf, way
+    LENGTH stays bounded — the shape real road/trace data has), steps
+    in [-1000, 1000] from two Knuth multiplicative hashes, coordinates
+    the exact running integer sums."""
+    c = load(spark, sf_dir, "customer")
+    n = c.select(F.count(F.lit(1)).alias("n_cust"))
+    d = c.crossJoin(F.broadcast(n)).select(
+        F.expr(f"c_custkey % (n_cust div {RDP_WAY_LEN})").alias("way_id"),
+        F.expr(f"c_custkey div (n_cust div {RDP_WAY_LEN})").alias("seq"),
+        F.expr("((c_custkey * 2654435761) % 2001) - 1000").alias("sx"),
+        F.expr("((c_custkey * 2246822519) % 2001) - 1000").alias("sy"),
+    )
+    w = (
+        Window.partitionBy("way_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "way_id",
+        "seq",
+        F.sum("sx").over(w).alias("x"),
+        F.sum("sy").over(w).alias("y"),
+    )
+
+
+def q_rdp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDP polyline simplification at integer tolerance RDP_EPS over
+    the random-walk way overlay: -> the kept vertices (way_id, seq, x,
+    y). Exact integer point-to-segment comparisons (DECIMAL(38,0) /
+    HUGEINT squares), recursion parallelized by depth; the oracle
+    unrolls the identical rounds to the PROVEN depth bound, so no
+    measured round count needs pinning (see operators/polyline.py)."""
+    from ophois_spark.operators.polyline import rdp_simplify
+
+    kept, _rounds = rdp_simplify(_walk_points(spark, sf_dir), eps=RDP_EPS)
+    return kept.select(
+        F.col("way_id").cast("long").alias("way_id"),
+        F.col("seq").cast("long").alias("seq"),
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+
+
+def _rdp_sql() -> str:
+    eps2 = RDP_EPS * RDP_EPS
+    win = (
+        "OVER (PARTITION BY way_id ORDER BY seq "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    parts = [
+        f"""w0 AS (
+  SELECT c_custkey % ((SELECT COUNT(*) FROM customer) // {RDP_WAY_LEN}) AS way_id,
+         c_custkey // ((SELECT COUNT(*) FROM customer) // {RDP_WAY_LEN}) AS seq,
+         ((c_custkey * 2654435761) % 2001) - 1000 AS sx,
+         ((c_custkey * 2246822519) % 2001) - 1000 AS sy
+  FROM customer)""",
+        f"""p0 AS MATERIALIZED (
+  SELECT way_id, seq,
+         CAST(SUM(sx) {win} AS BIGINT) AS x,
+         CAST(SUM(sy) {win} AS BIGINT) AS y
+  FROM w0)""",
+        "en AS (SELECT way_id, MIN(seq) AS lo, MAX(seq) AS hi FROM p0 GROUP BY way_id)",
+        """ke AS (
+  SELECT p.way_id, p.seq, p.x, p.y
+  FROM p0 p JOIN en ON en.way_id = p.way_id
+  WHERE p.seq = en.lo OR p.seq = en.hi)""",
+        """c0 AS MATERIALIZED (
+  SELECT p.way_id, p.seq, p.x, p.y, en.lo, en.hi,
+         pl.x AS ax, pl.y AS ay, ph.x AS bx, ph.y AS bby
+  FROM p0 p
+  JOIN en ON en.way_id = p.way_id
+  JOIN p0 pl ON pl.way_id = p.way_id AND pl.seq = en.lo
+  JOIN p0 ph ON ph.way_id = p.way_id AND ph.seq = en.hi
+  WHERE p.seq > en.lo AND p.seq < en.hi)""",
+    ]
+    for k in range(1, RDP_UNROLL + 1):
+        parts.append(f"""s{k} AS (
+  SELECT way_id, seq, x, y, lo, hi, ax, ay, bx, bby,
+         CASE WHEN len2 = 0 THEN d2 ELSE cr * cr END AS lhs,
+         CASE WHEN len2 = 0 THEN CAST({eps2} AS HUGEINT)
+              ELSE CAST({eps2} AS HUGEINT) * len2 END AS rhs
+  FROM (
+    SELECT *,
+           CAST((bx-ax)*(y-ay) - (x-ax)*(bby-ay) AS HUGEINT) AS cr,
+           CAST((bx-ax)*(bx-ax) + (bby-ay)*(bby-ay) AS HUGEINT) AS len2,
+           CAST((x-ax)*(x-ax) + (y-ay)*(y-ay) AS HUGEINT) AS d2
+    FROM c{k - 1}))""")
+        parts.append(f"""t{k} AS MATERIALIZED (
+  SELECT way_id, lo, hi, seq AS s_seq, x AS sx, y AS sy FROM (
+    SELECT way_id, lo, hi, seq, x, y,
+           row_number() OVER (PARTITION BY way_id, lo, hi
+                              ORDER BY lhs DESC, seq) AS rn,
+           lhs, rhs
+    FROM s{k})
+  WHERE rn = 1 AND lhs > rhs)""")
+        parts.append(f"""c{k} AS MATERIALIZED (
+  SELECT p.way_id, p.seq, p.x, p.y,
+         CASE WHEN p.seq < t.s_seq THEN p.lo ELSE t.s_seq END AS lo,
+         CASE WHEN p.seq < t.s_seq THEN t.s_seq ELSE p.hi END AS hi,
+         CASE WHEN p.seq < t.s_seq THEN p.ax ELSE t.sx END AS ax,
+         CASE WHEN p.seq < t.s_seq THEN p.ay ELSE t.sy END AS ay,
+         CASE WHEN p.seq < t.s_seq THEN t.sx ELSE p.bx END AS bx,
+         CASE WHEN p.seq < t.s_seq THEN t.sy ELSE p.bby END AS bby
+  FROM s{k} p JOIN t{k} t
+    ON t.way_id = p.way_id AND t.lo = p.lo AND t.hi = p.hi
+  WHERE p.seq <> t.s_seq)""")
+    keeps = ["SELECT way_id, seq, x, y FROM ke"] + [
+        f"SELECT way_id, s_seq AS seq, sx AS x, sy AS y FROM t{k}"
+        for k in range(1, RDP_UNROLL + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(keeps)
+
+
+SQL_RDP_SIMPLIFY = _rdp_sql()
+
+QUERIES.update({"rdp_simplify": q_rdp_simplify})
+ORACLES.update({"rdp_simplify": SQL_RDP_SIMPLIFY})
