@@ -89,6 +89,65 @@ def same_cell_pairs(nodes: DataFrame, res: int) -> DataFrame:
     )
 
 
+def cell_density_smooth(counts: DataFrame, res: int, k: int = 1) -> DataFrame:
+    """Neighborhood-smoothed cell density → (cell, n_pts, n_smooth):
+    for every POPULATED cell, its own point count plus the sum of
+    counts over its kring(k) Chebyshev neighborhood (the engine's
+    ``grid_disk`` analogue — kernels.cells.kring made relational).
+    The box-filter density surface heatmap rendering, hotspot
+    detection, and sampling-rate maps consume.
+
+    ``counts``: (cell, n) per-cell point counts at resolution ``res``
+    (one groupBy upstream). Neighbor enumeration is a constant
+    (2k+1)^2-way explode of pure integer Column arithmetic — decode
+    (ix, iy), offset, wrap x mod 2^res, DROP y outside [0, 2^res)
+    (pole clamp semantics identical to kernels.cells.kring) — then one
+    algebraic aggregation on the neighbor key. Because the Chebyshev
+    ball is symmetric under the same wrap/clamp rules, gathering FROM
+    kring(c) equals scattering TO kring(c'), so the scatter form needs
+    no second join.
+
+    Scale shape at 10^12 points: fan-out is the constant (2k+1)^2 on
+    the already-aggregated cell relation (orders of magnitude below
+    the point count); the sum is map-side combinable, so a hot cell's
+    nine contributions collapse per input split; the final join is
+    cell-keyed on the partitioning the aggregation just produced (AQE
+    plans it exchange-free). Output keeps populated cells only —
+    empty-cell smoothing would materialize the whole grid.
+    """
+    from ophois_spark.kernels.cells import RES_BITS, X_BITS
+
+    n = 1 << res
+    offs = [(dx, dy) for dy in range(-k, k + 1) for dx in range(-k, k + 1)]
+    arr = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in offs
+        ]
+    )
+    ix = F.floor((F.col("cell") % F.lit(1 << RES_BITS)) / F.lit(1 << X_BITS))
+    iy = F.col("cell") % F.lit(1 << X_BITS)
+    ex = (
+        counts.select("cell", "n", F.explode(arr).alias("o"))
+        .select(
+            (
+                F.lit(res) * F.lit(1 << RES_BITS)
+                + (((ix + F.col("o.dx")) % n + n) % n) * F.lit(1 << X_BITS)
+                + (iy + F.col("o.dy"))
+            ).alias("ncell"),
+            (iy + F.col("o.dy")).alias("ny"),
+            "n",
+        )
+        .filter((F.col("ny") >= 0) & (F.col("ny") < n))
+    )
+    smooth = ex.groupBy(F.col("ncell").alias("cell")).agg(
+        F.sum("n").alias("n_smooth")
+    )
+    return counts.join(smooth, "cell").select(
+        "cell", F.col("n").alias("n_pts"), F.col("n_smooth")
+    )
+
+
 # ---------------------------------------------------------------------------
 # point in polygon
 # ---------------------------------------------------------------------------

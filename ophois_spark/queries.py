@@ -3989,3 +3989,57 @@ SQL_RDP_SIMPLIFY = _rdp_sql()
 
 QUERIES.update({"rdp_simplify": q_rdp_simplify})
 ORACLES.update({"rdp_simplify": SQL_RDP_SIMPLIFY})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: kring-smoothed cell density
+# ---------------------------------------------------------------------------
+
+
+def q_cell_density_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-filter density surface at CELL_RES: per populated cell, its
+    node count and the kring(1) 3x3-neighborhood sum (wrap x, clamp y
+    -- kernels.cells.kring made relational). Constant 9-way explode on
+    the already-aggregated cell relation + one algebraic agg."""
+    from ophois_spark.operators.spatial import cell_density_smooth, with_cells
+
+    counts = (
+        with_cells(derived_nodes(spark, sf_dir), CELL_RES)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = cell_density_smooth(counts, CELL_RES, k=1)
+    return out.select(
+        "cell",
+        F.col("n_pts").cast("long").alias("n_pts"),
+        F.col("n_smooth").cast("long").alias("n_smooth"),
+    )
+
+
+def _cell_density_smooth_sql() -> str:
+    n = 1 << CELL_RES
+    res_shift = 1 << 58
+    x_shift = 1 << 29
+    return f"""
+WITH nodes AS ({_NODES_SQL}),
+cc AS (
+  SELECT {_cell_sql("lon_d", "lat_d", CELL_RES)} AS cell, COUNT(*) AS n
+  FROM nodes GROUP BY 1),
+o(dx, dy) AS (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),(1,0),(-1,1),(0,1),(1,1)),
+ex AS (
+  SELECT {CELL_RES} * {res_shift}
+         + ((((cell % {res_shift}) // {x_shift} + dx) % {n} + {n}) % {n}) * {x_shift}
+         + ((cell % {x_shift}) + dy) AS ncell,
+         n
+  FROM cc, o
+  WHERE (cell % {x_shift}) + dy >= 0 AND (cell % {x_shift}) + dy < {n})
+SELECT cc.cell, CAST(cc.n AS BIGINT) AS n_pts, CAST(s.n_smooth AS BIGINT) AS n_smooth
+FROM cc JOIN (SELECT ncell AS cell, SUM(n) AS n_smooth FROM ex GROUP BY 1) s
+  ON s.cell = cc.cell
+"""
+
+
+SQL_CELL_DENSITY_SMOOTH = _cell_density_smooth_sql()
+
+QUERIES.update({"cell_density_smooth": q_cell_density_smooth})
+ORACLES.update({"cell_density_smooth": SQL_CELL_DENSITY_SMOOTH})

@@ -325,3 +325,33 @@ def test_pip_join_multipolygon_with_hole(spark):
     df = spark.createDataFrame(pts, "pid long, lon_d double, lat_d double")
     got = sorted((r["pid"], r["poly_id"]) for r in pip_join(df, pdf, res=6).collect())
     assert got == [(0, "M"), (2, "M"), (4, "S")]
+
+
+# ---------------------------------------------------------------------------
+# kring density smoothing
+# ---------------------------------------------------------------------------
+
+
+def test_cell_density_smooth_matches_kring_kernel(spark):
+    """Relational scatter-sum == brute-force gather over kernels.kring,
+    on a res-3 grid hitting the antimeridian wrap (ix 0/7) and the pole
+    clamp (iy 0)."""
+    from ophois_spark.kernels.cells import RES_BITS, X_BITS, kring
+    from ophois_spark.operators.spatial import cell_density_smooth
+
+    res = 3
+    cells = {  # (ix, iy) -> n
+        (0, 0): 3, (7, 0): 5, (1, 1): 2, (0, 1): 1, (4, 4): 7, (5, 5): 1,
+    }
+    enc = lambda ix, iy: (res << RES_BITS) | (ix << X_BITS) | iy
+    counts = {enc(ix, iy): n for (ix, iy), n in cells.items()}
+    df = spark.createDataFrame(list(counts.items()), "cell long, n long")
+    got = {
+        r.cell: (r.n_pts, r.n_smooth)
+        for r in cell_density_smooth(df, res, k=1).collect()
+    }
+    want = {
+        c: (n, sum(counts.get(nb, 0) for nb in kring(c, 1)))
+        for c, n in counts.items()
+    }
+    assert got == want
