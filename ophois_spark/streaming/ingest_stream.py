@@ -553,3 +553,90 @@ def stream_band_registry(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# watermarked tumbling-window rollup
+# ---------------------------------------------------------------------------
+
+
+def windowed_event_rollup(
+    events: DataFrame, window: str = "10 minutes", delay: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window per-type event rollup with a watermark — the
+    canonical Structured Streaming aggregation shape (the streaming
+    twin of the gated batch ``events_rollup`` family). One transform
+    serves BOTH batch and streaming inputs (the Kappa discipline this
+    module applies everywhere): on a stream the watermark bounds state
+    (window state is dropped once the watermark passes its end) and
+    defines the late-data contract (rows landing in an expired window
+    are DROPPED, exactly once, deterministically); on a batch frame
+    the same code is a plain windowed aggregation.
+
+    Append-mode emission: a window is written to the sink only once
+    the watermark passes its end — finalized exactly once, never
+    updated — which is what makes the parquet sink idempotent to
+    replay. ``tests/test_streaming.py`` pins the full lifecycle: late
+    row below the watermark dropped, closed windows emitted once,
+    still-open windows withheld.
+
+    Scale shape: the aggregation is algebraic (map-side combined per
+    micro-batch); state per key is one row per (window, type) — the
+    watermark bounds the window count, so state size is
+    O(types x windows-in-delay), independent of stream length.
+    """
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("long").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_windowed_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    delay: str = "10 minutes",
+    available_now: bool = True,
+):
+    """readStream(events parquet dir) → windowed_event_rollup →
+    append-mode parquet sink. Returns the StreamingQuery."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    events = spark.readStream.schema(schema).parquet(input_dir)
+    out = windowed_event_rollup(events, window=window, delay=delay)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=available_now)
+        .start()
+    )

@@ -484,3 +484,79 @@ def test_stream_band_registry_max_bucket_first_arrivals(spark, tmp_path):
     # NOT registered; doc 7 (batch3) pairs with 5 and 9 only
     assert {(5, 9), (1, 5), (1, 9), (5, 7), (7, 9)} <= pairs
     assert (1, 7) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# watermarked tumbling-window rollup lifecycle
+# ---------------------------------------------------------------------------
+
+
+def test_stream_windowed_rollup_watermark_lifecycle(spark, tmp_path):
+    """Pins the three append-mode watermark semantics on one timeline:
+    (1) a closed window is emitted exactly once (availableNow's final
+    flush batch emits windows the advanced watermark just closed),
+    (2) a late row whose window expired below the checkpointed
+    watermark is dropped, (3) a still-open window is withheld from the
+    sink. Watermark delay = tumbling window = 10 min."""
+    from ophois_spark.streaming.ingest_stream import stream_windowed_rollup
+
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(i, f"2024-01-01 {t}", ty, float(v)) for i, (t, ty, v) in enumerate(rows)],
+            "event_id long, ts_s string, event_type string, value double",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "event_type",
+            "value",
+        ).write.mode("append").parquet(src)
+
+    def drain():
+        q = stream_windowed_rollup(spark, src, sink, ckpt)
+        q.awaitTermination()
+
+    def sink_rows():
+        return {
+            (str(r.w_start), str(r.w_end), r.event_type, r.n_events, r.sum_value)
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    # run 1: watermark advances to 00:31 - 10min = 00:21; the final
+    # availableNow flush batch emits the two windows it closed
+    feed([("00:01:00", "a", 1), ("00:05:00", "a", 2),
+          ("00:12:00", "b", 3), ("00:31:00", "a", 4)])
+    drain()
+    closed = {
+        ("2024-01-01 00:00:00", "2024-01-01 00:10:00", "a", 2, 3),
+        ("2024-01-01 00:10:00", "2024-01-01 00:20:00", "b", 1, 3),
+    }
+    assert sink_rows() == closed
+
+    # run 2: late row at 00:03 falls in [00:00,00:10), expired below
+    # the checkpointed watermark 00:21 -> DROPPED (the already-emitted
+    # window is NOT updated or re-emitted); 00:52 advances the
+    # watermark to 00:42, closing [00:30,00:40)
+    feed([("00:03:00", "a", 100), ("00:52:00", "b", 5)])
+    drain()
+    closed.add(("2024-01-01 00:30:00", "2024-01-01 00:40:00", "a", 1, 4))
+    assert sink_rows() == closed
+
+    # run 3: 01:30 advances the watermark to 01:20, closing
+    # [00:50,01:00); its own window [01:30,01:40) stays open -> withheld
+    feed([("01:30:00", "a", 6)])
+    drain()
+    closed.add(("2024-01-01 00:50:00", "2024-01-01 01:00:00", "b", 1, 5))
+    assert sink_rows() == closed
+
+    # run 4: 02:00 closes [01:30,01:40) exactly once; [02:00,02:10)
+    # never leaks
+    feed([("02:00:00", "a", 7)])
+    drain()
+    closed.add(("2024-01-01 01:30:00", "2024-01-01 01:40:00", "a", 1, 6))
+    got = sink_rows()
+    assert got == closed
+    assert not any(r[0] == "2024-01-01 02:00:00" for r in got)
