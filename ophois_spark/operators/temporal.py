@@ -96,3 +96,51 @@ def asof_join(
     out = [F.col(f"_l.{c}").alias(c) for c in l_cols]
     out += [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload]
     return matched.select(*out)
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel → one row per prefix: (stage,
+    n_users) — how many users performed steps[0], then steps[1]
+    STRICTLY after it, then steps[2] strictly after that, and so on
+    (each stage anchored at the EARLIEST qualifying occurrence, the
+    standard funnel semantics: greedy-earliest maximizes downstream
+    conversions, so the counts are the true maxima).
+
+    Scale shape at 10^12 events: stage k is one filter on the event
+    type (pushed to the scan), one equi-join on the user key against
+    the stage-(k-1) anchor relation (ONE row per surviving user —
+    shrinks monotonically, broadcastable long before the funnel
+    bottoms out), and one algebraic min-aggregation. No window over a
+    user's full history, no collect_list, no range join; a hot user's
+    events collapse in the map-side partial min.
+    """
+    stage = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("t"))
+    )
+    out_rows = [stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit(steps[0]).alias("stage"), "n_users"
+    )]
+    for i, s in enumerate(steps[1:], start=2):
+        stage = (
+            events.filter(F.col(type_col) == s)
+            .join(stage, F.col(user_col) == F.col("u"))
+            .filter(F.col(ts_col) > F.col("t"))
+            .groupBy("u")
+            .agg(F.min(ts_col).alias("t"))
+        )
+        out_rows.append(
+            stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(" > ".join(steps[:i])).alias("stage"), "n_users"
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, out_rows)

@@ -548,3 +548,52 @@ def doc_repetition(docs: DataFrame, n: int = REP_GRAM_N, text_col: str = "text")
         )
         .alias("top_gram_share"),
     )
+
+
+def doc_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer IDF-rarity quality signal → (doc_id, n_tokens,
+    surprisal, mean_x1000): per document, the sum over tokens of the
+    corpus rarity of that token, with rarity the INTEGER bit-log
+    ``flog2(n_docs) - flog2(df)`` (flog2 = floor(log2) = binary length
+    minus one — exact on every engine, no libm). Documents made of
+    common words score ~0; documents of rare tokens score high — the
+    integerized tf-idf mass a corpus quality filter thresholds on,
+    with the cross-engine float-idf trap removed entirely.
+
+    ``mean_x1000`` is the per-token mean in integer permille
+    (1000·surprisal div n_tokens; 0 for empty docs) — the
+    length-normalized form, following the repo-wide integer-ratio
+    contract.
+
+    Scale shape at 10^12 docs: rides the postings build
+    (``index_postings`` — algebraic aggs, map-side combine on
+    stopword-grade hot terms); rarity is a codegen projection; the
+    per-doc sum is one more algebraic agg keyed doc_id (no hot key —
+    bounded by a doc's own vocabulary); the final join back to docs is
+    doc-keyed. The corpus count is ONE broadcast scalar row.
+    """
+    from ophois_spark.plans.layout import fan_out  # noqa: F401  (postings handles it)
+
+    post = index_postings(docs, text_col)
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    flog2 = lambda c: F.length(F.bin(c)) - F.lit(1)
+    per_doc = (
+        post.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (F.col("tf") * (flog2(F.col("n_docs")) - flog2(F.col("df")))).alias("m"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("m").alias("surprisal"))
+    )
+    toks = docs.select("doc_id", n_tokens_col(F.col(text_col)).alias("n_tokens"))
+    return toks.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("surprisal", F.lit(0)).alias("surprisal"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.expr("(1000 * coalesce(surprisal, 0)) div n_tokens")
+        )
+        .alias("mean_x1000"),
+    )

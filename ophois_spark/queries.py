@@ -4043,3 +4043,90 @@ SQL_CELL_DENSITY_SMOOTH = _cell_density_smooth_sql()
 
 QUERIES.update({"cell_density_smooth": q_cell_density_smooth})
 ORACLES.update({"cell_density_smooth": SQL_CELL_DENSITY_SMOOTH})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: funnel analytics + integer token-rarity quality signal
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase, each stage
+    anchored at the earliest qualifying occurrence strictly after the
+    previous stage's anchor: -> (stage, n_users). Stage relations are
+    one row per surviving user, so the per-stage join side shrinks
+    monotonically (see operators/temporal.py)."""
+    from ophois_spark.operators.temporal import event_funnel
+
+    out = event_funnel(load(spark, sf_dir, "events"), FUNNEL_STEPS)
+    return out.select("stage", F.col("n_users").cast("long").alias("n_users"))
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id AS u, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY 1),
+s3 AS (
+  SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+  JOIN s2 ON s2.u = e.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 'view > click', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 'view > click > purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer token-rarity (bit-log IDF) quality mass per document:
+    -> (doc_id, n_tokens, surprisal, mean_x1000). flog2 = binary
+    length - 1 is exact on every engine, so the idf-shaped signal
+    carries no libm float anywhere (see operators/textops.py)."""
+    from ophois_spark.operators.textops import doc_surprisal
+
+    out = doc_surprisal(load(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("surprisal").cast("long").alias("surprisal"),
+        F.col("mean_x1000").cast("long").alias("mean_x1000"),
+    )
+
+
+SQL_DOC_SURPRISAL = f"""
+WITH toks AS ({_TOKS_SQL}),
+ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM ex WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT length(bin(COUNT(*))) - 1 AS fl_n FROM documents),
+pd AS (
+  SELECT tf.doc_id,
+         SUM(tf.tf * ((SELECT fl_n FROM nd) - (length(bin(df.df)) - 1))) AS surprisal
+  FROM tf JOIN df USING (term) GROUP BY 1),
+nt AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tokens
+  FROM documents)
+SELECT nt.doc_id,
+       CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(pd.surprisal, 0) AS BIGINT) AS surprisal,
+       CAST(CASE WHEN nt.n_tokens = 0 THEN 0
+                 ELSE (1000 * COALESCE(pd.surprisal, 0)) // nt.n_tokens END AS BIGINT)
+         AS mean_x1000
+FROM nt LEFT JOIN pd ON pd.doc_id = nt.doc_id
+"""
+
+QUERIES.update(
+    {"event_funnel": q_event_funnel, "doc_surprisal": q_doc_surprisal}
+)
+ORACLES.update(
+    {"event_funnel": SQL_EVENT_FUNNEL, "doc_surprisal": SQL_DOC_SURPRISAL}
+)

@@ -183,3 +183,33 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         else:
             assert ge["r_event_id"] == we["r_event_id"], eid
             assert ge["r_value"] == we["r_value"], eid
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel
+# ---------------------------------------------------------------------------
+
+
+def test_event_funnel_strictly_after_and_earliest_anchor(spark):
+    from ophois_spark.operators.temporal import event_funnel
+
+    rows = [
+        # u1 converts fully: view@1, click@5, purchase@9
+        (1, 1, "view"), (1, 5, "click"), (1, 9, "purchase"),
+        # u2: click BEFORE view only -> stops at view
+        (2, 5, "click"), (2, 6, "view"),
+        # u3: click at the SAME ts as view -> strictly-after excludes it
+        (3, 4, "view"), (3, 4, "click"),
+        # u4: earliest-anchor matters: view@1 and view@7; click@3 counts
+        # against the EARLIEST view; purchase@2 (before click) excluded
+        (4, 7, "view"), (4, 1, "view"), (4, 3, "click"), (4, 2, "purchase"),
+        # u5: never viewed
+        (5, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, f"2024-01-01 00:00:{t:02d}", ty) for u, t, ty in rows],
+        "user_id long, ts_s string, event_type string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
+    got = {r.stage: r.n_users for r in
+           event_funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 4, "view > click": 2, "view > click > purchase": 1}

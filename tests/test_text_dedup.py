@@ -284,3 +284,24 @@ def test_source_rollup_exact_sums(spark):
     assert a["mean_tokens"] == 2.5
     b = got["hostB"]
     assert (b["n_docs"], b["sum_tokens"], b["sum_chars"]) == (1, 0, 0)
+
+
+def test_doc_surprisal_hand_corpus(spark):
+    """flog2 rarity on a hand corpus: df(a)=3 -> rarity 1, df(b)=df(c)=1
+    -> rarity 2 (n_docs=4, flog2=2); empty doc scores 0."""
+    from ophois_spark.operators.textops import doc_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "a"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.surprisal, r.mean_x1000)
+        for r in doc_surprisal(docs).collect()
+    }
+    assert got == {
+        1: (3, 4, 1333),  # 2*1 + 1*2
+        2: (2, 3, 1500),  # 1 + 2
+        3: (1, 1, 1000),
+        4: (0, 0, 0),
+    }
