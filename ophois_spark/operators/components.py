@@ -192,3 +192,99 @@ def largest_component(g: StreetGraph, labels: DataFrame | None = None) -> Street
     # edges never cross components: filtering on src suffices
     edges = g.edges.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
     return StreetGraph(nodes, edges)
+
+
+def kcore(
+    nodes: DataFrame, edges: DataFrame, k: int, max_rounds: int = 100
+) -> tuple[DataFrame, int]:
+    """→ (core_nodes(id), rounds): the k-core of an undirected simple
+    graph — the maximal subgraph in which every node has degree ≥ k —
+    by parallel peeling (Matula/Beck): each round drops EVERY node
+    whose degree in the SURVIVING subgraph is < k at once, then the
+    edges incident to dropped nodes; fixpoint when a round drops
+    nothing. The classic dense-subgraph / link-spam forensics primitive
+    (comment-spam farms live in high cores; trees and chains have no
+    2-core at all).
+
+    The peeled set per round is a deterministic function of the
+    surviving subgraph (no tie-breaks anywhere), so rounds past the
+    fixpoint are exact identities — the same replay contract as the
+    H4/H6 contractions, letting a SQL oracle unroll to a pinned round
+    count measured at the gate scales (pytest-guarded).
+
+    Scale shape at 10^12 edges: per round ONE algebraic degree count
+    over the endpoint union (map-side combined — hub nodes collapse
+    per input split) and two left-semi joins filtering the edge
+    relation, all on the same src/dst keys (bucketing the edges makes
+    them co-located); the edge set only shrinks. One count action per
+    round; lineage truncated per round with localCheckpoint.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    n_prev = None
+    rounds = 0
+    while True:
+        deg = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("id").localCheckpoint(eager=False)
+        n = keep.count()  # the round's single action
+        if n == n_prev:
+            return keep, rounds
+        if n == 0:
+            return keep, rounds + 1
+        n_prev = n
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(f"k-core did not converge within {max_rounds} rounds")
+        e = (
+            e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+
+
+def coreness(
+    nodes: DataFrame, edges: DataFrame, k_max: int, max_rounds: int = 100
+) -> tuple[DataFrame, dict[int, int]]:
+    """→ (labels(id, coreness), rounds_by_k): core decomposition up to
+    ``k_max`` — coreness(v) = the largest k ≤ k_max with v in the
+    k-core (0 for isolated nodes). Runs the :func:`kcore` peel for
+    each k, NESTED: the (k+1)-core of G equals the (k+1)-core of the
+    k-core of G, so each peel starts from the previous survivor
+    subgraph — the edge relation only ever shrinks across the whole
+    decomposition, never resets to the full graph.
+
+    Scale: k_max is a small constant (webgraph forensics uses the low
+    cores; degeneracy-order decomposition of the full range is a
+    different algorithm); total cost is Σ_k rounds_k peels, each the
+    one-agg-two-semijoin round of :func:`kcore`.
+    """
+    from functools import reduce
+
+    e = edges.select("src", "dst")
+    parts = []
+    rounds_by_k: dict[int, int] = {}
+    for k in range(1, k_max + 1):
+        keep, r = kcore(nodes, e, k, max_rounds=max_rounds)
+        rounds_by_k[k] = r
+        parts.append(keep.select("id", F.lit(k).alias("k")))
+        e = (
+            e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+    cores = (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy("id")
+        .agg(F.max("k").alias("coreness"))
+    )
+    return (
+        nodes.join(cores, "id", "left").select(
+            "id", F.coalesce("coreness", F.lit(0)).alias("coreness")
+        ),
+        rounds_by_k,
+    )

@@ -4130,3 +4130,80 @@ QUERIES.update(
 ORACLES.update(
     {"event_funnel": SQL_EVENT_FUNNEL, "doc_surprisal": SQL_DOC_SURPRISAL}
 )
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: k-core decomposition (webgraph forensics)
+# ---------------------------------------------------------------------------
+
+KCORE_KMAX = 4
+# Oracle unroll per k: measured peel depth on the gated overlay is 1
+# round at k=1..3 and 4 rounds at k=4 (both gate scales share the
+# 500-doc overlay structure); rounds past the fixpoint are exact
+# identities (the peeled set is a deterministic function of the
+# surviving subgraph). 8 = 4 measured worst case + 100% margin,
+# pytest-guarded in tests/test_webgraph_pack.py.
+KCORE_UNROLL = 8
+
+
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core decomposition of the undirected page link graph up to
+    k=4 -> (doc_id, coreness): parallel Matula-Beck peeling, nested
+    across k (each peel starts from the previous survivor subgraph).
+    The dense-subgraph / link-farm forensics primitive."""
+    from ophois_spark.operators.components import coreness
+
+    nodes, edges = _link_overlay(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    labels, _rounds = coreness(nodes, und, KCORE_KMAX)
+    return labels.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("coreness").cast("long").alias("coreness"),
+    )
+
+
+def _kcore_sql() -> str:
+    parts = [
+        "n AS MATERIALIZED (SELECT doc_id AS id FROM documents)",
+        "c AS (SELECT COUNT(*) AS cnt FROM documents)",
+        "j0 AS (SELECT id, unnest(generate_series(1, 1 + (id % 3))) AS j FROM n)",
+        """e AS MATERIALIZED (
+  SELECT DISTINCT id AS src, (id*31 + 97*j) % (SELECT cnt FROM c) AS dst
+  FROM j0 WHERE (id*31 + 97*j) % (SELECT cnt FROM c) <> id)""",
+        """ue AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst FROM e)""",
+    ]
+    finals = []
+    for k in range(1, KCORE_KMAX + 1):
+        prev = "ue"
+        for j in range(1, KCORE_UNROLL + 1):
+            parts.append(f"""k{k}d{j} AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT src AS id FROM {prev} UNION ALL SELECT dst FROM {prev}) GROUP BY id)""")
+            parts.append(
+                f"k{k}n{j} AS MATERIALIZED (SELECT id FROM k{k}d{j} WHERE d >= {k})"
+            )
+            parts.append(f"""k{k}e{j} AS MATERIALIZED (
+  SELECT src, dst FROM {prev}
+  WHERE src IN (SELECT id FROM k{k}n{j})
+    AND dst IN (SELECT id FROM k{k}n{j}))""")
+            prev = f"k{k}e{j}"
+        finals.append(f"SELECT id, {k} AS k FROM k{k}n{KCORE_UNROLL}")
+    parts.append("cores AS (" + "\nUNION ALL ".join(finals) + ")")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT CAST(n.id AS BIGINT) AS doc_id,
+       CAST(COALESCE(MAX(cr.k), 0) AS BIGINT) AS coreness
+FROM n LEFT JOIN cores cr ON cr.id = n.id
+GROUP BY n.id"""
+    )
+
+
+SQL_KCORE_DECOMPOSITION = _kcore_sql()
+
+QUERIES.update({"kcore_decomposition": q_kcore_decomposition})
+ORACLES.update({"kcore_decomposition": SQL_KCORE_DECOMPOSITION})

@@ -248,3 +248,47 @@ def test_host_graph_dirty_urls_collapse(spark):
     assert sorted(r.id for r in hosts.collect()) == ["one.com", "two.com"]
     got = sorted((r.src, r.dst) for r in he.collect())
     assert got == [("one.com", "two.com"), ("two.com", "one.com")]
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_coreness_hand_graph(spark):
+    """Triangle (2-core) + tail chain (1-core) + 4-clique (3-core) +
+    isolated node (0): the textbook coreness values."""
+    from ophois_spark.operators.components import coreness
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle
+        (3, 4), (4, 5),                  # chain tail
+        (10, 11), (10, 12), (10, 13),    # 4-clique
+        (11, 12), (11, 13), (12, 13),
+    ]
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 13, 99]], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labels, rounds_by_k = coreness(nodes, e, k_max=4)
+    got = {r.id: r.coreness for r in labels.collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1,
+                   10: 3, 11: 3, 12: 3, 13: 3, 99: 0}
+    # chain peeling at k=2 takes two rounds (5 drops, then 4)
+    assert rounds_by_k[2] == 2
+
+
+def test_kcore_unroll_bound_has_margin(spark):
+    """The oracle unrolls KCORE_UNROLL peel rounds per k; guard that
+    the measured fixpoint depth on the gated overlay keeps >= 2 rounds
+    of slack at the pytest gate scale (the sf0.01 overlay shares the
+    same 500-doc structure)."""
+    from pyspark.sql import functions as F
+
+    from ophois_spark.operators.components import coreness
+    from ophois_spark.queries import KCORE_KMAX, KCORE_UNROLL, _link_overlay
+
+    nodes, edges = _link_overlay(spark, "/root/testdata/sf0.001")
+    und = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    _, rounds_by_k = coreness(nodes, und, KCORE_KMAX)
+    assert max(rounds_by_k.values()) + 2 <= KCORE_UNROLL, rounds_by_k
