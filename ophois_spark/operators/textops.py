@@ -597,3 +597,64 @@ def doc_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .alias("mean_x1000"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_df: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """CCNet-style boilerplate line removal → (doc_id, n_lines,
+    n_kept, cleaned_text): split each document into lines, count each
+    line's document frequency WITHIN its source (site chrome —
+    copyright footers, nav bars, cookie banners — repeats across a
+    host's pages; body text doesn't), drop lines appearing in more
+    than ``max_df`` distinct documents of the same source, and rebuild
+    the surviving text in original line order. The paragraph-hash
+    dedup step of CCNet (Wenzek et al., LREC 2020), scoped per source
+    the way production pipelines shard it.
+
+    Scale shape at 10^12 docs: the explode is narrow; the per-
+    (source, line) distinct-doc count partially dedups map-side (a
+    line repeated within one doc collapses before the shuffle); the
+    df join back is on the same (source, line) partitioning the
+    aggregation produced; reconstruction is ONE doc_id-keyed
+    aggregation whose payload is the doc's own kept lines
+    (sort_array on the collected (idx, line) structs — no window, no
+    per-doc task skew beyond document length, which is bounded).
+    Dropping rather than rewriting keeps the operator pure-relational;
+    the cleaned text is byte-reproducible, so the gate compares it
+    EXACTLY.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    ldf = lines.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").alias("ldf")
+    )
+    kept = lines.join(ldf, ["source", "line"]).filter(F.col("ldf") <= max_df)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )
+    n_lines = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        docs.select("doc_id")
+        .join(n_lines, "doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -4207,3 +4207,79 @@ SQL_KCORE_DECOMPOSITION = _kcore_sql()
 
 QUERIES.update({"kcore_decomposition": q_kcore_decomposition})
 ORACLES.update({"kcore_decomposition": SQL_KCORE_DECOMPOSITION})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: CCNet-style boilerplate line dedup
+# ---------------------------------------------------------------------------
+
+LINE_DF_MAX = 3
+
+
+def _boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate overlay on documents (same discipline as the dirty-
+    URL overlay): each doc becomes four lines — a per-source copyright
+    header and a global nav line (site chrome, df = docs-per-source,
+    dropped), the original body (kept unless the corpus' planted
+    exact-duplicates push its within-source df over the cap), and a
+    unique footer (always kept)."""
+    d = load(spark, sf_dir, "documents")
+    lined = F.concat_ws(
+        "\n",
+        F.concat(F.lit("copyright "), F.col("source")),
+        F.lit("nav home about contact"),
+        F.col("text"),
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string")),
+    )
+    return d.select("doc_id", "source", lined.alias("text"))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source boilerplate line removal over the
+    boilerplate overlay -> (doc_id, n_lines, n_kept, cleaned_text);
+    the cleaned text is byte-reproducible so the gate compares it
+    exactly (see operators/textops.py)."""
+    from ophois_spark.operators.textops import line_dedup
+
+    out = line_dedup(_boilerplate_docs(spark, sf_dir), LINE_DF_MAX)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "cleaned_text",
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH lined AS (
+  SELECT doc_id, source,
+         'copyright ' || source || chr(10) ||
+         'nav home about contact' || chr(10) ||
+         text || chr(10) ||
+         'doc ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents),
+ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS a FROM lined),
+exj AS (SELECT doc_id, source, a, unnest(generate_series(1, len(a))) AS j FROM ls),
+ex AS (SELECT doc_id, source, j - 1 AS idx, a[j] AS line FROM exj),
+ldf AS (SELECT source, line, COUNT(DISTINCT doc_id) AS ldf
+        FROM ex GROUP BY source, line),
+kept AS (
+  SELECT e.doc_id, e.idx, e.line
+  FROM ex e JOIN ldf ON ldf.source = e.source AND ldf.line = e.line
+  WHERE ldf.ldf <= {LINE_DF_MAX}),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY idx) AS cleaned_text
+  FROM kept GROUP BY doc_id),
+nl AS (SELECT doc_id, COUNT(*) AS n_lines FROM ex GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(nl.n_lines AS BIGINT) AS n_lines,
+       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(agg.cleaned_text, '') AS cleaned_text
+FROM documents d
+JOIN nl ON nl.doc_id = d.doc_id
+LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+QUERIES.update({"line_dedup": q_line_dedup})
+ORACLES.update({"line_dedup": SQL_LINE_DEDUP})

@@ -305,3 +305,38 @@ def test_doc_surprisal_hand_corpus(spark):
         3: (1, 1, 1000),
         4: (0, 0, 0),
     }
+
+
+def test_line_dedup_cap_boundary_and_order(spark):
+    """df == max_df kept, df == max_df+1 dropped, scoping per source,
+    original line order preserved, all-dropped doc -> empty string."""
+    from ophois_spark.operators.textops import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # 'chrome' in 3 docs of s1 (df=3 > max_df=2) -> dropped;
+            # 'pair' in 2 docs (df=2 == max_df) -> kept
+            (1, "s1", "chrome\npair\nbody one"),
+            (2, "s1", "chrome\npair\nbody two"),
+            (3, "s1", "chrome\nonly three"),
+            # same 'chrome' line in ANOTHER source: df=1 there -> kept
+            (4, "s2", "chrome\nbody four"),
+            # doc whose every line is over the cap -> empty cleaned text
+            (5, "s3", "x\nx\nx"),
+            (6, "s3", "x"),
+            (7, "s3", "x"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.cleaned_text)
+        for r in line_dedup(docs, max_df=2).collect()
+    }
+    assert got[1] == (3, 2, "pair\nbody one")
+    assert got[2] == (3, 2, "pair\nbody two")
+    assert got[3] == (2, 1, "only three")
+    assert got[4] == (2, 2, "chrome\nbody four")
+    # 'x' appears in 3 distinct docs of s3 -> dropped everywhere
+    assert got[5] == (3, 0, "")
+    assert got[6] == (1, 0, "")
+    assert got[7] == (1, 0, "")
