@@ -512,3 +512,55 @@ def latest_snapshot_dedup(
             "n_crawls",
         )
     )
+
+
+def snapshot_delta(
+    captures: DataFrame,
+    t1_us: int,
+    t2_us: int,
+    url_col: str = "url",
+    ts_col: str = "us",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl snapshot diff → (url, status, old_id, new_id): what
+    changed between the corpus state as of ``t1_us`` and as of
+    ``t2_us`` (integer epoch micros, both cutoffs inclusive) — the
+    incremental-recrawl planning query ('what do we re-extract this
+    month'). Per URL the representative capture is the max (ts, id)
+    struct (the latest_snapshot_dedup survivor rule); status is
+    'added' (no capture at-or-before t1), 'updated' (a newer capture
+    arrived in (t1, t2]), or 'unchanged'. A capture log is append-only,
+    so 'removed' cannot occur and URLs absent at t2 don't exist at t1
+    either.
+
+    Shuffle shape — the reason this isn't two snapshots + a join: BOTH
+    snapshots come out of ONE aggregation pass, as a conditional
+    struct-max (``max(when(ts <= t1, struct))`` next to the plain max)
+    — algebraic, map-side combined, one hash shuffle on url total;
+    the naive formulation pays two aggregations plus a url-keyed join.
+    ``old_id`` is -1 for added URLs (the repo-wide null-free integer
+    contract).
+    """
+    st = F.struct(
+        F.col(ts_col).alias("ts"), F.col(id_col).cast("long").alias("id")
+    )
+    agg = (
+        captures.filter(F.col(ts_col) <= t2_us)
+        .groupBy(url_col)
+        .agg(
+            F.max(F.when(F.col(ts_col) <= t1_us, st)).alias("m1"),
+            F.max(st).alias("m2"),
+        )
+    )
+    return agg.select(
+        url_col,
+        F.when(F.col("m1").isNull(), F.lit("added"))
+        .when(
+            (F.col("m1.ts") == F.col("m2.ts")) & (F.col("m1.id") == F.col("m2.id")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("updated"))
+        .alias("status"),
+        F.coalesce(F.col("m1.id"), F.lit(-1)).alias("old_id"),
+        F.col("m2.id").alias("new_id"),
+    )

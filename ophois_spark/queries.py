@@ -4283,3 +4283,136 @@ LEFT JOIN agg ON agg.doc_id = d.doc_id
 
 QUERIES.update({"line_dedup": q_line_dedup})
 ORACLES.update({"line_dedup": SQL_LINE_DEDUP})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: slab-bucketed interval containment join
+# ---------------------------------------------------------------------------
+
+SPAN_SLAB_US = 600 * 1000000  # 10-minute slabs ~ typical span length
+
+
+def q_span_contain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-point containment join per user over events: signup
+    events open a span of (event_id % 30 + 1) minutes; click events
+    are points; output every (span, click) containment pair -> one
+    row per pair (user_id, span_id, click_id, offset_us). Runs as the
+    slab-bucketed hash equi-join (NO range join / nested loop --
+    plan-asserted in tests), see operators/temporal.py."""
+    from ophois_spark.operators.temporal import interval_point_join
+
+    e = load(spark, sf_dir, "events")
+    spans = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("span_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.col("event_id") % 30 + 1) * F.lit(60 * 1000000).cast("long")
+        ).alias("e_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    out = interval_point_join(spans, clicks, "user_id", SPAN_SLAB_US)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("span_id").cast("long").alias("span_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        (F.col("t_us") - F.col("s_us")).cast("long").alias("offset_us"),
+    )
+
+
+SQL_SPAN_CONTAIN_JOIN = """
+WITH spans AS (
+  SELECT user_id, event_id AS span_id,
+         epoch_us(ts) AS s_us,
+         epoch_us(ts) + (event_id % 30 + 1) * 60000000 AS e_us
+  FROM events WHERE event_type = 'signup'),
+clicks AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'click')
+SELECT s.user_id, s.span_id, c.click_id,
+       CAST(c.t_us - s.s_us AS BIGINT) AS offset_us
+FROM spans s JOIN clicks c
+  ON c.user_id = s.user_id AND c.t_us >= s.s_us AND c.t_us <= s.e_us
+"""
+
+QUERIES.update({"span_contain_join": q_span_contain_join})
+ORACLES.update({"span_contain_join": SQL_SPAN_CONTAIN_JOIN})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: incremental crawl snapshot diff
+# ---------------------------------------------------------------------------
+
+CRAWL_T1_US = (_CRAWL_BASE_EPOCH + 720 * 60) * 1000000  # mid-day cutoff
+CRAWL_T2_US = (_CRAWL_BASE_EPOCH + 1440 * 60) * 1000000  # end of log
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-recrawl diff over the capture-log overlay: per URL,
+    did the representative capture change between the mid-day and
+    end-of-log snapshots -> (url, status, old_id, new_id). BOTH
+    snapshots come out of ONE conditional struct-max aggregation
+    (single shuffle; see operators/dedup.py snapshot_delta)."""
+    from ophois_spark.operators.dedup import snapshot_delta
+
+    d = load(spark, sf_dir, "documents")
+    # minute layout forces all three statuses to occur at gate scale:
+    # url group u%10==0 -> all captures in the morning (unchanged at
+    # the mid-day cutoff), u%10==1 -> all in the afternoon (added),
+    # everything else spread over the day (mostly updated)
+    u = F.col("doc_id") % 97
+    minute = (
+        F.when(u % 10 == 0, (F.col("doc_id") * 37) % 720)
+        .when(u % 10 == 1, F.lit(720) + (F.col("doc_id") * 37) % 720)
+        .otherwise((F.col("doc_id") * 37) % 1440)
+    )
+    us = (F.lit(_CRAWL_BASE_EPOCH) + minute * F.lit(60)).cast(
+        "long"
+    ) * F.lit(1000000).cast("long")
+    caps = d.select(
+        F.concat(F.lit("doc://"), u.cast("string")).alias("url"),
+        us.alias("us"),
+        "doc_id",
+    )
+    out = snapshot_delta(caps, CRAWL_T1_US, CRAWL_T2_US)
+    return out.select(
+        "url",
+        "status",
+        F.col("old_id").cast("long").alias("old_id"),
+        F.col("new_id").cast("long").alias("new_id"),
+    )
+
+
+SQL_CRAWL_DELTA = f"""
+WITH c AS (
+  SELECT 'doc://' || CAST(doc_id % 97 AS VARCHAR) AS url,
+         CAST(({_CRAWL_BASE_EPOCH} + (CASE
+             WHEN (doc_id % 97) % 10 = 0 THEN (doc_id * 37) % 720
+             WHEN (doc_id % 97) % 10 = 1 THEN 720 + (doc_id * 37) % 720
+             ELSE (doc_id * 37) % 1440 END) * 60) AS BIGINT) * 1000000 AS us,
+         doc_id
+  FROM documents),
+m1 AS (SELECT url, MAX(us) AS ts1 FROM c WHERE us <= {CRAWL_T1_US} GROUP BY url),
+r1 AS (
+  SELECT m1.url, m1.ts1, MAX(c.doc_id) AS id1
+  FROM m1 JOIN c ON c.url = m1.url AND c.us = m1.ts1 GROUP BY m1.url, m1.ts1),
+m2 AS (SELECT url, MAX(us) AS ts2 FROM c WHERE us <= {CRAWL_T2_US} GROUP BY url),
+r2 AS (
+  SELECT m2.url, m2.ts2, MAX(c.doc_id) AS id2
+  FROM m2 JOIN c ON c.url = m2.url AND c.us = m2.ts2 GROUP BY m2.url, m2.ts2)
+SELECT r2.url,
+       CASE WHEN r1.url IS NULL THEN 'added'
+            WHEN r1.ts1 = r2.ts2 AND r1.id1 = r2.id2 THEN 'unchanged'
+            ELSE 'updated' END AS status,
+       CAST(COALESCE(r1.id1, -1) AS BIGINT) AS old_id,
+       CAST(r2.id2 AS BIGINT) AS new_id
+FROM r2 LEFT JOIN r1 ON r1.url = r2.url
+"""
+
+QUERIES.update({"crawl_delta": q_crawl_delta})
+ORACLES.update({"crawl_delta": SQL_CRAWL_DELTA})

@@ -213,3 +213,48 @@ def test_event_funnel_strictly_after_and_earliest_anchor(spark):
     got = {r.stage: r.n_users for r in
            event_funnel(df, ["view", "click", "purchase"]).collect()}
     assert got == {"view": 4, "view > click": 2, "view > click > purchase": 1}
+
+
+# ---------------------------------------------------------------------------
+# slab-bucketed interval containment join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_point_join_boundaries_and_single_match(spark):
+    """Inclusive on both ends; a point inside an interval straddling
+    many slabs matches exactly ONCE; key scoping respected."""
+    from ophois_spark.operators.temporal import interval_point_join
+
+    slab = 10
+    iv = spark.createDataFrame(
+        [(1, 100, 5, 35), (1, 200, 50, 52), (2, 300, 0, 1000)],
+        "k long, span_id long, s_us long, e_us long",
+    )
+    pt = spark.createDataFrame(
+        [(1, 7, 5), (1, 8, 35), (1, 9, 36), (1, 10, 20), (2, 11, 20), (1, 12, 51)],
+        "k long, pid long, t_us long",
+    )
+    got = {
+        (r.span_id, r.pid)
+        for r in interval_point_join(iv, pt, "k", slab).collect()
+    }
+    # 100:[5,35] gets t=5 (start inclusive), t=35 (end inclusive),
+    # t=20 (mid, interval spans slabs 0..3) -- each exactly once;
+    # t=36 excluded; 300 only sees key-2 points
+    assert got == {(100, 7), (100, 8), (100, 10), (200, 12), (300, 11)}
+    # exactly-once: collect with duplicates preserved
+    rows = interval_point_join(iv, pt, "k", slab).collect()
+    assert len(rows) == len(got)
+
+
+def test_interval_point_join_plan_is_hash_equi_join(spark):
+    """The containment join must plan as a hash/sort-merge equi-join on
+    (key, slab) -- never a broadcast nested loop or cartesian product
+    (what a naive range join degenerates to)."""
+    from ophois_spark.operators.temporal import interval_point_join
+
+    iv = spark.createDataFrame([(1, 1, 0, 100)], "k long, span_id long, s_us long, e_us long")
+    pt = spark.createDataFrame([(1, 2, 50)], "k long, pid long, t_us long")
+    plan = interval_point_join(iv, pt, "k", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
