@@ -64,12 +64,15 @@ def rdp_simplify(
     oracle's worst-case-bounded unroll relies on.
     """
     eps2 = int(eps) * int(eps)
+    # pts feeds FOUR branches (endpoint bounds, kept endpoints, and the
+    # two endpoint-coordinate lookups) — truncate once so the caller's
+    # input lineage isn't replayed per branch
     pts = points.select(
         F.col("way_id").cast("long").alias("way_id"),
         F.col("seq").cast("long").alias("seq"),
         F.col("x").cast("long").alias("x"),
         F.col("y").cast("long").alias("y"),
-    )
+    ).localCheckpoint(eager=False)
     ends = pts.groupBy("way_id").agg(
         F.min("seq").alias("lo"), F.max("seq").alias("hi")
     )

@@ -116,7 +116,12 @@ def cell_density_smooth(counts: DataFrame, res: int, k: int = 1) -> DataFrame:
     empty-cell smoothing would materialize the whole grid.
     """
     from ophois_spark.kernels.cells import RES_BITS, X_BITS
+    from ophois_spark.plans.cache import swap_cached
 
+    # counts feeds two branches (the neighbor explode and the final
+    # populated-cells join) — cache it once so the upstream point
+    # aggregation isn't recomputed per branch
+    counts = swap_cached("density_smooth.counts", counts)
     n = 1 << res
     offs = [(dx, dy) for dy in range(-k, k + 1) for dx in range(-k, k + 1)]
     arr = F.array(

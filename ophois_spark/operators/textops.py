@@ -627,10 +627,19 @@ def line_dedup(
     the cleaned text is byte-reproducible, so the gate compares it
     EXACTLY.
     """
-    lines = docs.select(
-        "doc_id",
-        F.col(source_col).alias("source"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    from ophois_spark.plans.cache import swap_cached
+
+    # the exploded line relation feeds THREE branches (df count, kept
+    # join, per-doc line count) — cache it once or the explode re-runs
+    # per branch (the shared-lineage rule every multi-branch operator
+    # here follows)
+    lines = swap_cached(
+        "line_dedup.lines",
+        docs.select(
+            "doc_id",
+            F.col(source_col).alias("source"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+        ),
     )
     ldf = lines.groupBy("source", "line").agg(
         F.countDistinct("doc_id").alias("ldf")
