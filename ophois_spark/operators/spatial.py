@@ -33,7 +33,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ophois_spark.functions import cell_expr, cell_from_xy, grid_coords, haversine_m
+from ophois_spark.functions import (
+    cell_expr,
+    cell_from_xy,
+    cell_parent_expr,
+    grid_coords,
+    haversine_m,
+)
 from ophois_spark.kernels.geo import EARTH_RADIUS_M
 
 M_PER_DEG = EARTH_RADIUS_M * math.pi / 180.0
@@ -151,6 +157,53 @@ def cell_density_smooth(counts: DataFrame, res: int, k: int = 1) -> DataFrame:
     return counts.join(smooth, "cell").select(
         "cell", F.col("n").alias("n_pts"), F.col("n_smooth")
     )
+
+
+def cell_compact(cells: DataFrame, res: int, min_res: int) -> DataFrame:
+    """Hierarchical cell-set compaction (H3 ``compact``) → (cell): the
+    minimal mixed-resolution cell set covering EXACTLY the input set —
+    wherever all four children of a parent are present they collapse
+    into the parent, recursively, from ``res`` up to ``min_res``. The
+    standard trick for shipping a dense coverage (a city's lit cells, a
+    polygon cover) in orders of magnitude fewer rows; partition pruning
+    on a compacted cover tests parent prefixes instead of enumerating
+    leaves.
+
+    One round per level — a FIXED unroll of ``res - min_res`` rounds
+    (never data-dependent, so the SQL oracle replays the identical
+    rounds with no measured pinning): group the current level's cells
+    by parent, parents with all 4 children present emit themselves into
+    the next level, incomplete groups emit their children into the
+    output. Input must be distinct cells all at ``res``; each round is
+    one map-side-combinable count plus one broadcast-scale join back.
+
+    Scale shape at 10^12 leaf cells: level k has ≤ |level k-1|/4 rows,
+    so total work is a geometric series in the leaf count; grouping
+    keys (parents) are as granular as the data, no hot key possible
+    (a parent has ≤ 4 children by construction).
+    """
+    from functools import reduce
+
+    out_parts = []
+    # cur feeds two branches per round (the completeness count and the
+    # incomplete-children anti-join) — truncate per level
+    cur = cells.select("cell").distinct().localCheckpoint(eager=False)
+    for r in range(res, min_res, -1):
+        parent = cell_parent_expr(F.col("cell"), r).alias("parent")
+        grp = cur.select("cell", parent).groupBy("parent").agg(
+            F.count(F.lit(1)).alias("n_children")
+        )
+        full = grp.filter(F.col("n_children") == 4).select("parent")
+        out_parts.append(
+            cur.select("cell", parent)
+            .join(full, "parent", "left_anti")
+            .select("cell")
+        )
+        cur = full.select(F.col("parent").alias("cell")).localCheckpoint(
+            eager=False
+        )
+    out_parts.append(cur)
+    return reduce(DataFrame.unionByName, out_parts)
 
 
 # ---------------------------------------------------------------------------

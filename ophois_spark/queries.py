@@ -4416,3 +4416,61 @@ FROM r2 LEFT JOIN r1 ON r1.url = r2.url
 
 QUERIES.update({"crawl_delta": q_crawl_delta})
 ORACLES.update({"crawl_delta": SQL_CRAWL_DELTA})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: hierarchical cell compaction
+# ---------------------------------------------------------------------------
+
+COMPACT_MIN_RES = 14
+
+
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style compact of the node coverage: the distinct res-18 cell
+    set collapses complete 4-sibling groups into parents recursively
+    down to res 14 -> (cell). Fixed res-span unroll (never data-
+    dependent), so the oracle replays the identical rounds with no
+    measured pinning (see operators/spatial.py cell_compact)."""
+    from ophois_spark.operators.spatial import cell_compact, with_cells
+
+    cells = with_cells(derived_nodes(spark, sf_dir), CELL_RES).select("cell")
+    return cell_compact(cells, CELL_RES, COMPACT_MIN_RES).select(
+        F.col("cell").cast("long").alias("cell")
+    )
+
+
+def _cell_compact_sql() -> str:
+    rs = 1 << 58
+    xs = 1 << 29
+    parts = [
+        f"nodes AS ({_NODES_SQL})",
+        f"""l{CELL_RES} AS MATERIALIZED (
+  SELECT DISTINCT {_cell_sql("lon_d", "lat_d", CELL_RES)} AS cell FROM nodes)""",
+    ]
+    finals = []
+    for r in range(CELL_RES, COMPACT_MIN_RES, -1):
+        parts.append(f"""g{r} AS (
+  SELECT CAST({r - 1} AS BIGINT) * {rs}
+         + (((cell % {rs}) // {xs}) // 2) * {xs}
+         + ((cell % {xs}) // 2) AS parent,
+         cell
+  FROM l{r})""")
+        parts.append(
+            f"f{r} AS MATERIALIZED "
+            f"(SELECT parent FROM g{r} GROUP BY parent HAVING COUNT(*) = 4)"
+        )
+        parts.append(f"""o{r} AS (
+  SELECT g.cell FROM g{r} g LEFT JOIN f{r} f ON f.parent = g.parent
+  WHERE f.parent IS NULL)""")
+        parts.append(
+            f"l{r - 1} AS MATERIALIZED (SELECT parent AS cell FROM f{r})"
+        )
+        finals.append(f"SELECT cell FROM o{r}")
+    finals.append(f"SELECT cell FROM l{COMPACT_MIN_RES}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(finals)
+
+
+SQL_CELL_COMPACT = _cell_compact_sql()
+
+QUERIES.update({"cell_compact": q_cell_compact})
+ORACLES.update({"cell_compact": SQL_CELL_COMPACT})

@@ -355,3 +355,28 @@ def test_cell_density_smooth_matches_kring_kernel(spark):
         for c, n in counts.items()
     }
     assert got == want
+
+
+def test_cell_compact_roundtrip_and_minimality(spark):
+    """Compacting a complete 4x4 res-3 block yields ONE res-1 cell;
+    adding a lone extra cell keeps it at leaf res; expanding every
+    output cell back to res 3 reproduces the input set exactly."""
+    from ophois_spark.kernels.cells import RES_BITS, X_BITS
+    from ophois_spark.operators.spatial import cell_compact
+
+    enc = lambda res, ix, iy: (res << RES_BITS) | (ix << X_BITS) | iy
+    block = [enc(3, ix, iy) for ix in range(4, 8) for iy in range(0, 4)]
+    lone = enc(3, 0, 7)
+    df = spark.createDataFrame([(c,) for c in block + [lone]], "cell long")
+    got = {r.cell for r in cell_compact(df, 3, 1).collect()}
+    # the 4x4 block is exactly one res-1 cell (ix 2..3 -> 1, iy 0..1 -> 0)
+    assert got == {enc(1, 1, 0), lone}
+    # expand back: every res-r output cell covers 4^(3-r) leaves
+    leaves = set()
+    for c in got:
+        r, ix, iy = c >> RES_BITS, (c >> X_BITS) & ((1 << X_BITS) - 1), c & ((1 << X_BITS) - 1)
+        d = 3 - r
+        for dx in range(1 << d):
+            for dy in range(1 << d):
+                leaves.add(enc(3, (ix << d) + dx, (iy << d) + dy))
+    assert leaves == set(block + [lone])
