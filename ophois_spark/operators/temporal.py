@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "sessionize", "sessionize_naive"]
 
 
 def asof_join(
@@ -204,4 +204,135 @@ def interval_point_join(
             (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
         )
         .drop("_slab")
+    )
+
+
+def sessionize_naive(
+    events: DataFrame,
+    gap_us: int,
+    key: str = "user_id",
+    ts: str = "t_us",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Textbook gap sessionization — ONE window over the key's entire
+    history. Semantics reference and A/B baseline for ``sessionize``;
+    the single ``Window.partitionBy(key)`` is the same trap
+    ``pack_sequences`` documents: every event of a hot key (a bot, a
+    scraper, a monitoring account — the Common-Crawl-log norm) lands
+    in ONE task for the sort + running sum. Correct at any scale where
+    no key dominates; the slabbed ``sessionize`` is the 100 TB form.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts, tie)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st = (
+        F.col("_pt").isNull() | (F.col(ts) - F.col("_pt") > F.lit(gap_us))
+    ).cast("long")
+    return (
+        events.withColumn("_pt", F.lag(ts).over(w))
+        .withColumn("_sid", F.sum(st).over(wc) - F.lit(1))
+        .groupBy(F.col(key), F.col("_sid").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts).alias("start_us"),
+            F.max(ts).alias("end_us"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_us: int,
+    slab_us: int,
+    key: str = "user_id",
+    ts: str = "t_us",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization → (key, session_id, n_events,
+    start_us, end_us): a session is a maximal run of a key's events
+    where consecutive gaps are ≤ ``gap_us`` (strictly greater starts a
+    new one); ``session_id`` is 0-based in time order per key.
+
+    Same output as ``sessionize_naive`` (pinned in
+    tests/test_temporal.py) but the per-event ordered scan is
+    decomposed into a TWO-LEVEL prefix sum so no key ever serializes
+    onto one task:
+
+    1. events bucket onto fixed time slabs ``t div slab_us``; the
+       ordered work runs per (key, slab) — a hot key's day shards
+       across slabs BY CONSTRUCTION, the bound is events-per-slab,
+       never events-per-key;
+    2. per-(key, slab) summaries (first/last timestamp, inner session
+       starts) are ~|keys × active slabs| rows — the window over THEM
+       is bounded by the time range, independent of event volume;
+    3. the slab summary hands each slab its carry-in (previous slab's
+       last event time, session starts before the slab), and a second
+       (key, slab) window adds the local running start count.
+
+    Both event-side windows and the summary join share the (key, slab)
+    hash partitioning — one event-side Exchange total. All arithmetic
+    is int64 microseconds (gap boundary exact cross-engine; equal-ts
+    events ordered by ``tie``; the gap itself compares ``ts`` only).
+    ``slab_us`` must be ≥ 1; pick it ~10-100× ``gap_us`` so slab
+    summaries stay tiny while hot keys still shard.
+    """
+    from pyspark.sql import Window
+
+    e = events.select(
+        F.col(key).alias("_k"),
+        F.col(ts).cast("long").alias("_t"),
+        F.col(tie).cast("long").alias("_i"),
+    ).withColumn("_slab", F.expr(f"_t div {int(slab_us)}"))
+
+    w_loc = Window.partitionBy("_k", "_slab").orderBy("_t", "_i")
+    gap_gt = lambda prev: (F.col("_t") - prev > F.lit(int(gap_us)))  # noqa: E731
+    loc = e.withColumn("_pt", F.lag("_t").over(w_loc)).withColumn(
+        "_inner_st",
+        F.when(F.col("_pt").isNull(), F.lit(0))
+        .otherwise(gap_gt(F.col("_pt")).cast("long")),
+    )
+
+    summ = loc.groupBy("_k", "_slab").agg(
+        F.min("_t").alias("_first_t"),
+        F.max("_t").alias("_last_t"),
+        F.sum("_inner_st").alias("_inner_starts"),
+    )
+    w_slab = Window.partitionBy("_k").orderBy("_slab")
+    w_slab_prev = w_slab.rowsBetween(Window.unboundedPreceding, -1)
+    summ2 = (
+        summ.withColumn("_prev_last", F.lag("_last_t").over(w_slab))
+        .withColumn(
+            "_first_st",
+            (
+                F.col("_prev_last").isNull()
+                | (F.col("_first_t") - F.col("_prev_last") > F.lit(int(gap_us)))
+            ).cast("long"),
+        )
+        .withColumn(
+            "_starts_before",
+            F.coalesce(
+                F.sum(F.col("_inner_starts") + F.col("_first_st")).over(w_slab_prev),
+                F.lit(0),
+            ),
+        )
+        .select("_k", "_slab", "_first_st", "_starts_before")
+    )
+
+    w_loc_c = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    st = F.when(F.col("_pt").isNull(), F.col("_first_st")).otherwise(
+        gap_gt(F.col("_pt")).cast("long")
+    )
+    sid = (F.col("_starts_before") + F.sum(st).over(w_loc_c) - F.lit(1)).alias(
+        "session_id"
+    )
+    return (
+        loc.join(summ2, ["_k", "_slab"])
+        .select("_k", "_t", sid)
+        .groupBy(F.col("_k").alias(key), "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_t").alias("start_us"),
+            F.max("_t").alias("end_us"),
+        )
     )

@@ -4474,3 +4474,63 @@ SQL_CELL_COMPACT = _cell_compact_sql()
 
 QUERIES.update({"cell_compact": q_cell_compact})
 ORACLES.update({"cell_compact": SQL_CELL_COMPACT})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: gap sessionization (two-level prefix sum)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 43200 * 1000000  # 12 h
+SESSION_SLAB_US = 172800 * 1000000  # 48 h slabs: hot keys shard across slabs
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event log -> one row per
+    (user, session): id in time order, event count, span. The ordered
+    per-user scan is decomposed into a TWO-LEVEL prefix sum over fixed
+    time slabs so a bot user cannot serialize onto one task — the
+    pack_sequences trap closed for window-lag sessionization (see
+    operators/temporal.py sessionize; engine == naive single-window
+    twin pinned in tests/test_temporal.py)."""
+    from ophois_spark.operators.temporal import sessionize
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "event_id",
+    )
+    out = sessionize(e, SESSION_GAP_US, SESSION_SLAB_US)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("start_us").cast("long").alias("start_us"),
+        F.col("end_us").cast("long").alias("end_us"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+g AS (
+  SELECT user_id, t, event_id,
+         lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+  FROM e),
+s AS (
+  SELECT user_id, t,
+         CASE WHEN pt IS NULL OR t - pt > {SESSION_GAP_US} THEN 1 ELSE 0 END AS st,
+         event_id
+  FROM g),
+c AS (
+  SELECT user_id, t,
+         SUM(st) OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM s)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(t) AS start_us, MAX(t) AS end_us
+FROM c GROUP BY user_id, sid
+"""
+
+QUERIES.update({"sessionize": q_sessionize})
+ORACLES.update({"sessionize": SQL_SESSIONIZE})

@@ -258,3 +258,66 @@ def test_interval_point_join_plan_is_hash_equi_join(spark):
     plan = interval_point_join(iv, pt, "k", 10)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# -- sessionize: two-level prefix sum == naive single window ---------------
+
+
+def _sess_sorted(df):
+    return sorted(
+        (r.user_id if hasattr(r, "user_id") else r.k, r.session_id, r.n_events,
+         r.start_us, r.end_us)
+        for r in df.collect()
+    )
+
+
+def test_sessionize_matches_naive_on_boundary_cases(spark):
+    from ophois_spark.operators.temporal import sessionize, sessionize_naive
+
+    GAP, SLAB = 100, 1000
+    rows = []
+    # user 1: gap EXACTLY == GAP stays in-session; GAP+1 starts a new one
+    rows += [(1, 0, 1), (1, 100, 2), (1, 201, 3)]
+    # user 2: one session spanning three empty slabs (carry must hop them)
+    rows += [(2, 950, 4), (2, 1000 + 3 * 1000, 5)]  # gap 3050 > GAP: 2 sessions
+    rows += [(2, 4060, 6)]  # 60 after previous: same session, next slab
+    # user 3: single event
+    rows += [(3, 7777, 7)]
+    # user 4: equal timestamps, tie order only
+    rows += [(4, 500, 9), (4, 500, 8), (4, 500, 10)]
+    # user 5: hot key — 400 events alternating tiny/huge gaps across slabs
+    t = 0
+    for i in range(400):
+        t += 60 if i % 7 else 900
+        rows.append((5, t, 100 + i))
+    e = spark.createDataFrame(rows, "user_id long, t_us long, event_id long")
+    got = _sess_sorted(sessionize(e, GAP, SLAB))
+    want = _sess_sorted(sessionize_naive(e, GAP))
+    assert got == want
+    # exact pinned expectations for the crafted users
+    by_user = {}
+    for u, sid, n, s, x in got:
+        by_user.setdefault(u, []).append((sid, n, s, x))
+    assert by_user[1] == [(0, 2, 0, 100), (1, 1, 201, 201)]
+    assert by_user[2] == [(0, 1, 950, 950), (1, 2, 4000, 4060)]
+    assert by_user[3] == [(0, 1, 7777, 7777)]
+    assert by_user[4] == [(0, 3, 500, 500)]
+
+
+def test_sessionize_slab_size_invariance(spark):
+    from ophois_spark.operators.temporal import sessionize
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for u in range(6):
+        t = rng.randrange(1000)
+        for i in range(120):
+            t += rng.choice([5, 40, 99, 100, 101, 5000])
+            rows.append((u, t, u * 1000 + i))
+    e = spark.createDataFrame(rows, "user_id long, t_us long, event_id long")
+    outs = [
+        _sess_sorted(sessionize(e, 100, slab)) for slab in (1, 97, 1000, 10**9)
+    ]
+    assert outs[0] == outs[1] == outs[2] == outs[3]
