@@ -343,3 +343,45 @@ def host_rollup(pages: DataFrame, edges: DataFrame, url_col: str = "url") -> Dat
             F.coalesce("n_dst_hosts", F.lit(0)).alias("n_dst_hosts"),
         )
     )
+
+
+def resolve_redirects(edges: DataFrame, max_depth: int) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING → (src, final,
+    hops): for every redirecting URL, the terminal target it reaches
+    and the number of hops. ``edges`` is the functional relation
+    (src, dst) — at most one redirect per src (a crawler's 3xx map);
+    a URL with no out-edge is terminal.
+
+    ``max_depth`` is the crawl policy's redirect cap (real crawlers
+    stop at 5-10 and mark deeper chains dead) — it bounds the chain
+    length BY CONTRACT, so the loop is a FIXED ceil(log2(max_depth))
+    unroll, never data-dependent, and an oracle replays the identical
+    rounds. Round k rewrites every pointer to where 2^k steps land:
+    one hash equi-join of the mapping against itself (``b.src =
+    a.dst``), composing hop counts additively; once a pointer reaches
+    a terminal no row matches and it rides unchanged.
+
+    Scale shape at 10^11 URLs: log2(depth) self-joins of a relation
+    that never grows a row (each round only rewrites columns) — vs the
+    naive iterate-one-hop loop's max_depth joins. Heavy fan-in (spam
+    rings funneling into one landing page) is build-side key skew on
+    the equi-join: AQE skew-split territory, no fan-OUT anywhere since
+    the relation is functional. Input must be acyclic within
+    max_depth (a cycle is a dead chain a crawler drops upstream);
+    cycle members converge to a node inside the cycle with saturated
+    hops, they never diverge or duplicate.
+    """
+    f = edges.select("src", "dst", F.lit(1).cast("long").alias("hops"))
+    rounds = max(1, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        nxt = f.select(
+            F.col("src").alias("_s2"),
+            F.col("dst").alias("_d2"),
+            F.col("hops").alias("_h2"),
+        )
+        f = f.join(nxt, F.col("dst") == F.col("_s2"), "left").select(
+            "src",
+            F.coalesce("_d2", "dst").alias("dst"),
+            (F.col("hops") + F.coalesce("_h2", F.lit(0))).alias("hops"),
+        )
+    return f.select("src", F.col("dst").alias("final"), "hops")

@@ -4534,3 +4534,62 @@ FROM c GROUP BY user_id, sid
 
 QUERIES.update({"sessionize": q_sessionize})
 ORACLES.update({"sessionize": SQL_SESSIONIZE})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: redirect-chain resolution (pointer doubling)
+# ---------------------------------------------------------------------------
+
+REDIRECT_MAX_DEPTH = 16  # crawl-policy cap; chains are <= 15 by construction
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization leg 2: resolve every redirecting URL to its
+    terminal target through the 3xx map — pointer doubling, a FIXED
+    ceil(log2(depth-cap)) unroll of self equi-joins (the oracle replays
+    the identical rounds; see operators/webgraph.py resolve_redirects).
+    Overlay: urls in blocks of 16, position p > 0 redirects back by
+    min(p, 1 + u%3) — variable-step chains, depth up to 15, terminal at
+    each block start."""
+    from ophois_spark.operators.webgraph import resolve_redirects
+
+    d = load(spark, sf_dir, "documents")
+    edges = d.filter(F.col("doc_id") % 16 != 0).select(
+        F.col("doc_id").alias("src"),
+        (
+            F.col("doc_id")
+            - F.least(F.col("doc_id") % 16, F.lit(1) + F.col("doc_id") % 3)
+        ).cast("long").alias("dst"),
+    )
+    out = resolve_redirects(edges, REDIRECT_MAX_DEPTH)
+    return out.select(
+        F.col("src").cast("long").alias("url"),
+        F.col("final").cast("long").alias("final_url"),
+        F.col("hops").cast("long").alias("hops"),
+    )
+
+
+def _redirect_sql() -> str:
+    rounds = max(1, (REDIRECT_MAX_DEPTH - 1).bit_length())
+    parts = [
+        """e AS (
+  SELECT doc_id AS src,
+         doc_id - LEAST(doc_id % 16, 1 + doc_id % 3) AS dst
+  FROM documents WHERE doc_id % 16 <> 0)""",
+        "r0 AS (SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM e)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""r{k} AS MATERIALIZED (
+  SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+         a.hops + COALESCE(b.hops, 0) AS hops
+  FROM r{k - 1} a LEFT JOIN r{k - 1} b ON b.src = a.dst)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT src AS url, dst AS final_url, hops FROM r{rounds}"
+    )
+
+
+SQL_REDIRECT_RESOLVE = _redirect_sql()
+
+QUERIES.update({"redirect_resolve": q_redirect_resolve})
+ORACLES.update({"redirect_resolve": SQL_REDIRECT_RESOLVE})

@@ -292,3 +292,46 @@ def test_kcore_unroll_bound_has_margin(spark):
     ).distinct()
     _, rounds_by_k = coreness(nodes, und, KCORE_KMAX)
     assert max(rounds_by_k.values()) + 2 <= KCORE_UNROLL, rounds_by_k
+
+
+# -- resolve_redirects: pointer doubling == sequential chain walk ----------
+
+
+def test_resolve_redirects_matches_walk_and_handles_fan_in(spark):
+    from ophois_spark.operators.webgraph import resolve_redirects
+
+    nxt = {}
+    # chain of maximal depth 15: 115 -> 114 -> ... -> 101 -> 100 (terminal)
+    for u in range(101, 116):
+        nxt[u] = u - 1
+    # variable-step chain with shared suffix + heavy fan-in at 200
+    for u in range(300, 340):
+        nxt[u] = 200
+    nxt[200] = 7  # 7 terminal
+    nxt[55] = 56
+    nxt[56] = 57  # short chain to terminal 57
+    edges = spark.createDataFrame(list(nxt.items()), "src long, dst long")
+    got = {r.src: (r.final, r.hops) for r in resolve_redirects(edges, 16).collect()}
+    assert len(got) == len(nxt)  # one output row per redirecting url
+    for s in nxt:
+        f, h = s, 0
+        while f in nxt:
+            f, h = nxt[f], h + 1
+        assert got[s] == (f, h), s
+
+
+def test_resolve_redirects_cycle_stays_bounded(spark):
+    from ophois_spark.operators.webgraph import resolve_redirects
+
+    # 3-cycle: contract is acyclic input, but cycles must neither
+    # diverge nor duplicate rows — each member resolves to SOME cycle
+    # node with saturated hop count, deterministically
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (9, 1)], "src long, dst long"
+    )
+    out = resolve_redirects(edges, 16).collect()
+    assert len(out) == 4
+    a = {r.src: (r.final, r.hops) for r in out}
+    assert a[1][0] in (1, 2, 3) and a[9][0] in (1, 2, 3)
+    b = {r.src: (r.final, r.hops) for r in resolve_redirects(edges, 16).collect()}
+    assert a == b
