@@ -342,3 +342,94 @@ def data_card(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def mixture_plan(
+    docs: DataFrame, weights: DataFrame, budget: int | None = None
+) -> DataFrame:
+    """Training-mixture planning: per-source token acceptance rates
+    that reshape the corpus toward a target weight mix under a total
+    token budget → (source, weight, available_tokens, target_tokens,
+    planned_tokens, rate_ppm), all int64.
+
+    ``weights`` is a (source, weight) dimension table — the mixture
+    spec a pretraining run ships (weights are relative integers, e.g.
+    parts-per-anything; only ratios matter). ``budget`` is the total
+    token target; ``None`` plans at constant volume (budget = total
+    available tokens over the weighted sources).
+
+    Two-pass integer waterfill, exact and order-free:
+
+    - pass 1: ``target = budget * w div sum_w``; allocation capped at
+      availability (a source cannot supply tokens it does not have);
+    - pass 2: the leftover budget stranded by capped sources is
+      redistributed across sources with headroom, proportional to the
+      same weights, again capped. ``rate_ppm = planned * 1e6 div
+      available`` is the per-source Bernoulli acceptance rate a
+      downstream deterministic sampler (``corpus_sample``) consumes.
+
+    Scale shape: ONE map-side-combinable token aggregation over the
+    corpus (the only full-data pass), then all planning arithmetic on
+    the |sources|-row dimension frame — the weights join and both
+    1-row total frames are broadcast, so nothing after the first agg
+    shuffles document-scale data. Integer div keeps every engine
+    bit-identical; int64 overflows only past ~9e12 planned tokens per
+    source (~36 TB of text in ONE source), noted here as the contract
+    bound.
+    """
+    avail = (
+        docs.select("source", n_tokens_col(F.col("text")).alias("_t"))
+        .groupBy("source")
+        .agg(F.sum("_t").cast("long").alias("available_tokens"))
+    )
+    d = avail.join(F.broadcast(weights), "source")
+    tot = d.agg(
+        F.sum("available_tokens").cast("long").alias("_tot_avail"),
+        F.sum("weight").cast("long").alias("_sum_w"),
+    )
+    d = d.crossJoin(F.broadcast(tot)).withColumn(
+        "_budget",
+        F.lit(budget).cast("long") if budget is not None else F.col("_tot_avail"),
+    )
+    d = d.withColumn(
+        "target_tokens", F.expr("_budget * weight div _sum_w").cast("long")
+    ).withColumn("_a1", F.least("target_tokens", "available_tokens"))
+    tot2 = d.agg(
+        F.sum("_a1").cast("long").alias("_a1_sum"),
+        F.sum(
+            F.when(F.col("available_tokens") > F.col("_a1"), F.col("weight")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("_sum_w2"),
+    )
+    d = (
+        d.crossJoin(F.broadcast(tot2))
+        .withColumn("_leftover", F.col("_budget") - F.col("_a1_sum"))
+        .withColumn(
+            "_extra",
+            F.when(
+                (F.col("available_tokens") > F.col("_a1")) & (F.col("_sum_w2") > 0),
+                F.expr("_leftover * weight div _sum_w2"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "planned_tokens",
+            F.least(F.col("available_tokens"), F.col("_a1") + F.col("_extra")),
+        )
+    )
+    return d.select(
+        "source",
+        F.col("weight").cast("long").alias("weight"),
+        "available_tokens",
+        "target_tokens",
+        F.col("planned_tokens").cast("long").alias("planned_tokens"),
+        F.when(
+            F.col("available_tokens") > 0,
+            F.expr("planned_tokens * 1000000 div available_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rate_ppm"),
+    )

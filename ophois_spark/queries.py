@@ -4593,3 +4593,87 @@ SQL_REDIRECT_RESOLVE = _redirect_sql()
 
 QUERIES.update({"redirect_resolve": q_redirect_resolve})
 ORACLES.update({"redirect_resolve": SQL_REDIRECT_RESOLVE})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: training-mixture planning (integer waterfill)
+# ---------------------------------------------------------------------------
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget acceptance rates toward a target mix —
+    operators/corpus.py mixture_plan (two-pass integer waterfill; the
+    oracle replays the identical CTE chain). Weights: the synthetic
+    sources are srcN, weight = N + 1 (a deliberately non-uniform mix so
+    high-weight sources cap at availability and pass 2 redistributes);
+    budget = total available tokens (constant-volume reshape)."""
+    from ophois_spark.operators.corpus import mixture_plan
+
+    d = load(spark, sf_dir, "documents")
+    w = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.coalesce(
+                    F.nullif(F.regexp_extract("source", r"(\d+)$", 1), F.lit("")),
+                    F.lit("0"),
+                ).cast("long")
+                + 1
+            ).alias("weight"),
+        )
+    )
+    return mixture_plan(d, w)
+
+
+SQL_MIXTURE_PLAN = r"""
+WITH tc AS (
+  SELECT source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS BIGINT) AS n_tokens
+  FROM documents),
+avail AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS available_tokens
+  FROM tc GROUP BY source),
+w AS (
+  SELECT source,
+         CAST(COALESCE(NULLIF(regexp_extract(source, '(\d+)$', 1), ''), '0') AS BIGINT) + 1 AS weight
+  FROM (SELECT DISTINCT source FROM documents)),
+d AS (
+  SELECT a.source, a.available_tokens, w.weight
+  FROM avail a JOIN w USING (source)),
+tot AS (
+  SELECT CAST(SUM(available_tokens) AS BIGINT) AS tot_avail,
+         CAST(SUM(weight) AS BIGINT) AS sum_w
+  FROM d),
+p1 AS (
+  SELECT d.source, d.available_tokens, d.weight,
+         tot.tot_avail AS budget,
+         (tot.tot_avail * d.weight) // tot.sum_w AS target_tokens
+  FROM d, tot),
+p1c AS (
+  SELECT *, LEAST(target_tokens, available_tokens) AS a1 FROM p1),
+tot2 AS (
+  SELECT CAST(SUM(a1) AS BIGINT) AS a1_sum,
+         CAST(SUM(CASE WHEN available_tokens > a1 THEN weight ELSE 0 END) AS BIGINT) AS sum_w2
+  FROM p1c),
+p2 AS (
+  SELECT p1c.*,
+         CASE WHEN available_tokens > a1 AND tot2.sum_w2 > 0
+              THEN ((p1c.budget - tot2.a1_sum) * weight) // tot2.sum_w2
+              ELSE 0 END AS extra
+  FROM p1c, tot2)
+SELECT source,
+       CAST(weight AS BIGINT) AS weight,
+       available_tokens,
+       CAST(target_tokens AS BIGINT) AS target_tokens,
+       CAST(LEAST(available_tokens, a1 + extra) AS BIGINT) AS planned_tokens,
+       CAST(CASE WHEN available_tokens > 0
+            THEN (LEAST(available_tokens, a1 + extra) * 1000000) // available_tokens
+            ELSE 0 END AS BIGINT) AS rate_ppm
+FROM p2
+"""
+
+QUERIES.update({"mixture_plan": q_mixture_plan})
+ORACLES.update({"mixture_plan": SQL_MIXTURE_PLAN})

@@ -95,3 +95,66 @@ def test_source_topn_equals_naive_window(spark):
     for _, s, _ in got:
         per_src[s] = per_src.get(s, 0) + 1
     assert per_src == {"commoncrawl": 7, "rare": 7}
+
+
+def test_mixture_plan_waterfill(spark):
+    """Hand-computed two-pass integer waterfill: capped sources strand
+    budget, pass 2 routes it to the one source with headroom, and the
+    weights join drops unweighted sources."""
+    from ophois_spark.operators.corpus import mixture_plan
+
+    def words(n):
+        return " ".join(["w"] * n)
+
+    docs = _docs(
+        spark,
+        [
+            (1, words(4), "a"),
+            (2, words(6), "a"),        # a: 10 tokens available
+            (3, words(100), "b"),      # b: 100
+            (4, words(400), "c"),      # c: 400
+            (5, words(50), "d"),       # d: no weight row -> excluded
+            (6, "", "a"),              # empty text counts 0 tokens
+        ],
+    )
+    weights = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 1)], "source string, weight long"
+    )
+    # budget 200, sum_w 4: targets a=50 b=100 c=50; a caps at 10,
+    # b exactly fills, leftover 200-160=40 all flows to c (headroom)
+    out = {
+        r.source: r
+        for r in mixture_plan(docs, weights, budget=200).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a.available_tokens, a.target_tokens, a.planned_tokens, a.rate_ppm) == (
+        10, 50, 10, 1_000_000,
+    )
+    assert (b.available_tokens, b.target_tokens, b.planned_tokens, b.rate_ppm) == (
+        100, 100, 100, 1_000_000,
+    )
+    assert (c.available_tokens, c.target_tokens, c.planned_tokens, c.rate_ppm) == (
+        400, 50, 90, 225_000,
+    )
+    # the waterfill consumes the whole budget when headroom allows
+    assert sum(r.planned_tokens for r in out.values()) == 200
+
+
+def test_mixture_plan_default_budget_is_constant_volume(spark):
+    """budget=None plans at constant volume: sum(planned) <= sum(avail)
+    with equality when some source has headroom after pass 2."""
+    from ophois_spark.operators.corpus import mixture_plan
+
+    docs = _docs(
+        spark,
+        [(1, " ".join(["x"] * 30), "a"), (2, " ".join(["y"] * 90), "b")],
+    )
+    weights = spark.createDataFrame(
+        [("a", 3), ("b", 1)], "source string, weight long"
+    )
+    # total 120, targets a=90 b=30; a caps at 30, leftover 60 -> b
+    # gets min(90, 30+60) = 90: constant volume exactly preserved
+    out = {r.source: r for r in mixture_plan(docs, weights).collect()}
+    assert out["a"].planned_tokens == 30
+    assert out["b"].planned_tokens == 90
