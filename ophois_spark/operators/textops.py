@@ -667,3 +667,59 @@ def line_dedup(
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+# --- PII scrubbing -----------------------------------------------------
+# Patterns are deliberately dialect-neutral: no alternation, no
+# backreferences, no \b — pure character classes + greedy quantifiers,
+# on which Java's leftmost-first backtracking and RE2's
+# leftmost-longest scan produce the SAME non-overlapping match set, so
+# Spark (Java regex) and the DuckDB oracle (RE2) count and replace
+# identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"[0-9]{1,3}(\.[0-9]{1,3}){3}"
+PII_PHONE_RE = r"\+[0-9][0-9-]{5,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the pass a webtext corpus runs before anything
+    ships: detect emails / IPv4 addresses / international-format phone
+    numbers, count them, and replace each with a typed mask token →
+    (doc_id, n_emails, n_ipv4, n_phones, n_pii, scrubbed_len,
+    scrubbed_md5).
+
+    The gate asserts the FULL redacted string (md5 + length), not just
+    counts, so replacement order is part of the contract: emails are
+    masked first (their digit runs could otherwise feed the phone
+    pattern), then IPs, then phones; counts are all taken on the
+    ORIGINAL text, independent of masking.
+
+    Scale shape: one whole-stage-codegen projection — three
+    regexp_count + three chained regexp_replace, zero shuffles, zero
+    Python. Columns prune to (doc_id, text) at the scan.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        scrubbed.alias("_s"),
+    ).select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        "n_phones",
+        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")).alias("n_pii"),
+        F.length("_s").cast("long").alias("scrubbed_len"),
+        F.md5(F.encode("_s", "UTF-8")).alias("scrubbed_md5"),
+    )

@@ -4677,3 +4677,98 @@ FROM p2
 
 QUERIES.update({"mixture_plan": q_mixture_plan})
 ORACLES.update({"mixture_plan": SQL_MIXTURE_PLAN})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: PII scrubbing (typed-mask redaction)
+# ---------------------------------------------------------------------------
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email / IPv4 / phone redaction with typed masks —
+    operators/textops.py pii_scrub (the gate asserts the full redacted
+    string via md5+length, not just counts). Overlay: the synthetic
+    corpus carries no '@' and no digits, so PII is injected
+    deterministically from doc_id (doc_id%4 selects 0/1/2 emails,
+    doc_id%3==0 one IP from doc_id-derived octets, doc_id%5==0 one
+    +1-555 phone) and the expected counts are exact."""
+    from ophois_spark.operators.textops import pii_scrub
+
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            i % 4 == 1,
+            F.concat(F.lit(" contact user"), s(i), F.lit("@example.com")),
+        )
+        .when(
+            i % 4 == 2,
+            F.concat(
+                F.lit(" contact a"), s(i), F.lit("@mail.org b"), s(i),
+                F.lit("@mail.org"),
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit(" ip "), s(i % 256), F.lit("."), s((i * 7) % 256),
+                F.lit("."), s((i * 13) % 256), F.lit("."), s(1 + i % 254),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(F.lit(" call +1-555-"), s(1000 + i % 9000)),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scrub(d.select("doc_id", aug.alias("text")))
+
+
+def _pii_sql() -> str:
+    from ophois_spark.operators.textops import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    return rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE doc_id % 4
+              WHEN 1 THEN ' contact user' || doc_id || '@example.com'
+              WHEN 2 THEN ' contact a' || doc_id || '@mail.org b' || doc_id || '@mail.org'
+              ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' ip ' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                      || '.' || ((doc_id * 13) % 256) || '.' || (1 + doc_id % 254)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1-555-' || (1000 + doc_id % 9000)
+                 ELSE '' END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+         CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IPV4_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g') AS s
+  FROM aug)
+SELECT doc_id, n_emails, n_ipv4, n_phones,
+       n_emails + n_ipv4 + n_phones AS n_pii,
+       CAST(len(s) AS BIGINT) AS scrubbed_len,
+       md5(s) AS scrubbed_md5
+FROM c
+"""
+
+
+SQL_PII_SCRUB = _pii_sql()
+
+QUERIES.update({"pii_scrub": q_pii_scrub})
+ORACLES.update({"pii_scrub": SQL_PII_SCRUB})
