@@ -336,3 +336,44 @@ def sessionize(
             F.max("_t").alias("end_us"),
         )
     )
+
+
+DAY_US = 86_400_000_000  # one day in epoch microseconds
+
+
+def retention_cohorts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Cohort retention matrix → (cohort_day, age_days, n_users): users
+    bucketed by their FIRST active day (epoch-day integer, no timezone
+    arithmetic anywhere), counted on each later active day offset.
+
+    Scale shape, in shuffle order:
+
+    - distinct (user, epoch_day): the ONLY pass over raw events, and
+      it collapses the per-user event fan-in (k events/user/day → 1
+      row) before anything else moves;
+    - first-day: map-side-combinable min per user over the collapsed
+      pairs;
+    - one hash equi-join back on user_id (both sides |users|-scale);
+    - final (cohort, age) count — plain count(*), NOT count distinct:
+      (user, day) is unique by construction, and (cohort_day,
+      age_days) pins the day, so a user contributes at most one row
+      per output cell. Map-side combinable.
+
+    Everything is int64 (epoch-day indices and counts) — bit-identical
+    across engines.
+    """
+    ud = events.select(
+        "user_id",
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}")
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_days")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select("cohort_day", F.col("age_days").cast("long").alias("age_days"), "n_users")
+    )

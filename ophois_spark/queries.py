@@ -4772,3 +4772,36 @@ SQL_PII_SCRUB = _pii_sql()
 
 QUERIES.update({"pii_scrub": q_pii_scrub})
 ORACLES.update({"pii_scrub": SQL_PII_SCRUB})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over events — operators/temporal.py
+    retention_cohorts: users keyed by first-active epoch day, counted
+    per (cohort_day, age_days). All-integer day arithmetic (epoch
+    micros div day), so no engine timezone/date semantics in play."""
+    from ophois_spark.operators.temporal import retention_cohorts
+
+    return retention_cohorts(load(spark, sf_dir, "events"))
+
+
+SQL_RETENTION_COHORTS = r"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+f AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT f.cohort_day,
+       CAST(ud.day - f.cohort_day AS BIGINT) AS age_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+QUERIES.update({"retention_cohorts": q_retention_cohorts})
+ORACLES.update({"retention_cohorts": SQL_RETENTION_COHORTS})

@@ -321,3 +321,34 @@ def test_sessionize_slab_size_invariance(spark):
         _sess_sorted(sessionize(e, 100, slab)) for slab in (1, 97, 1000, 10**9)
     ]
     assert outs[0] == outs[1] == outs[2] == outs[3]
+
+
+def test_retention_cohorts_hand_matrix(spark):
+    """Hand-built two-cohort matrix; duplicate same-day events must
+    not inflate counts."""
+    from datetime import datetime
+
+    from ophois_spark.operators.temporal import retention_cohorts
+
+    D = 19723  # epoch day of 2024-01-01
+    rows = [
+        # user 1: cohort day D, active D, D+1, D+1 (dup), D+3
+        (1, datetime(2024, 1, 1, 9)), (1, datetime(2024, 1, 2, 5)),
+        (1, datetime(2024, 1, 2, 23)), (1, datetime(2024, 1, 4, 1)),
+        # user 2: cohort day D, active D only (twice)
+        (2, datetime(2024, 1, 1, 0, 0, 1)), (2, datetime(2024, 1, 1, 12)),
+        # user 3: cohort day D+1, active D+1 and D+3
+        (3, datetime(2024, 1, 2, 8)), (3, datetime(2024, 1, 4, 8)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_day, r.age_days): r.n_users
+        for r in retention_cohorts(df).collect()
+    }
+    assert out == {
+        (D, 0): 2,      # users 1, 2 on their first day
+        (D, 1): 1,      # user 1 (dup same-day rows collapse)
+        (D, 3): 1,      # user 1
+        (D + 1, 0): 1,  # user 3
+        (D + 1, 2): 1,  # user 3
+    }
