@@ -4805,3 +4805,102 @@ GROUP BY 1, 2
 
 QUERIES.update({"retention_cohorts": q_retention_cohorts})
 ORACLES.update({"retention_cohorts": SQL_RETENTION_COHORTS})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: point-to-edge snapping (map-matching primitive)
+# ---------------------------------------------------------------------------
+
+SNAP_RADIUS_M = 25.0
+SNAP_GRID_DEG = 0.001
+SNAP_K = 2
+
+
+def q_trace_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS-point → nearest road-segment snapping (k=2, 25 m radius) —
+    operators/spatial.py snap_points_to_edges: dilated-bbox grid cover
+    makes the cell equi-join a SUPERSET of in-radius pairs, so the
+    result is exact and the oracle can brute-force the identical
+    planar point-to-segment formula. Overlay: short segments hang off
+    each customer node (±2e-4 deg jitter from c_custkey); GPS points
+    jitter ±20e-6 deg off order-addressed nodes (every 4th order)."""
+    from ophois_spark.operators.spatial import snap_points_to_edges
+
+    c = load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    alat = F.lit(45.0) + (ck % 200).cast("double") * F.lit(1e-4)
+    alon = F.lit(5.0) + ((ck * 7) % 200).cast("double") * F.lit(1e-4)
+    segments = c.select(
+        ck.cast("long").alias("edge_id"),
+        alat.alias("alat"),
+        alon.alias("alon"),
+        (alat + ((ck * 3) % 5 - 2).cast("double") * F.lit(1e-4)).alias("blat"),
+        (alon + ((ck * 11) % 5 - 2).cast("double") * F.lit(1e-4)).alias("blon"),
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    ok, oc = F.col("o_orderkey"), F.col("o_custkey")
+    points = o.select(
+        ok.cast("long").alias("qid"),
+        (
+            F.lit(45.0)
+            + (oc % 200).cast("double") * F.lit(1e-4)
+            + (ok % 21 - 10).cast("double") * F.lit(2e-6)
+        ).alias("lat_d"),
+        (
+            F.lit(5.0)
+            + ((oc * 7) % 200).cast("double") * F.lit(1e-4)
+            + ((ok * 3) % 21 - 10).cast("double") * F.lit(2e-6)
+        ).alias("lon_d"),
+    )
+    return snap_points_to_edges(
+        points, segments, radius_m=SNAP_RADIUS_M, grid_deg=SNAP_GRID_DEG, k=SNAP_K
+    )
+
+
+def _trace_snap_sql() -> str:
+    from ophois_spark.operators.spatial import M_PER_DEG
+
+    m = repr(M_PER_DEG)
+    return f"""
+WITH seg AS (
+  SELECT CAST(c_custkey AS BIGINT) AS edge_id,
+         45.0 + CAST(c_custkey % 200 AS DOUBLE) * 1e-4 AS alat,
+         5.0 + CAST((c_custkey * 7) % 200 AS DOUBLE) * 1e-4 AS alon,
+         (45.0 + CAST(c_custkey % 200 AS DOUBLE) * 1e-4)
+           + CAST((c_custkey * 3) % 5 - 2 AS DOUBLE) * 1e-4 AS blat,
+         (5.0 + CAST((c_custkey * 7) % 200 AS DOUBLE) * 1e-4)
+           + CAST((c_custkey * 11) % 5 - 2 AS DOUBLE) * 1e-4 AS blon
+  FROM customer),
+pts AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS qid,
+         45.0 + CAST(o_custkey % 200 AS DOUBLE) * 1e-4
+              + CAST(o_orderkey % 21 - 10 AS DOUBLE) * 2e-6 AS plat,
+         5.0 + CAST((o_custkey * 7) % 200 AS DOUBLE) * 1e-4
+             + CAST((o_orderkey * 3) % 21 - 10 AS DOUBLE) * 2e-6 AS plon
+  FROM orders WHERE o_orderkey % 4 = 0),
+e AS (
+  SELECT qid, edge_id,
+         (alon - plon) * cos(radians(plat)) * {m} AS ax,
+         (alat - plat) * {m} AS ay,
+         (blon - plon) * cos(radians(plat)) * {m} AS bxx,
+         (blat - plat) * {m} AS byy
+  FROM pts CROSS JOIN seg),
+f AS (SELECT qid, edge_id, ax, ay, bxx - ax AS dx, byy - ay AS dy FROM e),
+g AS (SELECT qid, edge_id, ax, ay, dx, dy,
+             dx * dx + dy * dy AS len2, -(ax * dx + ay * dy) AS dot FROM f),
+h AS (SELECT qid, edge_id, ax, ay, dx, dy,
+             CASE WHEN len2 > 0 THEN greatest(0.0, least(1.0, dot / len2))
+                  ELSE 0.0 END AS t FROM g),
+i AS (SELECT qid, edge_id, ax + t * dx AS cx, ay + t * dy AS cy FROM h),
+d AS (SELECT qid, edge_id, round(sqrt(cx * cx + cy * cy), 6) AS dist_m FROM i),
+r AS (SELECT qid, edge_id, dist_m,
+             row_number() OVER (PARTITION BY qid ORDER BY dist_m, edge_id) AS rank
+      FROM d WHERE dist_m <= {SNAP_RADIUS_M!r})
+SELECT qid, CAST(rank AS INT) AS rank, edge_id, dist_m FROM r WHERE rank <= {SNAP_K}
+"""
+
+
+SQL_TRACE_SNAP = _trace_snap_sql()
+
+QUERIES.update({"trace_snap": q_trace_snap})
+ORACLES.update({"trace_snap": SQL_TRACE_SNAP})

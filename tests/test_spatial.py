@@ -380,3 +380,97 @@ def test_cell_compact_roundtrip_and_minimality(spark):
             for dy in range(1 << d):
                 leaves.add(enc(3, (ix << d) + dx, (iy << d) + dy))
     assert leaves == set(block + [lone])
+
+
+def test_snap_points_to_edges_geometry(spark):
+    """Hand geometry: interior projection, endpoint clamp, zero-length
+    segment, and the radius cutoff."""
+    from ophois_spark.operators.spatial import M_PER_DEG, snap_points_to_edges
+
+    segments = spark.createDataFrame(
+        [
+            # horizontal segment along the equator, ~111 m long
+            (1, 0.0, 0.0, 0.0, 0.001),
+            # zero-length "segment" at (0.001, 0)
+            (2, 0.001, 0.0, 0.001, 0.0),
+        ],
+        "edge_id long, alat double, alon double, blat double, blon double",
+    )
+    points = spark.createDataFrame(
+        [
+            (10, 0.00001, 0.0005),   # above the middle of edge 1
+            (11, 0.0, 0.0015),       # past b end of edge 1: clamps
+            (12, 0.00102, 0.0),      # ~2.2 m above the point-edge 2
+            (13, 0.01, 0.01),        # > 1 km from everything: no row
+        ],
+        "qid long, lat_d double, lon_d double",
+    )
+    out = {
+        (r.qid, r.rank): (r.edge_id, r.dist_m)
+        for r in snap_points_to_edges(
+            points, segments, radius_m=60.0, grid_deg=0.0005, k=2
+        ).collect()
+    }
+    deg_m = M_PER_DEG  # ~111195 m per degree
+    assert out[(10, 1)][0] == 1
+    assert abs(out[(10, 1)][1] - 0.00001 * deg_m) < 1e-5      # interior foot
+    assert out[(11, 1)][0] == 1
+    assert abs(out[(11, 1)][1] - 0.0005 * deg_m) < 1e-5       # endpoint clamp
+    assert out[(12, 1)][0] == 2
+    assert abs(out[(12, 1)][1] - 0.00002 * deg_m) < 1e-5      # degenerate seg
+    assert (10, 2) not in out                  # edge 2 is ~123 m away: cut
+    assert not any(q == 13 for q, _ in out)    # outside radius entirely
+
+
+def test_snap_points_to_edges_matches_bruteforce(spark):
+    """Grid-cover candidates must reproduce the brute-force result
+    exactly (cover is a superset of in-radius pairs), across a grid
+    size that forces multi-cell segment covers."""
+    import math
+
+    from ophois_spark.operators.spatial import M_PER_DEG, snap_points_to_edges
+
+    segs = [
+        (i,
+         45.0 + (i % 7) * 1e-4,
+         5.0 + ((i * 3) % 7) * 1e-4,
+         45.0 + (i % 7) * 1e-4 + ((i % 3) - 1) * 2e-4,
+         5.0 + ((i * 3) % 7) * 1e-4 + ((i % 5) - 2) * 2e-4)
+        for i in range(40)
+    ]
+    pts = [
+        (100 + j,
+         45.0 + ((j * 5) % 9) * 1e-4 + (j % 4) * 3e-6,
+         5.0 + ((j * 2) % 9) * 1e-4 - (j % 3) * 3e-6)
+        for j in range(25)
+    ]
+    sdf = spark.createDataFrame(
+        segs, "edge_id long, alat double, alon double, blat double, blon double"
+    )
+    pdf = spark.createDataFrame(pts, "qid long, lat_d double, lon_d double")
+    got = sorted(
+        (r.qid, r.rank, r.edge_id, r.dist_m)
+        for r in snap_points_to_edges(
+            pdf, sdf, radius_m=30.0, grid_deg=0.0004, k=3
+        ).collect()
+    )
+
+    def seg_dist(p, s):
+        _, plat, plon = p
+        _, alat, alon, blat, blon = s
+        cosq = math.cos(math.radians(plat))
+        ax, ay = (alon - plon) * cosq * M_PER_DEG, (alat - plat) * M_PER_DEG
+        bx, by = (blon - plon) * cosq * M_PER_DEG, (blat - plat) * M_PER_DEG
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = max(0.0, min(1.0, -(ax * dx + ay * dy) / len2)) if len2 > 0 else 0.0
+        cx, cy = ax + t * dx, ay + t * dy
+        return round(math.sqrt(cx * cx + cy * cy), 6)
+
+    want = []
+    for p in pts:
+        cand = sorted(
+            (seg_dist(p, s), s[0]) for s in segs if seg_dist(p, s) <= 30.0
+        )
+        want.extend((p[0], r + 1, eid, d) for r, (d, eid) in enumerate(cand[:3]))
+    assert got == sorted(want)
