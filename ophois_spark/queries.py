@@ -4904,3 +4904,43 @@ SQL_TRACE_SNAP = _trace_snap_sql()
 
 QUERIES.update({"trace_snap": q_trace_snap})
 ORACLES.update({"trace_snap": SQL_TRACE_SNAP})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-abs int8 scalar quantization digest per vector —
+    operators/similarity.py quantize_embeddings_int8. Trig-free IEEE
+    double arithmetic: the gate is bit-exact, no rounding tolerance."""
+    from ophois_spark.operators.similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(load(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_QUANTIZE = r"""
+WITH v AS (
+  SELECT vec_id, j, CAST(embedding[j] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS j
+        FROM embeddings)),
+a AS (SELECT j, MAX(abs(x)) AS amax FROM v GROUP BY j),
+q AS (
+  SELECT vec_id,
+         CASE WHEN a.amax > 0
+              THEN CAST(floor((x * 127.0) / a.amax + 0.5) AS BIGINT)
+              ELSE 0 END AS q
+  FROM v JOIN a USING (j))
+SELECT vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dims,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(SUM(q * q) AS BIGINT) AS sum_q2,
+       CAST(MIN(q) AS BIGINT) AS min_q,
+       CAST(MAX(q) AS BIGINT) AS max_q
+FROM q GROUP BY vec_id
+"""
+
+QUERIES.update({"embedding_quantize": q_embedding_quantize})
+ORACLES.update({"embedding_quantize": SQL_EMBEDDING_QUANTIZE})

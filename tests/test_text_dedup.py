@@ -340,3 +340,27 @@ def test_line_dedup_cap_boundary_and_order(spark):
     assert got[5] == (3, 0, "")
     assert got[6] == (1, 0, "")
     assert got[7] == (1, 0, "")
+
+
+def test_quantize_embeddings_int8_hand_values(spark):
+    """Hand-quantized vectors: per-dim scales, negative halves round
+    toward +inf under floor(x+0.5), all-zero dims map to 0."""
+    from ophois_spark.operators.similarity import quantize_embeddings_int8
+
+    rows = [
+        (1, [1.0, -2.0, 0.0]),
+        (2, [0.5, 2.0, 0.0]),
+        (3, [-1.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # dim scales: amax = (1.0, 2.0, 0.0)
+    # vec 1: q = (127, -127, 0)   sum 0,    sum2 32258
+    # vec 2: q = (floor(63.5+0.5)=64, 127, 0) sum 191, sum2 20225
+    # vec 3: q = (-127, floor(63.5+0.5)=64, 0) sum -63, sum2 20225
+    out = {r.vec_id: r for r in quantize_embeddings_int8(df).collect()}
+    assert (out[1].sum_q, out[1].sum_q2, out[1].min_q, out[1].max_q) == (
+        0, 32258, -127, 127,
+    )
+    assert (out[2].sum_q, out[2].sum_q2) == (191, 64 * 64 + 127 * 127)
+    assert (out[3].sum_q, out[3].min_q, out[3].max_q) == (-63, -127, 64)
+    assert all(r.n_dims == 3 for r in out.values())
