@@ -210,3 +210,55 @@ def bearing_distribution(g: StreetGraph) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_links"))
         .orderBy("bearing_deg")
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman degree assortativity of an undirected edge list → ONE
+    row (m_edges, sum_prod, sum_deg, sum_deg2, assortativity).
+
+    r = (4·M·Σjk − (Σ(j+k))²) / (2·M·Σ(j²+k²) − (Σ(j+k))²), the
+    textbook Pearson-over-edges rewritten so every aggregation is an
+    INTEGER moment: int64 sums are exact and order-free (no
+    accumulation-order float drift across engines/partitionings), and
+    the only floating arithmetic is one final expression over a single
+    row, identical on both engines. Moments stay under 2^53, so the
+    double promotion is lossless at any plausible graph size.
+
+    Scale shape: degree table = one explode + map-side-combinable
+    count; two hash equi-joins decorate each edge with endpoint
+    degrees (degree table is node-scale, joins shuffle edge-scale rows
+    once each); one algebraic 1-row agg. No windows, no collect.
+    """
+    deg = (
+        edges.select(F.explode(F.array("src", "dst")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    m = (
+        edges.join(
+            deg.select(F.col("id").alias("src"), F.col("deg").alias("du")), "src"
+        ).join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("dv")), "dst")
+    )
+    mom = m.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("sum_prod"),
+        F.sum(F.col("du") + F.col("dv")).cast("long").alias("sum_deg"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("long")
+        .alias("sum_deg2"),
+    )
+    md, ad, bd, cd = (
+        F.col("m_edges").cast("double"),
+        F.col("sum_prod").cast("double"),
+        F.col("sum_deg").cast("double"),
+        F.col("sum_deg2").cast("double"),
+    )
+    num = F.lit(4.0) * md * ad - bd * bd
+    den = F.lit(2.0) * md * cd - bd * bd
+    return mom.select(
+        "m_edges",
+        "sum_prod",
+        "sum_deg",
+        "sum_deg2",
+        F.when(den != 0.0, num / den).alias("assortativity"),
+    )

@@ -4944,3 +4944,48 @@ FROM q GROUP BY vec_id
 
 QUERIES.update({"embedding_quantize": q_embedding_quantize})
 ORACLES.update({"embedding_quantize": SQL_EMBEDDING_QUANTIZE})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: degree assortativity (integer-moment graph metric)
+# ---------------------------------------------------------------------------
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman assortativity over the canonical street-graph edges —
+    operators/metrics.py degree_assortativity: all aggregation in
+    exact int64 moments, ONE final double expression on a 1-row frame
+    (mirrored verbatim by the oracle)."""
+    from ophois_spark.operators.metrics import degree_assortativity
+
+    return degree_assortativity(derived_edges(spark, sf_dir))
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH edges AS ({_EDGES_SQL}),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+  GROUP BY id),
+m AS (
+  SELECT a.deg AS du, b.deg AS dv
+  FROM edges e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+         CAST(SUM(du * dv) AS BIGINT) AS sum_prod,
+         CAST(SUM(du + dv) AS BIGINT) AS sum_deg,
+         CAST(SUM(du * du + dv * dv) AS BIGINT) AS sum_deg2
+  FROM m)
+SELECT m_edges, sum_prod, sum_deg, sum_deg2,
+       CASE WHEN (2.0 * CAST(m_edges AS DOUBLE) * CAST(sum_deg2 AS DOUBLE)
+                  - CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE)) <> 0.0
+            THEN (4.0 * CAST(m_edges AS DOUBLE) * CAST(sum_prod AS DOUBLE)
+                  - CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE))
+                 / (2.0 * CAST(m_edges AS DOUBLE) * CAST(sum_deg2 AS DOUBLE)
+                    - CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE))
+            END AS assortativity
+FROM mom
+"""
+
+QUERIES.update({"degree_assortativity": q_degree_assortativity})
+ORACLES.update({"degree_assortativity": SQL_DEGREE_ASSORTATIVITY})

@@ -94,3 +94,29 @@ def test_lcc_matches_bearing_floor_contract(spark):
     got = bearing_distribution(_mk(spark, nodes, links)).collect()
     assert len(got) == 1
     assert 0 <= got[0]["bearing_deg"] <= 359
+
+
+def test_degree_assortativity_known_graphs(spark):
+    """A star is maximally disassortative (r = -1); a clique triangle
+    is degree-regular (den = 0 -> NULL); a path of 3 edges matches the
+    hand-computed Newman value."""
+    from ophois_spark.operators.metrics import degree_assortativity
+
+    def edges(rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    star = edges([("c", "a"), ("c", "b"), ("c", "d")])
+    r = degree_assortativity(star).collect()[0]
+    assert r.m_edges == 3 and abs(r.assortativity + 1.0) < 1e-12
+
+    tri = edges([("a", "b"), ("b", "c"), ("a", "c")])
+    r = degree_assortativity(tri).collect()[0]
+    assert r.assortativity is None  # all degrees equal: zero variance
+
+    # path a-b-c-d: degrees 1,2,2,1; edges (1,2),(2,2),(2,1)
+    # A=2+4+2=8, B=3+4+3=10, C=5+8+5=18, M=3
+    # r = (4*3*8 - 100) / (2*3*18 - 100) = -4/8 = -0.5
+    path = edges([("a", "b"), ("b", "c"), ("c", "d")])
+    r = degree_assortativity(path).collect()[0]
+    assert (r.sum_prod, r.sum_deg, r.sum_deg2) == (8, 10, 18)
+    assert abs(r.assortativity + 0.5) < 1e-12
