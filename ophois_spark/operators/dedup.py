@@ -564,3 +564,55 @@ def snapshot_delta(
         F.coalesce(F.col("m1.id"), F.lit(-1)).alias("old_id"),
         F.col("m2.id").alias("new_id"),
     )
+
+
+KMV_K = 256
+KMV_HEX = 15  # 60-bit hash space, same md5-prefix idiom as postings
+KMV_SPACE = float(16**KMV_HEX)
+
+
+def shingle_cardinality_kmv(docs: DataFrame, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values distinct-cardinality sketch over the corpus
+    shingle set → ONE row (k, n_exact, n_mins, kth_min, est_distinct).
+
+    The sketch a 100 TB build uses where exact COUNT(DISTINCT
+    3-gram) is a full-corpus string shuffle: keep the k smallest
+    DISTINCT 60-bit hashes; est = (k-1)·H / h_(k) (Bar-Yossef et al.,
+    RANDOM'02). Everything the estimator touches is exact integer
+    state (min-k of distinct hashes), so the oracle replays it
+    bit-for-bit — no sampling tolerance in the gate; the one double
+    division uses a single precomputed literal numerator. When the
+    distinct count is below k the sketch IS exact and falls back to
+    it, per the standard small-cardinality rule.
+
+    The exact twin (n_exact, COUNT DISTINCT over shingle STRINGS) is
+    computed alongside at gate scale so the estimate is judged against
+    truth; at production scale one would drop that branch — the sketch
+    path's only full shuffle is the hash distinct (map-side partial
+    dedup), and min-k is a TakeOrdered, driver-side k rows.
+    """
+    sh = doc_shingles(docs)
+    hs = sh.select(
+        F.conv(F.substring(F.md5("shingle"), 1, KMV_HEX), 16, 10)
+        .cast("long")
+        .alias("h")
+    ).distinct()
+    mins = hs.orderBy("h").limit(k)
+    m = mins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_mins"),
+        F.max("h").alias("kth_min"),
+    )
+    exact = sh.agg(F.countDistinct("shingle").cast("long").alias("n_exact"))
+    num = F.lit((k - 1) * KMV_SPACE)
+    return (
+        m.crossJoin(exact)
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_exact",
+            "n_mins",
+            "kth_min",
+            F.when(F.col("n_mins") >= k, num / F.col("kth_min").cast("double"))
+            .otherwise(F.col("n_exact").cast("double"))
+            .alias("est_distinct"),
+        )
+    )

@@ -4989,3 +4989,43 @@ FROM mom
 
 QUERIES.update({"degree_assortativity": q_degree_assortativity})
 ORACLES.update({"degree_assortativity": SQL_DEGREE_ASSORTATIVITY})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: KMV distinct-cardinality sketch
+# ---------------------------------------------------------------------------
+
+
+def q_shingle_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-shingle cardinality: KMV sketch beside its exact twin
+    — operators/dedup.py shingle_cardinality_kmv. The sketch state is
+    exact integer min-k, so the gate has no sampling tolerance."""
+    from ophois_spark.operators.dedup import shingle_cardinality_kmv
+
+    return shingle_cardinality_kmv(load(spark, sf_dir, "documents"))
+
+
+def _kmv_sql() -> str:
+    from ophois_spark.operators.dedup import KMV_HEX, KMV_K, KMV_SPACE
+
+    num = repr((KMV_K - 1) * KMV_SPACE)
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hs AS (
+  SELECT DISTINCT ('0x' || substr(md5(shingle), 1, {KMV_HEX}))::BIGINT AS h
+  FROM sh),
+mins AS (SELECT h FROM hs ORDER BY h LIMIT {KMV_K}),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mins, MAX(h) AS kth_min FROM mins),
+x AS (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_exact FROM sh)
+SELECT CAST({KMV_K} AS BIGINT) AS k, x.n_exact, m.n_mins, m.kth_min,
+       CASE WHEN m.n_mins >= {KMV_K}
+            THEN {num} / CAST(m.kth_min AS DOUBLE)
+            ELSE CAST(x.n_exact AS DOUBLE) END AS est_distinct
+FROM m, x
+"""
+
+
+SQL_SHINGLE_CARDINALITY_KMV = _kmv_sql()
+
+QUERIES.update({"shingle_cardinality_kmv": q_shingle_cardinality_kmv})
+ORACLES.update({"shingle_cardinality_kmv": SQL_SHINGLE_CARDINALITY_KMV})

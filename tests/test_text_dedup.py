@@ -364,3 +364,20 @@ def test_quantize_embeddings_int8_hand_values(spark):
     assert (out[2].sum_q, out[2].sum_q2) == (191, 64 * 64 + 127 * 127)
     assert (out[3].sum_q, out[3].min_q, out[3].max_q) == (-63, -127, 64)
     assert all(r.n_dims == 3 for r in out.values())
+
+
+def test_kmv_small_cardinality_falls_back_to_exact(spark):
+    """Below k distinct shingles the sketch must BE the exact count."""
+    from ophois_spark.operators.dedup import shingle_cardinality_kmv
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "s"),   # 2 shingles
+            (2, "alpha beta gamma", "s"),         # 1 shingle, dup of doc 1's
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = shingle_cardinality_kmv(docs, k=16).collect()[0]
+    assert r.n_exact == 2            # 'alpha beta gamma', 'beta gamma delta'
+    assert r.n_mins == 2
+    assert r.est_distinct == 2.0     # small-cardinality rule: exact
