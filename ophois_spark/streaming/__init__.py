@@ -6,6 +6,7 @@ from ophois_spark.streaming.ingest_stream import (
     stream_graph_snapshots,
     stream_node_registry,
     stream_page_records,
+    stream_sessionize,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "stream_doc_registry",
     "stream_graph_snapshots",
     "stream_node_registry",
+    "stream_sessionize",
 ]

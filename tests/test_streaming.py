@@ -560,3 +560,68 @@ def test_stream_windowed_rollup_watermark_lifecycle(spark, tmp_path):
     got = sink_rows()
     assert got == closed
     assert not any(r[0] == "2024-01-01 02:00:00" for r in got)
+
+
+def test_stream_sessionize_matches_batch_across_restart(spark, tmp_path):
+    """stream_sessionize == batch sessionize on the drained feed: two
+    micro-batch files split MID-SESSION for some users, drained in two
+    separate checkpointed runs (a real restart, state restored). The
+    last emit per (user, session_id) must equal the batch operator's
+    closed-session rows exactly."""
+    from ophois_spark.operators.temporal import sessionize_naive
+    from ophois_spark.streaming import stream_sessionize
+
+    GAP = 1_000_000  # 1 s in micros
+    # user 1: session 0 spans the file boundary (gap 0.5 s across it);
+    # user 2: boundary gap > 1 s → new session in file 2;
+    # user 3: only in file 1; user 4: only in file 2;
+    # within-file out-of-order rows exercise the per-batch sort.
+    f1 = [
+        (1, 0, 10), (1, 600_000, 11), (1, 300_000, 12),     # u1 s0
+        (1, 5_000_000, 13),                                  # u1 s1 opens
+        (2, 0, 20), (2, 200_000, 21),                        # u2 s0
+        (3, 0, 30),                                          # u3 s0
+    ]
+    f2 = [
+        (1, 5_500_000, 14), (1, 5_400_000, 15),              # u1 s1 extends
+        (2, 9_000_000, 22),                                  # u2 s1 (gap)
+        (4, 100, 40), (4, 2_000_000, 41),                    # u4 s0, s1
+    ]
+    schema = "user_id long, t_us long, event_id long"
+    events_dir = str(tmp_path / "events_stream")
+    ckpt = str(tmp_path / "ckpt_sessionize")
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(events_dir)
+
+    got: dict = {}
+
+    def drain():
+        def collect(batch_df, _bid):
+            for r in batch_df.collect():
+                got[(r["user_id"], r["session_id"])] = (
+                    r["n_events"], r["start_us"], r["end_us"],
+                )
+
+        src = spark.readStream.schema(schema).parquet(events_dir)
+        q = (
+            stream_sessionize(src, GAP)
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # run 1: file 1 only
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(events_dir)
+    drain()  # run 2: restart from checkpoint, file 2 delta only
+
+    batch = {
+        (r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+        for r in sessionize_naive(
+            spark.createDataFrame(f1 + f2, schema), GAP
+        ).collect()
+    }
+    assert got == batch
+    # the mid-session merge really happened: u1 s1 spans both files
+    assert got[(1, 1)] == (3, 5_000_000, 5_500_000)
