@@ -1150,3 +1150,85 @@ def snap_points_to_edges(
     return ranked.select(
         "qid", F.col("rank").cast("int").alias("rank"), "edge_id", "dist_m"
     )
+
+
+def cell_dbscan(
+    points: DataFrame,
+    grid_deg: float = 0.001,
+    min_pts: int = 5,
+    max_iter: int = 60,
+) -> DataFrame:
+    """Grid-density clustering (cell-DBSCAN) → one row per CORE cell
+    (gx, gy, n_points, nbhd_points, cluster): a cell is core when its
+    3×3 Chebyshev neighborhood holds ≥ ``min_pts`` points; clusters
+    are connected components over 8-adjacent core cells, labeled by
+    the lexicographic-minimum cell key (zero-padded, so string min ==
+    numeric min). Cells that fail the density test are noise and
+    produce no row — the DBSCAN contract at cell granularity, which
+    is the form that scales: density and adjacency are pure
+    cell-relation algebra, never point-pair math.
+
+    Scale shape: one groupBy collapses points to populated cells (the
+    only point-scale shuffle); the 3×3 density is a constant 9-way
+    scatter + map-side-combinable sum (``cell_density_smooth``'s
+    idiom); core-core adjacency emits ≤ 4 directed probes per core
+    cell (half the 8-neighborhood, deduped by construction) resolved
+    by one cell-keyed equi-join; components run on the CORE-CELL
+    graph via the pointer-jumping label propagation already gated for
+    street graphs — rounds are O(log cluster diameter in cells).
+    """
+    from ophois_spark.operators.components import connected_components
+    from ophois_spark.operators.graph import StreetGraph
+    from ophois_spark.plans.cache import swap_cached
+
+    g = F.lit(float(grid_deg))
+    cells = swap_cached(
+        "cell_dbscan_cells",
+        points.select(
+            F.floor(F.col("lon_d") / g).cast("int").alias("gx"),
+            F.floor(F.col("lat_d") / g).cast("int").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points")),
+    )
+    offs = F.expr(
+        "explode(array(struct(-1 as dx, -1 as dy), struct(-1 as dx, 0 as dy),"
+        " struct(-1 as dx, 1 as dy), struct(0 as dx, -1 as dy),"
+        " struct(0 as dx, 0 as dy), struct(0 as dx, 1 as dy),"
+        " struct(1 as dx, -1 as dy), struct(1 as dx, 0 as dy),"
+        " struct(1 as dx, 1 as dy)))"
+    )
+    nbhd = (
+        cells.select("gx", "gy", "n_points", offs.alias("o"))
+        .select(
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+            "n_points",
+        )
+        .groupBy("gx", "gy")
+        .agg(F.sum("n_points").cast("long").alias("nbhd_points"))
+    )
+    key = F.format_string("%07d%07d", F.col("gx") + 1_000_000, F.col("gy") + 1_000_000)
+    core = swap_cached(
+        "cell_dbscan_core",
+        cells.join(nbhd, ["gx", "gy"])
+        .filter(F.col("nbhd_points") >= min_pts)
+        .withColumn("key", key),
+    )
+    half = F.expr(
+        "explode(array(struct(1 as dx, -1 as dy), struct(1 as dx, 0 as dy),"
+        " struct(1 as dx, 1 as dy), struct(0 as dx, 1 as dy)))"
+    )
+    probes = core.select("key", "gx", "gy", half.alias("o")).select(
+        F.col("key").alias("src"),
+        (F.col("gx") + F.col("o.dx")).alias("gx"),
+        (F.col("gy") + F.col("o.dy")).alias("gy"),
+    )
+    edges = probes.join(
+        core.select("gx", "gy", F.col("key").alias("dst")), ["gx", "gy"]
+    ).select("src", "dst")
+    graph = StreetGraph(core.select(F.col("key").alias("id")), edges).checkpoint()
+    labels = connected_components(graph, max_iter=max_iter)
+    return core.join(labels, core["key"] == labels["id"]).select(
+        "gx", "gy", "n_points", "nbhd_points", F.col("comp").alias("cluster")
+    )

@@ -5029,3 +5029,86 @@ SQL_SHINGLE_CARDINALITY_KMV = _kmv_sql()
 
 QUERIES.update({"shingle_cardinality_kmv": q_shingle_cardinality_kmv})
 ORACLES.update({"shingle_cardinality_kmv": SQL_SHINGLE_CARDINALITY_KMV})
+
+
+# ---------------------------------------------------------------------------
+# round-4 depth: grid-density clustering (cell-DBSCAN)
+# ---------------------------------------------------------------------------
+
+
+def q_cell_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-DBSCAN over an order-derived point cloud —
+    operators/spatial.py cell_dbscan (3×3 density gate → components
+    over 8-adjacent core cells; the oracle replays density in plain
+    SQL and the clustering as the same recursive min-label CTE the
+    street-graph components use). Overlay: 12 dense blobs on a 3×4
+    degree lattice + every-17th-order scatter noise that stays below
+    min_pts and must produce NO rows."""
+    from ophois_spark.operators.spatial import cell_dbscan
+
+    o = load(spark, sf_dir, "orders")
+    ok, oc = F.col("o_orderkey"), F.col("o_custkey")
+    noise = ok % 17 == 0
+    plat = F.when(
+        noise, F.lit(48.0) + (ok % 89).cast("double") * F.lit(0.01)
+    ).otherwise(
+        F.lit(45.0)
+        + (oc % 3).cast("double") * F.lit(1.0)
+        + (oc % 200).cast("double") * F.lit(1e-4)
+        + (ok % 21 - 10).cast("double") * F.lit(2e-6)
+    )
+    plon = F.when(
+        noise, F.lit(3.0) + ((ok * 13) % 97).cast("double") * F.lit(0.01)
+    ).otherwise(
+        F.lit(5.0)
+        + ((oc * 7) % 4).cast("double") * F.lit(1.0)
+        + ((oc * 7) % 200).cast("double") * F.lit(1e-4)
+        + ((ok * 3) % 21 - 10).cast("double") * F.lit(2e-6)
+    )
+    points = o.select(plat.alias("lat_d"), plon.alias("lon_d"))
+    return cell_dbscan(points, grid_deg=0.001, min_pts=5)
+
+
+SQL_CELL_DBSCAN = r"""
+WITH RECURSIVE pts AS (
+  SELECT CASE WHEN o_orderkey % 17 = 0
+              THEN 48.0 + CAST(o_orderkey % 89 AS DOUBLE) * 0.01
+              ELSE 45.0 + CAST(o_custkey % 3 AS DOUBLE) * 1.0
+                   + CAST(o_custkey % 200 AS DOUBLE) * 1e-4
+                   + CAST(o_orderkey % 21 - 10 AS DOUBLE) * 2e-6 END AS plat,
+         CASE WHEN o_orderkey % 17 = 0
+              THEN 3.0 + CAST((o_orderkey * 13) % 97 AS DOUBLE) * 0.01
+              ELSE 5.0 + CAST((o_custkey * 7) % 4 AS DOUBLE) * 1.0
+                   + CAST((o_custkey * 7) % 200 AS DOUBLE) * 1e-4
+                   + CAST((o_orderkey * 3) % 21 - 10 AS DOUBLE) * 2e-6 END AS plon
+  FROM orders),
+cells AS (
+  SELECT CAST(floor(plon / 0.001) AS INT) AS gx,
+         CAST(floor(plat / 0.001) AS INT) AS gy,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM pts GROUP BY 1, 2),
+nb AS (
+  SELECT c.gx + o.dx AS gx, c.gy + o.dy AS gy,
+         CAST(SUM(c.n_points) AS BIGINT) AS nbhd_points
+  FROM cells c
+  CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
+  GROUP BY 1, 2),
+core AS (
+  SELECT c.gx, c.gy, c.n_points, n.nbhd_points,
+         printf('%07d%07d', c.gx + 1000000, c.gy + 1000000) AS key
+  FROM cells c JOIN nb n USING (gx, gy) WHERE n.nbhd_points >= 5),
+e AS (
+  SELECT a.key AS a, b.key AS b FROM core a JOIN core b
+  ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+     AND NOT (a.gx = b.gx AND a.gy = b.gy)),
+r(id, comp) AS (
+  SELECT key, key FROM core
+  UNION
+  SELECT e.b, r.comp FROM r JOIN e ON r.id = e.a),
+labels AS (SELECT id, min(comp) AS comp FROM r GROUP BY id)
+SELECT c.gx, c.gy, c.n_points, c.nbhd_points, l.comp AS cluster
+FROM core c JOIN labels l ON c.key = l.id
+"""
+
+QUERIES.update({"cell_dbscan": q_cell_dbscan})
+ORACLES.update({"cell_dbscan": SQL_CELL_DBSCAN})

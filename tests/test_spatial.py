@@ -474,3 +474,35 @@ def test_snap_points_to_edges_matches_bruteforce(spark):
         )
         want.extend((p[0], r + 1, eid, d) for r, (d, eid) in enumerate(cand[:3]))
     assert got == sorted(want)
+
+
+def test_cell_dbscan_two_blobs_and_noise(spark):
+    """Two separated dense blobs -> two clusters labeled by their min
+    cell key; a lone far point is noise (no row); blobs one diagonal
+    step apart would merge (8-adjacency) - pinned by a third blob
+    touching the first diagonally."""
+    from ophois_spark.operators.spatial import cell_dbscan
+
+    rows = []
+    # blob A: 3x3 points in cell (gx=0, gy=0) neighborhood, 6 pts/cell
+    for i in range(6):
+        rows += [(0.0001 + i * 1e-6, 0.0002), (0.0005, 0.0005 + i * 1e-6)]
+    # blob B: far away at lon 1.0 (gx=1000), same density
+    for i in range(6):
+        rows += [(0.0001, 1.0002 + i * 1e-6), (0.0005 + i * 1e-6, 1.0005)]
+    # blob C: diagonal neighbor cell of blob A's (0,0) -> merges with A
+    for i in range(6):
+        rows += [(0.0015 + i * 1e-6, 0.0015)]
+    # noise: single point, isolated
+    rows += [(3.5, 3.5)]
+    pts = spark.createDataFrame(rows, "lat_d double, lon_d double")
+    out = cell_dbscan(pts, grid_deg=0.001, min_pts=5).collect()
+    by_cell = {(r.gx, r.gy): r for r in out}
+    assert (3500, 3500) not in by_cell                   # noise dropped
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r.cluster, set()).add((r.gx, r.gy))
+    assert len(clusters) == 2                            # A+C merged, B apart
+    ab = clusters[min(clusters)]                         # min-key labeled
+    assert (0, 0) in ab and (1, 1) in ab                 # diagonal merge
+    assert any((1000, 0) in c for c in clusters.values())
