@@ -1136,6 +1136,15 @@ def snap_points_to_edges(
     cx = F.col("_ax") + F.col("_t") * F.col("_dx")
     cy = F.col("_ay") + F.col("_t") * F.col("_dy")
     d = F.round(F.sqrt(cx * cx + cy * cy), 6)
+    # `+ rand()*0.0` is a value no-op (dist >= 0, so x + 0.0 == x) that
+    # marks dist_m non-deterministic. Without it Catalyst collapses the
+    # _ax/_t/... projections into ONE giant duplicated expression and
+    # pushes the radius predicate into the hash join's extra condition,
+    # which is evaluated per candidate pair WITHOUT common-subexpression
+    # elimination — measured 10x slower (15.2s vs 1.5s on the sf0.1
+    # snap bench) than keeping the distance in a post-join codegen'd
+    # projection and filtering on the materialized column.
+    d = d + F.rand(7) * F.lit(0.0)
     ranked = (
         j.withColumn("dist_m", d)
         .filter(F.col("dist_m") <= radius_m)
