@@ -1241,3 +1241,84 @@ def cell_dbscan(
     return core.join(labels, core["key"] == labels["id"]).select(
         "gx", "gy", "n_points", "nbhd_points", F.col("comp").alias("cluster")
     )
+
+
+def choropleth_classes(counts: DataFrame, k: int = 5) -> DataFrame:
+    """Exact equal-count (quantile) choropleth classing → (gx, gy, n,
+    cls): every populated cell assigned to one of ``k`` density
+    classes so each class holds ~1/k of the cells — the class-break
+    stage of heatmap/choropleth rendering (the styling half of
+    ``render_tiles``; GIS "quantile breaks").
+
+    Integer-exact and tie-stable: cells with EQUAL density always land
+    in the same class (the cartographic contract), because the class
+    is a function of the density VALUE's exact rank, not the row's:
+    cls = floor(k * cells_below / n_cells) where cells_below counts
+    cells with strictly smaller density.
+
+    Scale shape: the global sort is over the DISTINCT density values
+    only (a histogram — bounded by max cell occupancy, thousands of
+    values at planet scale, NOT by cell count), so the single-
+    partition running-sum window is over a tiny frame; per-cell work
+    is one map-side-combinable groupBy plus one broadcast join back on
+    the density value. No global sort of the cells themselves.
+    """
+    hist = counts.groupBy("n").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn(
+        "_below", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).cast("long")
+    )
+    tot = counts.agg(F.count(F.lit(1)).cast("long").alias("_tot"))
+    cls = (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.expr(f"CAST(({k} * _below) div _tot AS INT)").alias("cls"),
+        )
+    )
+    return counts.join(F.broadcast(cls), "n").select("gx", "gy", "n", "cls")
+
+
+def cell_majority(
+    cells: DataFrame, val_col: str, key_cols: tuple[str, ...] = ("gx", "gy")
+) -> DataFrame:
+    """Per-cell categorical majority → (key…, top, n_top, n_rows,
+    share): the dominant category in every cell plus its exact share —
+    e.g. the majority LANGUAGE of geotagged documents per map cell
+    (the cross-modal rollup a multilingual-corpus coverage map needs).
+
+    Deterministic ties: rank by (count DESC, value DESC) so equal
+    counts resolve identically in any engine. ``share`` is one IEEE
+    division of two exact int64 counts — bit-identical cross-engine
+    (only transcendentals diverge, division is exactly rounded).
+
+    Scale shape: one map-side-combinable count per (cell, value), a
+    per-cell total by re-aggregating those partials (never re-reading
+    rows), and a top-1 window whose partitions are value-cardinality-
+    bounded (#langs per cell), not row-bounded. No skew risk beyond
+    the (cell,value) count itself, which salting upstream of this
+    operator would address the same way coord_dedup_salted does.
+    """
+    keys = list(key_cols)
+    per_val = cells.groupBy(*keys, val_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_top")
+    )
+    totals = per_val.groupBy(*keys).agg(F.sum("n_top").cast("long").alias("n_rows"))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("n_top").desc(), F.col(val_col).desc()
+    )
+    top = (
+        per_val.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    return (
+        top.join(totals, keys)
+        .select(
+            *keys,
+            F.col(val_col).alias("top"),
+            "n_top",
+            "n_rows",
+            (F.col("n_top") / F.col("n_rows")).alias("share"),
+        )
+    )

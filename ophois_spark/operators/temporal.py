@@ -377,3 +377,72 @@ def retention_cohorts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .select("cohort_day", F.col("age_days").cast("long").alias("age_days"), "n_users")
     )
+
+
+HOUR_US = 3_600_000_000  # one hour in epoch microseconds
+
+
+def st_cube_rollup(
+    pts: DataFrame,
+    grid_deg: float,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Spatiotemporal OLAP cube → one row per (cell, hour, type) group
+    AND every roll-up margin (all-cells, all-hours, all-types and
+    their combinations) in a single pass: the pre-aggregated pyramid a
+    dashboard serves without re-scanning events (the reference's
+    metrics sinks are the zero-dimension corner of this cube —
+    src/graph.rs order/size made OLAP).
+
+    ``pts``: (lat_d, lon_d, ts, event_type, user_id). Cell is the
+    floor-grid composite key (gx * 2^20 + gy — same grid family as the
+    snap/crossings operators), hour is the integer epoch-hour mod 24
+    (no timezone/date semantics anywhere), and the margins carry
+    sentinels (-1 / 'ALL') plus an explicit grouping bitmask ``g``
+    (cell=4 | hour=2 | type=1) computed with ``grouping()`` so engines
+    agree regardless of their internal grouping-id conventions.
+
+    Scale shape: ``cube`` expands to 8 grouping sets, each a plain
+    algebraic aggregation with map-side partial combine — one shuffle
+    of partial aggregates, NO row replication shuffle. n_users is
+    COUNT(DISTINCT) so Spark plans the standard two-phase expand;
+    everything emitted is int64 counts — bit-identical across engines.
+    """
+    g = F.lit(grid_deg)
+    d = pts.select(
+        (
+            F.floor(F.col("lon_d") / g).cast("long") * F.lit(1 << 20)
+            + F.floor(F.col("lat_d") / g).cast("long")
+        ).alias("cell"),
+        (
+            F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {HOUR_US}") % 24
+        )
+        .cast("int")
+        .alias("hour"),
+        F.col(type_col).alias("event_type"),
+        F.col(user_col).alias("user_id"),
+    )
+    return (
+        d.cube("cell", "hour", "event_type")
+        .agg(
+            (
+                F.grouping("cell") * F.lit(4)
+                + F.grouping("hour") * F.lit(2)
+                + F.grouping("event_type")
+            )
+            .cast("int")
+            .alias("g"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.coalesce(F.col("cell"), F.lit(-1).cast("long")).alias("cell"),
+            F.coalesce(F.col("hour"), F.lit(-1).cast("int")).alias("hour"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "g",
+            "n_events",
+            "n_users",
+        )
+    )

@@ -5112,3 +5112,171 @@ FROM core c JOIN labels l ON c.key = l.id
 
 QUERIES.update({"cell_dbscan": q_cell_dbscan})
 ORACLES.update({"cell_dbscan": SQL_CELL_DBSCAN})
+
+
+# ---------------------------------------------------------------------------
+# round-4 breadth: spatiotemporal cube, choropleth classing, cell majority
+# ---------------------------------------------------------------------------
+
+
+def q_st_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal OLAP cube over events — operators/temporal.py
+    st_cube_rollup: one pass emits every (cell, hour, event_type)
+    group plus all roll-up margins with an engine-neutral grouping
+    bitmask. The reference's metrics files (src/graph.rs order/size)
+    are the zero-dimension corner of this cube."""
+    from ophois_spark.operators.temporal import st_cube_rollup
+
+    ev = load(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    pts = ev.select(
+        (
+            F.lit(45.0)
+            + (uid % 50).cast("double") * F.lit(0.002)
+            + (eid % 21 - 10).cast("double") * F.lit(1e-5)
+        ).alias("lat_d"),
+        (
+            F.lit(5.0)
+            + ((uid * 7) % 50).cast("double") * F.lit(0.002)
+            + ((eid * 3) % 21 - 10).cast("double") * F.lit(1e-5)
+        ).alias("lon_d"),
+        "ts",
+        "event_type",
+        "user_id",
+    )
+    return st_cube_rollup(pts, 0.002)
+
+
+SQL_ST_CUBE = r"""
+WITH pts AS (
+  SELECT 45.0 + CAST(user_id % 50 AS DOUBLE) * 0.002
+              + CAST(event_id % 21 - 10 AS DOUBLE) * 0.00001 AS lat_d,
+         5.0 + CAST((user_id * 7) % 50 AS DOUBLE) * 0.002
+             + CAST((event_id * 3) % 21 - 10 AS DOUBLE) * 0.00001 AS lon_d,
+         ts, event_type, user_id
+  FROM events),
+d AS (
+  SELECT CAST(floor(lon_d / 0.002) AS BIGINT) * 1048576
+         + CAST(floor(lat_d / 0.002) AS BIGINT) AS cell,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
+         event_type, user_id
+  FROM pts)
+SELECT COALESCE(cell, -1) AS cell,
+       COALESCE(hour, -1) AS hour,
+       COALESCE(event_type, 'ALL') AS event_type,
+       CAST(GROUPING(cell) * 4 + GROUPING(hour) * 2 + GROUPING(event_type) AS INT) AS g,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM d
+GROUP BY CUBE(cell, hour, event_type)
+"""
+
+
+def q_choropleth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile choropleth classing of cell densities —
+    operators/spatial.py choropleth_classes: class = f(exact rank of
+    the density VALUE), so equal-density cells always share a class
+    and the global sort touches only the distinct-density histogram."""
+    from ophois_spark.operators.spatial import choropleth_classes
+
+    o = load(spark, sf_dir, "orders")
+    ok, oc = F.col("o_orderkey"), F.col("o_custkey")
+    plat = (
+        F.lit(45.0)
+        + (oc % 200).cast("double") * F.lit(1e-4)
+        + (ok % 21 - 10).cast("double") * F.lit(2e-6)
+    )
+    plon = (
+        F.lit(5.0)
+        + ((oc * 7) % 200).cast("double") * F.lit(1e-4)
+        + ((ok * 3) % 21 - 10).cast("double") * F.lit(2e-6)
+    )
+    g = F.lit(0.001)
+    counts = (
+        o.select(
+            F.floor(plon / g).cast("int").alias("gx"),
+            F.floor(plat / g).cast("int").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return choropleth_classes(counts, k=5)
+
+
+SQL_CHOROPLETH = r"""
+WITH pts AS (
+  SELECT 45.0 + CAST(o_custkey % 200 AS DOUBLE) * 0.0001
+              + CAST(o_orderkey % 21 - 10 AS DOUBLE) * 0.000002 AS plat,
+         5.0 + CAST((o_custkey * 7) % 200 AS DOUBLE) * 0.0001
+             + CAST((o_orderkey * 3) % 21 - 10 AS DOUBLE) * 0.000002 AS plon
+  FROM orders),
+counts AS (
+  SELECT CAST(floor(plon / 0.001) AS INT) AS gx,
+         CAST(floor(plat / 0.001) AS INT) AS gy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2),
+hist AS (
+  SELECT n, COUNT(*) AS cnt FROM counts GROUP BY n),
+ranked AS (
+  SELECT n, CAST(COALESCE(SUM(cnt) OVER (ORDER BY n
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+  FROM hist),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM counts)
+SELECT c.gx, c.gy, c.n,
+       CAST((5 * r.below) // t.n_cells AS INT) AS cls
+FROM counts c JOIN ranked r USING (n) CROSS JOIN tot t
+"""
+
+
+def q_geo_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority language per map cell over geotagged documents —
+    operators/spatial.py cell_majority: per-cell dominant category
+    with exact share (one IEEE division of two int64 counts; ranked
+    (count DESC, lang DESC) so ties are engine-stable)."""
+    from ophois_spark.operators.spatial import cell_majority
+
+    d = load(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") * 7) % 8).cast("int").alias("gx"),
+        ((F.col("doc_id") * 13) % 8).cast("int").alias("gy"),
+        "lang",
+    )
+    return cell_majority(d, "lang")
+
+
+SQL_GEO_LANGUAGE_MIX = r"""
+WITH d AS (
+  SELECT CAST((doc_id * 7) % 8 AS INT) AS gx,
+         CAST((doc_id * 13) % 8 AS INT) AS gy,
+         lang
+  FROM documents),
+per_val AS (
+  SELECT gx, gy, lang, CAST(COUNT(*) AS BIGINT) AS n_top
+  FROM d GROUP BY 1, 2, 3),
+tot AS (
+  SELECT gx, gy, CAST(SUM(n_top) AS BIGINT) AS n_rows
+  FROM per_val GROUP BY 1, 2),
+top AS (
+  SELECT gx, gy, lang, n_top,
+         ROW_NUMBER() OVER (PARTITION BY gx, gy
+                            ORDER BY n_top DESC, lang DESC) AS r
+  FROM per_val)
+SELECT t.gx, t.gy, t.lang AS top, t.n_top, o.n_rows,
+       CAST(t.n_top AS DOUBLE) / CAST(o.n_rows AS DOUBLE) AS share
+FROM top t JOIN tot o USING (gx, gy) WHERE t.r = 1
+"""
+
+
+QUERIES.update(
+    {
+        "st_cube": q_st_cube,
+        "choropleth": q_choropleth,
+        "geo_language_mix": q_geo_language_mix,
+    }
+)
+ORACLES.update(
+    {
+        "st_cube": SQL_ST_CUBE,
+        "choropleth": SQL_CHOROPLETH,
+        "geo_language_mix": SQL_GEO_LANGUAGE_MIX,
+    }
+)
