@@ -120,3 +120,44 @@ def bounded_dist_m(g: StreetGraph, seeds: DataFrame, max_hops: int = 4) -> DataF
             break
         sig = new_sig
     return dist
+
+
+def isochrone_cells(
+    g: StreetGraph,
+    seeds: DataFrame,
+    cutoff_m: int,
+    grid_deg: float,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Isochrone as a cell cover → (gx, gy, n_nodes, min_dist_m): the
+    grid cells whose street-graph nodes are reachable from the seed
+    set within ``cutoff_m`` integer metres (service-area / catchment
+    rendering — the consumer of ``bounded_dist_m`` a map product
+    ships). Per cell: reachable-node count and the closest approach.
+
+    Same exactness contract as the distance field it reads: integer
+    min-plus up to ``max_hops`` relaxation rounds, then a filter and
+    one map-side-combinable cell aggregation. The cutoff does NOT
+    prune the relaxation itself (a node past the cutoff can still lie
+    on a shorter path to one inside at a later round only if its own
+    distance is below the target's — min-plus with non-negative
+    weights never needs above-cutoff intermediates for below-cutoff
+    results — but bounded_dist_m is shared lineage and the filter is
+    free, so we filter once at the end rather than fork the loop).
+    """
+    dist = bounded_dist_m(g, seeds, max_hops=max_hops)
+    reach = dist.filter(F.col("dist_m") <= cutoff_m)
+    gd = F.lit(grid_deg)
+    return (
+        reach.join(g.nodes.select("id", "lat_d", "lon_d"), "id")
+        .select(
+            F.floor(F.col("lon_d") / gd).cast("int").alias("gx"),
+            F.floor(F.col("lat_d") / gd).cast("int").alias("gy"),
+            "dist_m",
+        )
+        .groupBy("gx", "gy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("dist_m").alias("min_dist_m"),
+        )
+    )

@@ -1322,3 +1322,36 @@ def cell_majority(
             (F.col("n_top") / F.col("n_rows")).alias("share"),
         )
     )
+
+
+def cell_simpson(
+    cells: DataFrame, val_col: str, key_cols: tuple[str, ...] = ("gx", "gy")
+) -> DataFrame:
+    """Per-cell Simpson concentration index → (key…, n_rows, sum_sq,
+    simpson): sum_i (n_i/n)^2 over the categories in each cell — 1.0
+    is a monoculture, 1/k is k perfectly balanced categories. The
+    diversity companion to ``cell_majority`` (a language-coverage map
+    wants both the winner and how contested it is).
+
+    Cross-engine-exact by construction: the numerator Σ n_i² is pure
+    int64 arithmetic and ``simpson = sum_sq / n²`` is ONE IEEE
+    division of two exact integers — exactly-rounded, bit-identical in
+    any IEEE engine. (The usual Shannon-entropy formulation needs ln
+    and a float SUM whose accumulation order differs per engine; this
+    is the diversity metric that gates exactly.)
+
+    Scale shape: one map-side-combinable count per (cell, value), one
+    re-aggregation of those partials per cell. Nothing else moves.
+    """
+    keys = list(key_cols)
+    per_val = cells.groupBy(*keys, val_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    return per_val.groupBy(*keys).agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.sum(F.col("_n") * F.col("_n")).cast("long").alias("sum_sq"),
+        (
+            F.sum(F.col("_n") * F.col("_n")).cast("double")
+            / (F.sum("_n").cast("double") * F.sum("_n").cast("double"))
+        ).alias("simpson"),
+    )

@@ -5280,3 +5280,94 @@ ORACLES.update(
         "geo_language_mix": SQL_GEO_LANGUAGE_MIX,
     }
 )
+
+
+ISO_CUTOFF_M = 1500
+ISO_GRID_DEG = 0.001
+
+
+def q_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone cell cover — operators/routing.py isochrone_cells:
+    the grid cells reachable from the md5-smallest seed set within
+    ISO_CUTOFF_M integer metres (bounded min-plus, ROUTE_DIST_HOPS
+    rounds), with per-cell reachable-node count and closest approach."""
+    from ophois_spark.operators.routing import isochrone_cells
+
+    g = derived_graph(spark, sf_dir)
+    return isochrone_cells(
+        g,
+        _route_seeds(g),
+        cutoff_m=ISO_CUTOFF_M,
+        grid_deg=ISO_GRID_DEG,
+        max_hops=ROUTE_DIST_HOPS,
+    )
+
+
+SQL_ISOCHRONE = f"""
+WITH RECURSIVE nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+w AS (
+  SELECT e.src, e.dst,
+         CAST(floor({_hav_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")}) AS BIGINT) AS w
+  FROM edges e JOIN nodes a ON e.src = a.id JOIN nodes b ON e.dst = b.id
+),
+bi AS (SELECT src AS a, dst AS b, w FROM w UNION ALL SELECT dst, src, w FROM w),
+seeds AS (SELECT id FROM nodes ORDER BY md5(id) LIMIT {ROUTE_N_SEEDS}),
+r(id, d, h) AS (
+  SELECT id, CAST(0 AS BIGINT), 0 FROM seeds
+  UNION
+  SELECT bi.b, r.d + bi.w, r.h + 1 FROM r JOIN bi ON r.id = bi.a
+  WHERE r.h < {ROUTE_DIST_HOPS}
+),
+dist AS (SELECT id, MIN(d) AS dist_m FROM r GROUP BY id),
+reach AS (
+  SELECT n.lat_d, n.lon_d, dist.dist_m
+  FROM dist JOIN nodes n ON dist.id = n.id
+  WHERE dist.dist_m <= {ISO_CUTOFF_M}
+)
+SELECT CAST(floor(lon_d / {ISO_GRID_DEG}) AS INT) AS gx,
+       CAST(floor(lat_d / {ISO_GRID_DEG}) AS INT) AS gy,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(dist_m) AS min_dist_m
+FROM reach GROUP BY 1, 2
+"""
+
+
+def q_geo_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Simpson language concentration — operators/spatial.py
+    cell_simpson: Σ(n_i/n)² with an exact int64 numerator and ONE
+    exactly-rounded IEEE division (the diversity metric that gates
+    bit-identically cross-engine, unlike ln-based entropy)."""
+    from ophois_spark.operators.spatial import cell_simpson
+
+    d = load(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") * 7) % 8).cast("int").alias("gx"),
+        ((F.col("doc_id") * 13) % 8).cast("int").alias("gy"),
+        "lang",
+    )
+    return cell_simpson(d, "lang")
+
+
+SQL_GEO_LANG_DIVERSITY = r"""
+WITH d AS (
+  SELECT CAST((doc_id * 7) % 8 AS INT) AS gx,
+         CAST((doc_id * 13) % 8 AS INT) AS gy,
+         lang
+  FROM documents),
+per_val AS (
+  SELECT gx, gy, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2, 3)
+SELECT gx, gy,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+       CAST(SUM(n * n) AS DOUBLE)
+         / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS simpson
+FROM per_val GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {"isochrone": q_isochrone, "geo_lang_diversity": q_geo_lang_diversity}
+)
+ORACLES.update(
+    {"isochrone": SQL_ISOCHRONE, "geo_lang_diversity": SQL_GEO_LANG_DIVERSITY}
+)

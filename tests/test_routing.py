@@ -87,3 +87,39 @@ def test_bounded_dist_early_exit_is_fixpoint(spark):
     path = lambda *es: sum(w[frozenset(e)] for e in es)
     assert got["e"] == path(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
     assert got["f"] == path(("a", "b"), ("b", "c"), ("c", "f"))
+
+
+def test_isochrone_cells_cutoff_and_cell_rollup(spark):
+    from ophois_spark.operators.routing import isochrone_cells
+
+    g = graph_from_tuples(spark, NODES, LINKS)
+    # chain spacing is ~78 m per 0.001 deg lon at lat 45; cutoff after
+    # two hops keeps a,b,c and drops d,e,f; z is disconnected
+    cutoff = int(2 * haversine(5.0, 45.0, 5.001, 45.0))
+    out = isochrone_cells(
+        g, _seeds(spark, ["a"]), cutoff_m=cutoff, grid_deg=0.001, max_hops=8
+    ).collect()
+    got = {(r["gx"], r["gy"]): (r["n_nodes"], r["min_dist_m"]) for r in out}
+    # one cell per chain node at this grid: a=(5000,45000), b, c
+    assert got[(5000, 45000)] == (1, 0)
+    assert got[(5001, 45000)][0] == 1
+    assert got[(5002, 45000)][0] == 1
+    assert len(got) == 3
+    # seed cell has closest approach 0; neighbors are one/two edges out
+    assert got[(5001, 45000)][1] > 0
+    assert got[(5002, 45000)][1] == cutoff or got[(5002, 45000)][1] <= cutoff
+
+
+def test_cell_simpson_monoculture_and_balance(spark):
+    from ophois_spark.operators.spatial import cell_simpson
+
+    rows = [(0, 0, "en")] * 3 + [(1, 1, "en"), (1, 1, "fr")] + [
+        (2, 2, "en"), (2, 2, "fr"), (2, 2, "de"), (2, 2, "de")
+    ]
+    cells = spark.createDataFrame(rows, "gx int, gy int, lang string")
+    out = {(r["gx"], r["gy"]): r for r in cell_simpson(cells, "lang").collect()}
+    assert out[(0, 0)]["simpson"] == 1.0 and out[(0, 0)]["sum_sq"] == 9
+    assert out[(1, 1)]["simpson"] == 0.5
+    # counts 1,1,2 over n=4: (1+1+4)/16
+    assert out[(2, 2)]["simpson"] == 6 / 16
+    assert out[(2, 2)]["n_rows"] == 4
