@@ -1263,6 +1263,11 @@ def choropleth_classes(counts: DataFrame, k: int = 5) -> DataFrame:
     is one map-side-combinable groupBy plus one broadcast join back on
     the density value. No global sort of the cells themselves.
     """
+    from ophois_spark.plans.cache import swap_cached
+
+    # counts feeds three branches (histogram, total, final join) —
+    # cache once or the upstream point aggregation recomputes per branch
+    counts = swap_cached("choropleth.counts", counts)
     hist = counts.groupBy("n").agg(F.count(F.lit(1)).alias("_cnt"))
     w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, -1)
     hist = hist.withColumn(
@@ -1299,9 +1304,15 @@ def cell_majority(
     the (cell,value) count itself, which salting upstream of this
     operator would address the same way coord_dedup_salted does.
     """
+    from ophois_spark.plans.cache import swap_cached
+
     keys = list(key_cols)
-    per_val = cells.groupBy(*keys, val_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_top")
+    # per_val feeds two branches (totals + top-1 window) — cache once
+    per_val = swap_cached(
+        "cell_majority.per_val",
+        cells.groupBy(*keys, val_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_top")
+        ),
     )
     totals = per_val.groupBy(*keys).agg(F.sum("n_top").cast("long").alias("n_rows"))
     w = Window.partitionBy(*keys).orderBy(

@@ -1,0 +1,240 @@
+"""Trajectory analytics: trip segmentation and origin-destination flows.
+
+The mobility layer over the engine's spatial/temporal primitives: a
+user's event stream becomes TRIPS (maximal runs where consecutive
+points are close in time AND space), and trips roll up into the
+origin-destination cell matrix a transport/coverage product ships.
+
+``trip_segments`` extends the two-level slab prefix sum of
+``temporal.sessionize`` (same decomposition, same scale argument: the
+ordered scan runs per (key, time-slab), so a hot key's history shards
+across slabs BY CONSTRUCTION) with a SPATIAL cut condition — the slab
+carry is the previous slab's last POINT (t, lat, lon), not just its
+timestamp, because the cut needs the distance jump too.
+
+Exactness: all keys/ids are int64 (epoch micros, event ids, cell
+coords); the only float is the step distance, immediately floored to
+integer metres (the A3 length discipline — src/geo.rs haversine,
+floored), so path sums are exact int64 min-plus-style arithmetic and
+the oracle's window restatement gates bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ophois_spark.functions import haversine_m
+
+
+def _prep(
+    points: DataFrame, grid_deg: float, key: str, ts: str, tie: str
+) -> DataFrame:
+    gd = F.lit(grid_deg)
+    return points.select(
+        F.col(key).alias("_k"),
+        F.col(ts).cast("long").alias("_t"),
+        F.col(tie).cast("long").alias("_i"),
+        F.col("lat_d").alias("_lat"),
+        F.col("lon_d").alias("_lon"),
+        F.floor(F.col("lon_d") / gd).cast("int").alias("_gx"),
+        F.floor(F.col("lat_d") / gd).cast("int").alias("_gy"),
+    )
+
+
+def _finish(seg: DataFrame, key: str) -> DataFrame:
+    """(…, trip_id, _cut, _stp) rows → per-trip rollup."""
+    o = F.min(F.struct("_t", "_i", "_gx", "_gy"))
+    d = F.max(F.struct("_t", "_i", "_gx", "_gy"))
+    return (
+        seg.groupBy(F.col("_k").alias(key), "trip_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min("_t").alias("start_us"),
+            F.max("_t").alias("end_us"),
+            F.coalesce(
+                F.sum(F.when(F.col("_cut") == 0, F.col("_stp"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("path_m"),
+            o.alias("_o"),
+            d.alias("_d"),
+        )
+        .select(
+            key,
+            "trip_id",
+            "n_points",
+            "start_us",
+            "end_us",
+            "path_m",
+            F.col("_o._gx").alias("o_gx"),
+            F.col("_o._gy").alias("o_gy"),
+            F.col("_d._gx").alias("d_gx"),
+            F.col("_d._gy").alias("d_gy"),
+        )
+    )
+
+
+def trip_segments_naive(
+    points: DataFrame,
+    gap_us: int,
+    jump_m: int,
+    grid_deg: float = 0.001,
+    key: str = "user_id",
+    ts: str = "t_us",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Textbook trip segmentation — ONE window over each key's entire
+    history (the semantics reference and A/B baseline; same hot-key
+    single-task trap ``sessionize_naive`` documents)."""
+    e = _prep(points, grid_deg, key, ts, tie)
+    w = Window.partitionBy("_k").orderBy("_t", "_i")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    loc = (
+        e.withColumn("_pt", F.lag("_t").over(w))
+        .withColumn("_plat", F.lag("_lat").over(w))
+        .withColumn("_plon", F.lag("_lon").over(w))
+    )
+    step = F.floor(
+        haversine_m(F.col("_plon"), F.col("_plat"), F.col("_lon"), F.col("_lat"))
+    ).cast("long")
+    loc = loc.withColumn(
+        "_stp", F.when(F.col("_pt").isNull(), F.lit(None).cast("long")).otherwise(step)
+    )
+    cut = F.when(
+        F.col("_pt").isNull()
+        | (F.col("_t") - F.col("_pt") > F.lit(int(gap_us)))
+        | (F.col("_stp") > F.lit(int(jump_m))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    seg = loc.withColumn("_cut", cut.cast("long")).withColumn(
+        "trip_id", F.sum("_cut").over(wc) - F.lit(1)
+    )
+    return _finish(seg, key)
+
+
+def trip_segments(
+    points: DataFrame,
+    gap_us: int,
+    jump_m: int,
+    slab_us: int,
+    grid_deg: float = 0.001,
+    key: str = "user_id",
+    ts: str = "t_us",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Trip segmentation → (key, trip_id, n_points, start_us, end_us,
+    path_m, o_gx, o_gy, d_gx, d_gy): a trip is a maximal run of a
+    key's points where each consecutive step is within ``gap_us``
+    micros AND ``jump_m`` floored metres; ``trip_id`` is 0-based in
+    time order per key; ``path_m`` is the exact int64 sum of in-trip
+    step distances; origin/destination are the first/last point's grid
+    cell.
+
+    Same output as ``trip_segments_naive`` (pinned in
+    tests/test_trajectory.py) via the sessionize two-level slab prefix
+    sum, extended with the spatial cut: the slab summary's carry-out is
+    the last POINT (t, i, lat, lon) so the next slab's head row can
+    evaluate both the time gap and the distance jump against its true
+    predecessor. Per-event work is two (key, slab) windows sharing one
+    hash partitioning; the cross-slab window runs over slab summaries
+    only (|keys x active slabs| rows, volume-independent).
+    """
+    e = _prep(points, grid_deg, key, ts, tie).withColumn(
+        "_slab", F.expr(f"_t div {int(slab_us)}")
+    )
+    w_loc = Window.partitionBy("_k", "_slab").orderBy("_t", "_i")
+    loc = (
+        e.withColumn("_pt", F.lag("_t").over(w_loc))
+        .withColumn("_plat", F.lag("_lat").over(w_loc))
+        .withColumn("_plon", F.lag("_lon").over(w_loc))
+    )
+    step = F.floor(
+        haversine_m(F.col("_plon"), F.col("_plat"), F.col("_lon"), F.col("_lat"))
+    ).cast("long")
+    loc = loc.withColumn(
+        "_stp_in",
+        F.when(F.col("_pt").isNull(), F.lit(None).cast("long")).otherwise(step),
+    ).withColumn(
+        "_inner_cut",
+        F.when(F.col("_pt").isNull(), F.lit(0))
+        .otherwise(
+            (
+                (F.col("_t") - F.col("_pt") > F.lit(int(gap_us)))
+                | (F.col("_stp_in") > F.lit(int(jump_m)))
+            ).cast("long")
+        ),
+    )
+
+    summ = loc.groupBy("_k", "_slab").agg(
+        F.min(F.struct("_t", "_i", "_lat", "_lon")).alias("_first"),
+        F.max(F.struct("_t", "_i", "_lat", "_lon")).alias("_last"),
+        F.sum("_inner_cut").alias("_inner_cuts"),
+    )
+    w_slab = Window.partitionBy("_k").orderBy("_slab")
+    w_slab_prev = w_slab.rowsBetween(Window.unboundedPreceding, -1)
+    head_step = F.floor(
+        haversine_m(
+            F.col("_prev._lon"),
+            F.col("_prev._lat"),
+            F.col("_first._lon"),
+            F.col("_first._lat"),
+        )
+    ).cast("long")
+    summ2 = (
+        summ.withColumn("_prev", F.lag("_last").over(w_slab))
+        .withColumn(
+            "_head_stp",
+            F.when(F.col("_prev").isNull(), F.lit(None).cast("long")).otherwise(
+                head_step
+            ),
+        )
+        .withColumn(
+            "_first_cut",
+            F.when(F.col("_prev").isNull(), F.lit(1))
+            .otherwise(
+                (
+                    (F.col("_first._t") - F.col("_prev._t") > F.lit(int(gap_us)))
+                    | (F.col("_head_stp") > F.lit(int(jump_m)))
+                ).cast("long")
+            ),
+        )
+        .withColumn(
+            "_cuts_before",
+            F.coalesce(
+                F.sum(F.col("_inner_cuts") + F.col("_first_cut")).over(w_slab_prev),
+                F.lit(0),
+            ),
+        )
+        .select("_k", "_slab", "_first_cut", "_head_stp", "_cuts_before")
+    )
+
+    w_loc_c = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cut = F.when(F.col("_pt").isNull(), F.col("_first_cut")).otherwise(
+        F.col("_inner_cut")
+    )
+    stp = F.when(F.col("_pt").isNull(), F.col("_head_stp")).otherwise(
+        F.col("_stp_in")
+    )
+    seg = (
+        loc.join(summ2, ["_k", "_slab"])
+        .withColumn("_cut", cut.cast("long"))
+        .withColumn("_stp", stp)
+        .withColumn(
+            "trip_id",
+            F.col("_cuts_before") + F.sum("_cut").over(w_loc_c) - F.lit(1),
+        )
+    )
+    return _finish(seg, key)
+
+
+def od_matrix(trips: DataFrame) -> DataFrame:
+    """Origin-destination flow matrix → (o_gx, o_gy, d_gx, d_gy,
+    n_trips, total_path_m): trips aggregated by their endpoint cells —
+    one map-side-combinable groupBy over the (already tiny relative to
+    points) trip relation. The round-trip diagonal (o == d) stays in;
+    consumers filter it."""
+    return trips.groupBy("o_gx", "o_gy", "d_gx", "d_gy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trips"),
+        F.sum("path_m").cast("long").alias("total_path_m"),
+    )

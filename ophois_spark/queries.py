@@ -5371,3 +5371,132 @@ QUERIES.update(
 ORACLES.update(
     {"isochrone": SQL_ISOCHRONE, "geo_lang_diversity": SQL_GEO_LANG_DIVERSITY}
 )
+
+
+# ---------------------------------------------------------------------------
+# round-4 breadth: trajectory analytics (trips + OD matrix)
+# ---------------------------------------------------------------------------
+
+TRIP_GAP_US = 21_600_000_000  # 6 h — median inter-event gap is ~7 h
+TRIP_JUMP_M = 100
+TRIP_SLAB_US = 604_800_000_000  # 7-day slabs (~28x the gap)
+TRIP_GRID_DEG = 0.001
+
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic geotagged event stream: position = per-user home
+    cell + per-event jitter large enough that some consecutive steps
+    exceed TRIP_JUMP_M (so the spatial cut fires) and some don't."""
+    ev = load(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        (
+            F.lit(45.0)
+            + (uid % 50).cast("double") * F.lit(0.002)
+            + ((eid * 3) % 7).cast("double") * F.lit(2e-4)
+        ).alias("lat_d"),
+        (
+            F.lit(5.0)
+            + ((uid * 7) % 50).cast("double") * F.lit(0.002)
+            + ((eid * 5) % 7).cast("double") * F.lit(2e-4)
+        ).alias("lon_d"),
+    )
+
+
+def q_trip_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip segmentation — operators/trajectory.py trip_segments: the
+    sessionize two-level slab prefix sum extended with a spatial cut
+    (slab carry = previous slab's last POINT, so the head row checks
+    both the time gap and the distance jump). Exact int64 path sums
+    (floored-metre steps, the A3 length discipline)."""
+    from ophois_spark.operators.trajectory import trip_segments
+
+    return trip_segments(
+        _event_points(spark, sf_dir),
+        gap_us=TRIP_GAP_US,
+        jump_m=TRIP_JUMP_M,
+        slab_us=TRIP_SLAB_US,
+        grid_deg=TRIP_GRID_DEG,
+    )
+
+
+def _trip_ctes() -> str:
+    hav = _hav_sql("plat", "plon", "lat_d", "lon_d")
+    return f"""
+p AS (
+  SELECT user_id, event_id AS i, epoch_us(ts) AS t,
+         45.0 + CAST(user_id % 50 AS DOUBLE) * 0.002
+              + CAST((event_id * 3) % 7 AS DOUBLE) * 0.0002 AS lat_d,
+         5.0 + CAST((user_id * 7) % 50 AS DOUBLE) * 0.002
+             + CAST((event_id * 5) % 7 AS DOUBLE) * 0.0002 AS lon_d
+  FROM events),
+g AS (
+  SELECT *, CAST(floor(lon_d / {TRIP_GRID_DEG!r}) AS INT) AS gx,
+            CAST(floor(lat_d / {TRIP_GRID_DEG!r}) AS INT) AS gy
+  FROM p),
+l AS (
+  SELECT *, lag(t) OVER w AS pt,
+            lag(lat_d) OVER w AS plat, lag(lon_d) OVER w AS plon
+  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY t, i)),
+c AS (
+  SELECT *,
+    CASE WHEN pt IS NULL THEN NULL
+         ELSE CAST(floor({hav}) AS BIGINT) END AS step
+  FROM l),
+c2 AS (
+  SELECT *,
+    CASE WHEN pt IS NULL OR t - pt > {TRIP_GAP_US}
+              OR step > {TRIP_JUMP_M} THEN 1 ELSE 0 END AS cut
+  FROM c),
+t2 AS (
+  SELECT *, SUM(cut) OVER (PARTITION BY user_id ORDER BY t, i
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS trip_id
+  FROM c2),
+trips AS (
+  SELECT user_id, CAST(trip_id AS BIGINT) AS trip_id,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         MIN(t) AS start_us, MAX(t) AS end_us,
+         CAST(COALESCE(SUM(CASE WHEN cut = 0 THEN step END), 0) AS BIGINT) AS path_m,
+         (MIN({{'t': t, 'i': i, 'gx': gx, 'gy': gy}})).gx AS o_gx,
+         (MIN({{'t': t, 'i': i, 'gx': gx, 'gy': gy}})).gy AS o_gy,
+         (MAX({{'t': t, 'i': i, 'gx': gx, 'gy': gy}})).gx AS d_gx,
+         (MAX({{'t': t, 'i': i, 'gx': gx, 'gy': gy}})).gy AS d_gy
+  FROM t2 GROUP BY 1, 2)"""
+
+
+SQL_TRIP_SEGMENTS = f"""
+WITH {_trip_ctes()}
+SELECT * FROM trips
+"""
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix over the trip relation —
+    operators/trajectory.py od_matrix (one map-side-combinable groupBy
+    on the endpoint cells)."""
+    from ophois_spark.operators.trajectory import od_matrix, trip_segments
+
+    trips = trip_segments(
+        _event_points(spark, sf_dir),
+        gap_us=TRIP_GAP_US,
+        jump_m=TRIP_JUMP_M,
+        slab_us=TRIP_SLAB_US,
+        grid_deg=TRIP_GRID_DEG,
+    )
+    return od_matrix(trips)
+
+
+SQL_OD_MATRIX = f"""
+WITH {_trip_ctes()}
+SELECT o_gx, o_gy, d_gx, d_gy,
+       CAST(COUNT(*) AS BIGINT) AS n_trips,
+       CAST(SUM(path_m) AS BIGINT) AS total_path_m
+FROM trips GROUP BY 1, 2, 3, 4
+"""
+
+
+QUERIES.update({"trip_segments": q_trip_segments, "od_matrix": q_od_matrix})
+ORACLES.update({"trip_segments": SQL_TRIP_SEGMENTS, "od_matrix": SQL_OD_MATRIX})
