@@ -2,8 +2,13 @@
 
 The operator under test (operators/spatial.py snap_points_to_edges)
 bounds map-matching candidates with a radius-dilated bbox grid cover;
-the baseline is the all-pairs cross join the oracle uses. Parity is
-asserted before timing; both sides materialize through the noop sink.
+the baseline is the all-pairs cross join the oracle uses. Row-count
+parity is asserted on BOTH legs before timing (full value parity is
+pinned by the trace_snap oracle gate and tests/test_spatial.py); both
+sides materialize through the noop sink under the SAME protocol:
+one count() (parity + warm-up) then best-of-2 timed runs, identical
+for operator and baseline, so neither arm pays JVM/codegen cold-start
+the other doesn't.
 
 Two legs:
 - sf leg: the registry overlay at $SPARK_GRAFT_SF_DIR scale
@@ -81,9 +86,9 @@ def main() -> None:
             .select("qid", F.col("rank").cast("int").alias("rank"), "edge_id", "dist_m")
         )
 
-    def run(df, reps: int = 2) -> float:
+    def run(df) -> float:
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(2):
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
@@ -112,9 +117,10 @@ def main() -> None:
     points.persist().count()
     grid = snap_points_to_edges(points, segments, Q.SNAP_RADIUS_M, Q.SNAP_GRID_DEG, Q.SNAP_K)
     base = brute(points, segments, Q.SNAP_RADIUS_M, Q.SNAP_K)
+    # count = parity gate AND the symmetric warm-up for both arms
     n_grid = grid.count()
-    assert n_grid == base.count()  # value parity is oracle- + pytest-pinned
-    t_grid, t_base = run(grid), run(base, reps=1)
+    assert n_grid == base.count()
+    t_grid, t_base = run(grid), run(base)
 
     # -- dense leg: short segments, big volumes
     segs2 = spark.range(5_000).select(
@@ -138,10 +144,8 @@ def main() -> None:
     grid2 = snap_points_to_edges(pts2, segs2, 25.0, 0.001, 1)
     base2 = brute(pts2, segs2, 25.0, 1)
     n2 = grid2.count()
-    # dense-leg value parity is pinned by tests/test_spatial.py on the
-    # same math at test scale; re-counting the brute here would double
-    # its cost for no new signal
-    t_grid2, t_base2 = run(grid2), run(base2, reps=1)
+    assert n2 == base2.count()
+    t_grid2, t_base2 = run(grid2), run(base2)
 
     out = {
         "sf_grid_sec": round(t_grid, 3),

@@ -400,9 +400,17 @@ def st_cube_rollup(
     floor-grid composite key (gx * 2^20 + gy — same grid family as the
     snap/crossings operators), hour is the integer epoch-hour mod 24
     (no timezone/date semantics anywhere), and the margins carry
-    sentinels (-1 / 'ALL') plus an explicit grouping bitmask ``g``
-    (cell=4 | hour=2 | type=1) computed with ``grouping()`` so engines
-    agree regardless of their internal grouping-id conventions.
+    sentinels plus an explicit grouping bitmask ``g`` (cell=4 |
+    hour=2 | type=1) computed with ``grouping()`` so engines agree
+    regardless of their internal grouping-id conventions.
+
+    ``g`` is the AUTHORITATIVE margin discriminator — select margins
+    by bitmask, never by sentinel equality. The sentinels exist only
+    so the key columns stay non-null for hashing/joins: CELL_ALL
+    (-2^62) and hour -1 cannot collide with data (a real composite
+    cell is bounded by ±2^41 at any grid, a real hour is 0..23), but
+    event_type 'ALL' COULD collide with a pathological type string —
+    with ``g`` odd you are reading a type margin regardless.
 
     Scale shape: ``cube`` expands to 8 grouping sets, each a plain
     algebraic aggregation with map-side partial combine — one shuffle
@@ -410,6 +418,7 @@ def st_cube_rollup(
     COUNT(DISTINCT) so Spark plans the standard two-phase expand;
     everything emitted is int64 counts — bit-identical across engines.
     """
+    CELL_ALL = -(1 << 62)
     g = F.lit(grid_deg)
     d = pts.select(
         (
@@ -438,7 +447,7 @@ def st_cube_rollup(
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
         .select(
-            F.coalesce(F.col("cell"), F.lit(-1).cast("long")).alias("cell"),
+            F.coalesce(F.col("cell"), F.lit(CELL_ALL).cast("long")).alias("cell"),
             F.coalesce(F.col("hour"), F.lit(-1).cast("int")).alias("hour"),
             F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
             "g",

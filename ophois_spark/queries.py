@@ -5161,7 +5161,7 @@ d AS (
          CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
          event_type, user_id
   FROM pts)
-SELECT COALESCE(cell, -1) AS cell,
+SELECT COALESCE(cell, -4611686018427387904) AS cell,
        COALESCE(hour, -1) AS hour,
        COALESCE(event_type, 'ALL') AS event_type,
        CAST(GROUPING(cell) * 4 + GROUPING(hour) * 2 + GROUPING(event_type) AS INT) AS g,

@@ -32,14 +32,15 @@ def test_st_cube_margins_are_consistent(spark):
         by_g.setdefault(r["g"], []).append(r)
 
     # grand total margin (g=7): everything rolled up
+    CELL_ALL = -(1 << 62)
     (grand,) = by_g[7]
-    assert grand["cell"] == -1 and grand["hour"] == -1
+    assert grand["cell"] == CELL_ALL and grand["hour"] == -1
     assert grand["event_type"] == "ALL"
     assert grand["n_events"] == 4 and grand["n_users"] == 3
 
     # finest grain (g=0): sums back to the grand total
     assert sum(r["n_events"] for r in by_g[0]) == 4
-    assert all(r["cell"] != -1 and r["hour"] != -1 for r in by_g[0])
+    assert all(r["cell"] != CELL_ALL and r["hour"] != -1 for r in by_g[0])
 
     # hour margin keeps type+cell rolled: g=6 rows are keyed by type only
     type_margin = {r["event_type"]: r for r in by_g[6]}

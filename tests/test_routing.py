@@ -105,9 +105,11 @@ def test_isochrone_cells_cutoff_and_cell_rollup(spark):
     assert got[(5001, 45000)][0] == 1
     assert got[(5002, 45000)][0] == 1
     assert len(got) == 3
-    # seed cell has closest approach 0; neighbors are one/two edges out
-    assert got[(5001, 45000)][1] > 0
-    assert got[(5002, 45000)][1] == cutoff or got[(5002, 45000)][1] <= cutoff
+    # exact closest approaches: per-edge FLOORED weights, summed
+    w_ab = int(haversine(5.0, 45.0, 5.001, 45.0))
+    w_bc = int(haversine(5.001, 45.0, 5.002, 45.0))
+    assert got[(5001, 45000)][1] == w_ab
+    assert got[(5002, 45000)][1] == w_ab + w_bc
 
 
 def test_cell_simpson_monoculture_and_balance(spark):
