@@ -241,6 +241,99 @@ def sessionize_naive(
     )
 
 
+def slab_run_ids(
+    e: DataFrame,
+    slab_us: int,
+    cut_fn,
+    carry: tuple[str, ...] = (),
+    run_col: str = "_run",
+) -> DataFrame:
+    """Two-level slab prefix sum over per-key ordered rows → the input
+    plus each row's TRUE predecessor values and a 0-based run id. The
+    shared kernel under ``sessionize`` (time-gap cut, no carry) and
+    ``trajectory.trip_segments`` (time+distance cut, lat/lon carry).
+
+    ``e`` must carry ``_k`` (key), ``_t`` (int64 order), ``_i`` (int64
+    tie — (_t, _i) must be unique per key) plus the ``carry`` columns
+    the cut needs from the PREVIOUS row. ``cut_fn(prev, cur)`` builds
+    the boolean "start a new run" Column from two dicts of Columns
+    keyed by ``("_t", "_i", *carry)``; it is evaluated both on row
+    pairs and on slab-summary structs, so it must be a pure expression
+    of those inputs. Output adds ``_p_<c>`` (previous row's value,
+    NULL only at the key's first row) for ``_t``/``_i``/every carry
+    column, ``_cut`` (1 where a new run starts) and ``run_col``.
+
+    Decomposition (the 100 TB argument, stated once here): the ordered
+    scan runs per (key, ``_t div slab_us``) so a hot key's history
+    shards across slabs BY CONSTRUCTION — the bound is rows-per-slab,
+    never rows-per-key; slab summaries (lexicographic first/last row
+    struct + inner cut count) are |keys × active slabs| rows,
+    volume-independent; their per-key window hands each slab its
+    carry-in row and run-count offset; a second (key, slab) window
+    finishes locally. Both row-side windows and the summary join share
+    ONE (key, slab) hash partitioning.
+    """
+    cols = ("_t", "_i", *carry)
+    e = e.withColumn("_slab", F.expr(f"_t div {int(slab_us)}"))
+    w_loc = Window.partitionBy("_k", "_slab").orderBy("_t", "_i")
+    loc = e
+    for c in cols:
+        loc = loc.withColumn(f"_lp_{c}", F.lag(c).over(w_loc))
+    prev_loc = {c: F.col(f"_lp_{c}") for c in cols}
+    cur_row = {c: F.col(c) for c in cols}
+    loc = loc.withColumn(
+        "_inner_cut",
+        F.when(F.col("_lp__t").isNull(), F.lit(0)).otherwise(
+            cut_fn(prev_loc, cur_row).cast("long")
+        ),
+    )
+    summ = loc.groupBy("_k", "_slab").agg(
+        F.min(F.struct(*cols)).alias("_first"),
+        F.max(F.struct(*cols)).alias("_last"),
+        F.sum("_inner_cut").alias("_inner_cuts"),
+    )
+    w_slab = Window.partitionBy("_k").orderBy("_slab")
+    w_slab_prev = w_slab.rowsBetween(Window.unboundedPreceding, -1)
+    prev_s = {c: F.col("_prev").getField(c) for c in cols}
+    first_s = {c: F.col("_first").getField(c) for c in cols}
+    summ2 = (
+        summ.withColumn("_prev", F.lag("_last").over(w_slab))
+        .withColumn(
+            "_first_cut",
+            F.when(F.col("_prev").isNull(), F.lit(1)).otherwise(
+                cut_fn(prev_s, first_s).cast("long")
+            ),
+        )
+        .withColumn(
+            "_cuts_before",
+            F.coalesce(
+                F.sum(F.col("_inner_cuts") + F.col("_first_cut")).over(w_slab_prev),
+                F.lit(0),
+            ),
+        )
+        .select("_k", "_slab", "_prev", "_cuts_before")
+    )
+    j = loc.join(summ2, ["_k", "_slab"])
+    # each row's TRUE predecessor: the in-slab lag, else the carry-in
+    for c in cols:
+        j = j.withColumn(
+            f"_p_{c}",
+            F.coalesce(F.col(f"_lp_{c}"), F.col("_prev").getField(c)),
+        )
+    prev_row = {c: F.col(f"_p_{c}") for c in cols}
+    w_loc_c = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cut = F.when(F.col("_p__t").isNull(), F.lit(1)).otherwise(
+        cut_fn(prev_row, cur_row).cast("long")
+    )
+    j = j.withColumn("_cut", cut)
+    j = j.withColumn(
+        run_col, F.col("_cuts_before") + F.sum("_cut").over(w_loc_c) - F.lit(1)
+    )
+    return j.drop(
+        "_prev", "_inner_cut", "_cuts_before", *[f"_lp_{c}" for c in cols]
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_us: int,
@@ -255,80 +348,22 @@ def sessionize(
     new one); ``session_id`` is 0-based in time order per key.
 
     Same output as ``sessionize_naive`` (pinned in
-    tests/test_temporal.py) but the per-event ordered scan is
-    decomposed into a TWO-LEVEL prefix sum so no key ever serializes
-    onto one task:
-
-    1. events bucket onto fixed time slabs ``t div slab_us``; the
-       ordered work runs per (key, slab) — a hot key's day shards
-       across slabs BY CONSTRUCTION, the bound is events-per-slab,
-       never events-per-key;
-    2. per-(key, slab) summaries (first/last timestamp, inner session
-       starts) are ~|keys × active slabs| rows — the window over THEM
-       is bounded by the time range, independent of event volume;
-    3. the slab summary hands each slab its carry-in (previous slab's
-       last event time, session starts before the slab), and a second
-       (key, slab) window adds the local running start count.
-
-    Both event-side windows and the summary join share the (key, slab)
-    hash partitioning — one event-side Exchange total. All arithmetic
-    is int64 microseconds (gap boundary exact cross-engine; equal-ts
-    events ordered by ``tie``; the gap itself compares ``ts`` only).
-    ``slab_us`` must be ≥ 1; pick it ~10-100× ``gap_us`` so slab
-    summaries stay tiny while hot keys still shard.
+    tests/test_temporal.py) via the ``slab_run_ids`` two-level slab
+    prefix sum (see its docstring for the decomposition and the 100 TB
+    argument) with the pure time-gap cut. All arithmetic is int64
+    microseconds (gap boundary exact cross-engine; equal-ts events
+    ordered by ``tie``; the gap compares ``ts`` only). ``slab_us``
+    must be ≥ 1; pick it ~10-100× ``gap_us`` so slab summaries stay
+    tiny while hot keys still shard.
     """
-    from pyspark.sql import Window
-
     e = events.select(
         F.col(key).alias("_k"),
         F.col(ts).cast("long").alias("_t"),
         F.col(tie).cast("long").alias("_i"),
-    ).withColumn("_slab", F.expr(f"_t div {int(slab_us)}"))
-
-    w_loc = Window.partitionBy("_k", "_slab").orderBy("_t", "_i")
-    gap_gt = lambda prev: (F.col("_t") - prev > F.lit(int(gap_us)))  # noqa: E731
-    loc = e.withColumn("_pt", F.lag("_t").over(w_loc)).withColumn(
-        "_inner_st",
-        F.when(F.col("_pt").isNull(), F.lit(0))
-        .otherwise(gap_gt(F.col("_pt")).cast("long")),
     )
-
-    summ = loc.groupBy("_k", "_slab").agg(
-        F.min("_t").alias("_first_t"),
-        F.max("_t").alias("_last_t"),
-        F.sum("_inner_st").alias("_inner_starts"),
-    )
-    w_slab = Window.partitionBy("_k").orderBy("_slab")
-    w_slab_prev = w_slab.rowsBetween(Window.unboundedPreceding, -1)
-    summ2 = (
-        summ.withColumn("_prev_last", F.lag("_last_t").over(w_slab))
-        .withColumn(
-            "_first_st",
-            (
-                F.col("_prev_last").isNull()
-                | (F.col("_first_t") - F.col("_prev_last") > F.lit(int(gap_us)))
-            ).cast("long"),
-        )
-        .withColumn(
-            "_starts_before",
-            F.coalesce(
-                F.sum(F.col("_inner_starts") + F.col("_first_st")).over(w_slab_prev),
-                F.lit(0),
-            ),
-        )
-        .select("_k", "_slab", "_first_st", "_starts_before")
-    )
-
-    w_loc_c = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    st = F.when(F.col("_pt").isNull(), F.col("_first_st")).otherwise(
-        gap_gt(F.col("_pt")).cast("long")
-    )
-    sid = (F.col("_starts_before") + F.sum(st).over(w_loc_c) - F.lit(1)).alias(
-        "session_id"
-    )
+    cut = lambda p, c: c["_t"] - p["_t"] > F.lit(int(gap_us))  # noqa: E731
     return (
-        loc.join(summ2, ["_k", "_slab"])
-        .select("_k", "_t", sid)
+        slab_run_ids(e, slab_us, cut, run_col="session_id")
         .groupBy(F.col("_k").alias(key), "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

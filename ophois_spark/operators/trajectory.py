@@ -132,98 +132,34 @@ def trip_segments(
     cell.
 
     Same output as ``trip_segments_naive`` (pinned in
-    tests/test_trajectory.py) via the sessionize two-level slab prefix
-    sum, extended with the spatial cut: the slab summary's carry-out is
-    the last POINT (t, i, lat, lon) so the next slab's head row can
-    evaluate both the time gap and the distance jump against its true
-    predecessor. Per-event work is two (key, slab) windows sharing one
-    hash partitioning; the cross-slab window runs over slab summaries
-    only (|keys x active slabs| rows, volume-independent).
+    tests/test_trajectory.py) via ``temporal.slab_run_ids`` — the
+    shared two-level slab prefix sum under ``sessionize`` — with
+    (lat, lon) as the carry columns, so every row (slab heads
+    included) sees its TRUE predecessor point and the cut can check
+    both the time gap and the distance jump. See slab_run_ids for the
+    decomposition and the 100 TB argument.
     """
-    e = _prep(points, grid_deg, key, ts, tie).withColumn(
-        "_slab", F.expr(f"_t div {int(slab_us)}")
-    )
-    w_loc = Window.partitionBy("_k", "_slab").orderBy("_t", "_i")
-    loc = (
-        e.withColumn("_pt", F.lag("_t").over(w_loc))
-        .withColumn("_plat", F.lag("_lat").over(w_loc))
-        .withColumn("_plon", F.lag("_lon").over(w_loc))
-    )
-    step = F.floor(
-        haversine_m(F.col("_plon"), F.col("_plat"), F.col("_lon"), F.col("_lat"))
-    ).cast("long")
-    loc = loc.withColumn(
-        "_stp_in",
-        F.when(F.col("_pt").isNull(), F.lit(None).cast("long")).otherwise(step),
-    ).withColumn(
-        "_inner_cut",
-        F.when(F.col("_pt").isNull(), F.lit(0))
-        .otherwise(
-            (
-                (F.col("_t") - F.col("_pt") > F.lit(int(gap_us)))
-                | (F.col("_stp_in") > F.lit(int(jump_m)))
-            ).cast("long")
+    from ophois_spark.operators.temporal import slab_run_ids
+
+    def _step(p, c):
+        return F.floor(
+            haversine_m(p["_lon"], p["_lat"], c["_lon"], c["_lat"])
+        ).cast("long")
+
+    def _cut(p, c):
+        return (c["_t"] - p["_t"] > F.lit(int(gap_us))) | (
+            _step(p, c) > F.lit(int(jump_m))
+        )
+
+    e = _prep(points, grid_deg, key, ts, tie)
+    j = slab_run_ids(e, slab_us, _cut, carry=("_lat", "_lon"), run_col="trip_id")
+    prev = {c: F.col(f"_p_{c}") for c in ("_t", "_i", "_lat", "_lon")}
+    cur = {c: F.col(c) for c in ("_t", "_i", "_lat", "_lon")}
+    seg = j.withColumn(
+        "_stp",
+        F.when(F.col("_p__t").isNull(), F.lit(None).cast("long")).otherwise(
+            _step(prev, cur)
         ),
-    )
-
-    summ = loc.groupBy("_k", "_slab").agg(
-        F.min(F.struct("_t", "_i", "_lat", "_lon")).alias("_first"),
-        F.max(F.struct("_t", "_i", "_lat", "_lon")).alias("_last"),
-        F.sum("_inner_cut").alias("_inner_cuts"),
-    )
-    w_slab = Window.partitionBy("_k").orderBy("_slab")
-    w_slab_prev = w_slab.rowsBetween(Window.unboundedPreceding, -1)
-    head_step = F.floor(
-        haversine_m(
-            F.col("_prev._lon"),
-            F.col("_prev._lat"),
-            F.col("_first._lon"),
-            F.col("_first._lat"),
-        )
-    ).cast("long")
-    summ2 = (
-        summ.withColumn("_prev", F.lag("_last").over(w_slab))
-        .withColumn(
-            "_head_stp",
-            F.when(F.col("_prev").isNull(), F.lit(None).cast("long")).otherwise(
-                head_step
-            ),
-        )
-        .withColumn(
-            "_first_cut",
-            F.when(F.col("_prev").isNull(), F.lit(1))
-            .otherwise(
-                (
-                    (F.col("_first._t") - F.col("_prev._t") > F.lit(int(gap_us)))
-                    | (F.col("_head_stp") > F.lit(int(jump_m)))
-                ).cast("long")
-            ),
-        )
-        .withColumn(
-            "_cuts_before",
-            F.coalesce(
-                F.sum(F.col("_inner_cuts") + F.col("_first_cut")).over(w_slab_prev),
-                F.lit(0),
-            ),
-        )
-        .select("_k", "_slab", "_first_cut", "_head_stp", "_cuts_before")
-    )
-
-    w_loc_c = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cut = F.when(F.col("_pt").isNull(), F.col("_first_cut")).otherwise(
-        F.col("_inner_cut")
-    )
-    stp = F.when(F.col("_pt").isNull(), F.col("_head_stp")).otherwise(
-        F.col("_stp_in")
-    )
-    seg = (
-        loc.join(summ2, ["_k", "_slab"])
-        .withColumn("_cut", cut.cast("long"))
-        .withColumn("_stp", stp)
-        .withColumn(
-            "trip_id",
-            F.col("_cuts_before") + F.sum("_cut").over(w_loc_c) - F.lit(1),
-        )
     )
     return _finish(seg, key)
 
