@@ -1366,3 +1366,64 @@ def cell_simpson(
             / (F.sum("_n").cast("double") * F.sum("_n").cast("double"))
         ).alias("simpson"),
     )
+
+
+def polygon_metrics(verts: DataFrame, quant: float = 1e9) -> DataFrame:
+    """Exact ring metrics → (poly_id, n_vertices, area2_q, orientation,
+    perimeter_m) for a vertex table (poly_id, idx, x, y) holding each
+    ring's vertices in order WITHOUT a repeated closing vertex — the
+    admin-boundary audit pass (sliver detection, winding validation,
+    per-region size stats) over the same boundary table the PIP
+    operators consume.
+
+    Cross-engine-exact by the integer discipline: vertices quantize to
+    nanodegrees (floor(x·1e9) of identical doubles is identical), the
+    shoelace cross products run on int64 after subtracting the ring's
+    min vertex (deltas are ring-diameter-bounded, so products stay far
+    from overflow at any realistic boundary size), and the perimeter
+    sums FLOORED haversine metres (the A3 length discipline). area2_q
+    is twice the enclosed area in quantized units² — consumers convert
+    with their projection of choice; doing the cos-based m² conversion
+    here would reintroduce a transcendental into gated output.
+    orientation is the winding sign (+1 CCW, -1 CW, 0 degenerate).
+
+    Scale shape: one lead/first window per ring partition (bounded by
+    vertex count, never by ring count) and one map-side-combinable
+    groupBy; rings parallelize embarrassingly.
+    """
+    w = Window.partitionBy("poly_id").orderBy("idx")
+    wall = Window.partitionBy("poly_id")
+    q = lambda c: F.floor(F.col(c) * F.lit(float(quant))).cast("long")  # noqa: E731
+    v = verts.select(
+        "poly_id", "idx", "x", "y", q("x").alias("qx"), q("y").alias("qy")
+    )
+    v = (
+        v.withColumn("x2", F.coalesce(F.lead("x").over(w), F.first("x").over(w)))
+        .withColumn("y2", F.coalesce(F.lead("y").over(w), F.first("y").over(w)))
+        .withColumn("qx2", F.coalesce(F.lead("qx").over(w), F.first("qx").over(w)))
+        .withColumn("qy2", F.coalesce(F.lead("qy").over(w), F.first("qy").over(w)))
+        .withColumn("mx", F.min("qx").over(wall))
+        .withColumn("my", F.min("qy").over(wall))
+    )
+    cross = (F.col("qx") - F.col("mx")) * (F.col("qy2") - F.col("my")) - (
+        F.col("qx2") - F.col("mx")
+    ) * (F.col("qy") - F.col("my"))
+    edge_m = F.floor(
+        haversine_m(F.col("x"), F.col("y"), F.col("x2"), F.col("y2"))
+    ).cast("long")
+    s = v.groupBy("poly_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum(cross).alias("_s"),
+        F.sum(edge_m).cast("long").alias("perimeter_m"),
+    )
+    return s.select(
+        "poly_id",
+        "n_vertices",
+        F.abs(F.col("_s")).cast("long").alias("area2_q"),
+        F.when(F.col("_s") > 0, F.lit(1))
+        .when(F.col("_s") < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("orientation"),
+        "perimeter_m",
+    )

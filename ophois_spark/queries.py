@@ -5500,3 +5500,62 @@ FROM trips GROUP BY 1, 2, 3, 4
 
 QUERIES.update({"trip_segments": q_trip_segments, "od_matrix": q_od_matrix})
 ORACLES.update({"trip_segments": SQL_TRIP_SEGMENTS, "od_matrix": SQL_OD_MATRIX})
+
+
+def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ring metrics over the admin-boundary table —
+    operators/spatial.py polygon_metrics: nanodegree-quantized integer
+    shoelace (min-vertex offset keeps products far from int64
+    overflow), winding sign, and floored-haversine perimeter."""
+    from ophois_spark.operators.spatial import polygon_metrics
+
+    rows = []
+    for pid, xs, ys in PIP_POLYGONS:
+        rows += [(pid, i, xs[i], ys[i]) for i in range(len(xs))]
+    verts = spark.createDataFrame(
+        rows, "poly_id string, idx int, x double, y double"
+    )
+    return polygon_metrics(verts)
+
+
+def _polygon_metrics_sql() -> str:
+    hav = _hav_sql("y1", "x1", "y2", "x2")
+    rows = []
+    for pid, xs, ys in PIP_POLYGONS:
+        nv = len(xs)
+        for i in range(nv):
+            x1, y1 = xs[i], ys[i]
+            x2, y2 = xs[(i + 1) % nv], ys[(i + 1) % nv]
+            rows.append(
+                f"('{pid}', CAST('{x1!r}' AS DOUBLE), CAST('{y1!r}' AS DOUBLE),"
+                f" CAST('{x2!r}' AS DOUBLE), CAST('{y2!r}' AS DOUBLE))"
+            )
+    vals = ",\n    ".join(rows)
+    return f"""
+WITH poly(poly_id, x1, y1, x2, y2) AS (VALUES {vals}),
+q AS (
+  SELECT poly_id, x1, y1, x2, y2,
+         CAST(floor(x1 * 1000000000.0) AS BIGINT) AS qx1,
+         CAST(floor(y1 * 1000000000.0) AS BIGINT) AS qy1,
+         CAST(floor(x2 * 1000000000.0) AS BIGINT) AS qx2,
+         CAST(floor(y2 * 1000000000.0) AS BIGINT) AS qy2
+  FROM poly),
+m AS (SELECT poly_id, MIN(qx1) AS mx, MIN(qy1) AS my FROM q GROUP BY poly_id),
+agg AS (
+  SELECT q.poly_id,
+         CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(SUM((qx1 - mx) * (qy2 - my) - (qx2 - mx) * (qy1 - my)) AS BIGINT) AS s,
+         CAST(SUM(CAST(floor({hav}) AS BIGINT)) AS BIGINT) AS perimeter_m
+  FROM q JOIN m USING (poly_id) GROUP BY q.poly_id)
+SELECT poly_id, n_vertices,
+       CAST(ABS(s) AS BIGINT) AS area2_q,
+       CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END AS INT) AS orientation,
+       perimeter_m
+FROM agg
+"""
+
+
+SQL_POLYGON_METRICS = _polygon_metrics_sql()
+
+QUERIES.update({"polygon_metrics": q_polygon_metrics})
+ORACLES.update({"polygon_metrics": SQL_POLYGON_METRICS})

@@ -506,3 +506,30 @@ def test_cell_dbscan_two_blobs_and_noise(spark):
     ab = clusters[min(clusters)]                         # min-key labeled
     assert (0, 0) in ab and (1, 1) in ab                 # diagonal merge
     assert any((1000, 0) in c for c in clusters.values())
+
+
+def test_polygon_metrics_square_exact(spark):
+    from ophois_spark.kernels.geo import haversine
+    from ophois_spark.operators.spatial import polygon_metrics
+
+    # CCW 0.001-deg square at lat 45 and its CW mirror
+    sq = [(5.0, 45.0), (5.001, 45.0), (5.001, 45.001), (5.0, 45.001)]
+    rows = [("ccw", i, x, y) for i, (x, y) in enumerate(sq)]
+    rows += [("cw", i, x, y) for i, (x, y) in enumerate(sq[::-1])]
+    verts = spark.createDataFrame(rows, "poly_id string, idx int, x double, y double")
+    out = {r["poly_id"]: r for r in polygon_metrics(verts).collect()}
+
+    # shoelace of a 1e6 x 1e6 nanodeg square = 2 * 1e12 (sign by winding)
+    assert out["ccw"]["area2_q"] == 2 * 10**12
+    assert out["cw"]["area2_q"] == 2 * 10**12
+    assert out["ccw"]["orientation"] == 1
+    assert out["cw"]["orientation"] == -1
+    # perimeter: floored haversine per edge, summed exactly
+    exp = (
+        int(haversine(5.0, 45.0, 5.001, 45.0))
+        + int(haversine(5.001, 45.0, 5.001, 45.001))
+        + int(haversine(5.001, 45.001, 5.0, 45.001))
+        + int(haversine(5.0, 45.001, 5.0, 45.0))
+    )
+    assert out["ccw"]["perimeter_m"] == exp == out["cw"]["perimeter_m"]
+    assert out["ccw"]["n_vertices"] == 4
