@@ -174,3 +174,44 @@ def od_matrix(trips: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_trips"),
         F.sum("path_m").cast("long").alias("total_path_m"),
     )
+
+
+def stay_points(trips: DataFrame, min_dwell_us: int = 0) -> DataFrame:
+    """Dwell detection → (key, gx, gy, arrive_us, depart_us, dwell_us):
+    between two CONSECUTIVE trips of a key whose endpoints agree (the
+    previous trip's destination cell == the next trip's origin cell),
+    the key dwelt at that cell from the previous trip's end to the
+    next trip's start. The stay-point half of the trajectory pair
+    (trips = motion, stays = the places in between); emits only dwells
+    of at least ``min_dwell_us``. Disagreeing endpoints (the cut was a
+    teleport-style jump) produce no stay — the location between those
+    trips is unknown, and fabricating one would poison downstream
+    visit counts.
+
+    One lead window over the TRIP relation (orders of magnitude below
+    the point count; partitions bounded by trips-per-key) — the same
+    integer microsecond arithmetic as everything upstream.
+    """
+    w = Window.partitionBy(trips.columns[0]).orderBy("trip_id")
+    key = trips.columns[0]
+    t = (
+        trips.withColumn("_n_start", F.lead("start_us").over(w))
+        .withColumn("_n_ogx", F.lead("o_gx").over(w))
+        .withColumn("_n_ogy", F.lead("o_gy").over(w))
+    )
+    return (
+        t.filter(
+            F.col("_n_start").isNotNull()
+            & (F.col("_n_ogx") == F.col("d_gx"))
+            & (F.col("_n_ogy") == F.col("d_gy"))
+            & (F.col("_n_start") - F.col("end_us") >= F.lit(int(min_dwell_us)))
+        )
+        .select(
+            key,
+            F.col("d_gx").alias("gx"),
+            F.col("d_gy").alias("gy"),
+            F.col("end_us").alias("arrive_us"),
+            F.col("_n_start").alias("depart_us"),
+            (F.col("_n_start") - F.col("end_us")).alias("dwell_us"),
+        )
+    )

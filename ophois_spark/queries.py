@@ -5559,3 +5559,41 @@ SQL_POLYGON_METRICS = _polygon_metrics_sql()
 
 QUERIES.update({"polygon_metrics": q_polygon_metrics})
 ORACLES.update({"polygon_metrics": SQL_POLYGON_METRICS})
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell detection between consecutive trips —
+    operators/trajectory.py stay_points: where a user's previous trip
+    ended in the cell the next one departs from, emit the dwell
+    (arrive/depart/duration), gated at TRIP_GAP_US so only real stops
+    count. One lead window over the trip relation."""
+    from ophois_spark.operators.trajectory import stay_points, trip_segments
+
+    trips = trip_segments(
+        _event_points(spark, sf_dir),
+        gap_us=TRIP_GAP_US,
+        jump_m=TRIP_JUMP_M,
+        slab_us=TRIP_SLAB_US,
+        grid_deg=TRIP_GRID_DEG,
+    )
+    return stay_points(trips, min_dwell_us=TRIP_GAP_US)
+
+
+SQL_STAY_POINTS = f"""
+WITH {_trip_ctes()},
+led AS (
+  SELECT user_id, trip_id, end_us, d_gx, d_gy,
+         lead(start_us) OVER w AS n_start,
+         lead(o_gx) OVER w AS n_ogx,
+         lead(o_gy) OVER w AS n_ogy
+  FROM trips WINDOW w AS (PARTITION BY user_id ORDER BY trip_id))
+SELECT user_id, d_gx AS gx, d_gy AS gy,
+       end_us AS arrive_us, n_start AS depart_us,
+       n_start - end_us AS dwell_us
+FROM led
+WHERE n_start IS NOT NULL AND n_ogx = d_gx AND n_ogy = d_gy
+  AND n_start - end_us >= {TRIP_GAP_US}
+"""
+
+QUERIES.update({"stay_points": q_stay_points})
+ORACLES.update({"stay_points": SQL_STAY_POINTS})

@@ -105,3 +105,29 @@ def test_od_matrix_rolls_up_trips(spark):
     assert od[(5001, 5000)][0] == 1
     # forward and reverse paths have the same exact integer length
     assert od[(5000, 5001)][1] == 2 * od[(5001, 5000)][1]
+
+
+def test_stay_points_between_trips(spark):
+    from ophois_spark.operators.trajectory import stay_points
+
+    # u1: trip A ends at cell (5000,45000); 10 s later trip B departs
+    # from the SAME cell -> one dwell. u2: next trip departs a
+    # DIFFERENT cell (teleport jump) -> no dwell.
+    rows = [
+        (1, 1, 0, 45.0, 5.0), (1, 2, 500_000, 45.0, 5.0001),
+        (1, 3, 10_500_000, 45.0, 5.0002), (1, 4, 11_000_000, 45.0, 5.0003),
+        (2, 1, 0, 45.0, 5.0), (2, 2, 10_000_000, 45.0, 5.01),
+    ]
+    pts = spark.createDataFrame(
+        rows, "user_id long, event_id long, t_us long, lat_d double, lon_d double"
+    )
+    trips = trip_segments(pts, GAP, JUMP, slab_us=100_000_000)
+    out = stay_points(trips, min_dwell_us=5_000_000).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert r["user_id"] == 1 and (r["gx"], r["gy"]) == (5000, 45000)
+    assert r["arrive_us"] == 500_000 and r["depart_us"] == 10_500_000
+    assert r["dwell_us"] == 10_000_000
+
+    # below the dwell floor -> filtered
+    assert stay_points(trips, min_dwell_us=20_000_000).count() == 0
