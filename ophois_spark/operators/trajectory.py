@@ -21,6 +21,9 @@ the oracle's window restatement gates bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -215,3 +218,155 @@ def stay_points(trips: DataFrame, min_dwell_us: int = 0) -> DataFrame:
             (F.col("_n_start") - F.col("end_us")).alias("dwell_us"),
         )
     )
+
+
+def map_match_viterbi(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_m: float = 25.0,
+    grid_deg: float = 0.001,
+    k: int = 4,
+    sigma_m: float = 5.0,
+    beta_m: float = 10.0,
+) -> DataFrame:
+    """HMM map matching → (trace_id, step_idx, edge_id, dist_m): the
+    most-likely road-segment sequence for each GPS trace (Newson &
+    Krummen-style: Gaussian emission on snap distance, exponential
+    transition on |gps step − candidate step|), the inference stage on
+    top of ``spatial.snap_points_to_edges``'s candidate stage.
+
+    ``points``: (trace_id, step_idx, lat_d, lon_d); ``segments``:
+    (edge_id, alat, alon, blat, blon). Candidate generation is the
+    exact grid-cover snap (top-``k`` within ``radius_m``); candidate
+    position for the transition term is the segment midpoint (the
+    standard cheap proxy — exact projection points would need the
+    route distance anyway, which a relational one-pass cannot know).
+    Steps with NO candidate within the radius break the trace into
+    independent HMM chains (emitting nothing for the uncovered step)
+    rather than forcing a match through an impossible gap.
+
+    Execution shape: candidates + per-step GPS context shuffle ONCE on
+    trace_id into ``applyInPandas``; the per-trace numpy Viterbi is
+    O(steps × k²) with k bounded by the snap's top-k — the classic
+    "sequential inner loop, embarrassing outer parallelism" shape
+    (render_tiles' discipline). Ties break to the lower edge_id at
+    every argmin, so the output is deterministic. Not SQL-expressible
+    (a DP over per-trace chains) — pytest-gated against brute-force
+    path enumeration, the streaming-twin discipline.
+    """
+    import pandas as pd
+
+    from ophois_spark.operators.spatial import snap_points_to_edges
+
+    pts = points.select(
+        (F.col("trace_id").cast("long") * F.lit(1 << 20) + F.col("step_idx"))
+        .alias("qid"),
+        "lat_d",
+        "lon_d",
+    )
+    cand = snap_points_to_edges(pts, segments, radius_m, grid_deg, k)
+    mids = segments.select(
+        "edge_id",
+        ((F.col("alat") + F.col("blat")) / 2).alias("mlat"),
+        ((F.col("alon") + F.col("blon")) / 2).alias("mlon"),
+    )
+    rows = (
+        cand.join(F.broadcast(mids), "edge_id")
+        .select(
+            F.expr("qid div 1048576").alias("trace_id"),
+            F.pmod(F.col("qid"), F.lit(1 << 20)).cast("long").alias("step_idx"),
+            "edge_id",
+            "dist_m",
+            "mlat",
+            "mlon",
+        )
+        .join(
+            points.select(
+                F.col("trace_id").cast("long").alias("trace_id"),
+                F.col("step_idx").cast("long").alias("step_idx"),
+                "lat_d",
+                "lon_d",
+            ),
+            ["trace_id", "step_idx"],
+        )
+    )
+
+    out_schema = (
+        "trace_id long, step_idx long, edge_id long, dist_m double"
+    )
+
+    def _viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["step_idx", "edge_id"]).reset_index(drop=True)
+        lat0 = float(pdf["lat_d"].iloc[0])
+        kx = math.cos(math.radians(lat0)) * 111195.07973436874
+        ky = 111195.07973436874
+        steps = []
+        for s, g in pdf.groupby("step_idx", sort=True):
+            steps.append(
+                (
+                    int(s),
+                    g["edge_id"].to_numpy(),
+                    g["dist_m"].to_numpy(),
+                    g["mlon"].to_numpy() * kx,
+                    g["mlat"].to_numpy() * ky,
+                    float(g["lon_d"].iloc[0]) * kx,
+                    float(g["lat_d"].iloc[0]) * ky,
+                )
+            )
+        out_idx, out_edge, out_dist = [], [], []
+        # chains break where step indices are non-consecutive
+        chain = []
+        for st in steps:
+            if chain and st[0] != chain[-1][0] + 1:
+                _solve_chain(chain, out_idx, out_edge, out_dist, sigma_m, beta_m)
+                chain = []
+            chain.append(st)
+        if chain:
+            _solve_chain(chain, out_idx, out_edge, out_dist, sigma_m, beta_m)
+        tid = int(pdf["trace_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "trace_id": np.full(len(out_idx), tid, dtype=np.int64),
+                "step_idx": np.asarray(out_idx, dtype=np.int64),
+                "edge_id": np.asarray(out_edge, dtype=np.int64),
+                "dist_m": np.asarray(out_dist, dtype=np.float64),
+            }
+        )
+
+    return rows.groupBy("trace_id").applyInPandas(_viterbi, out_schema)
+
+
+def _solve_chain(chain, out_idx, out_edge, out_dist, sigma_m, beta_m):
+    """Exact Viterbi over one consecutive-step chain (numpy, float64;
+    argmin ties resolve to the lowest edge_id because candidates are
+    pre-sorted by edge_id and np.argmin takes the first minimum)."""
+    costs = (chain[0][2] / sigma_m) ** 2
+    back = []
+    for (s0, e0, d0, mx0, my0, gx0, gy0), (
+        s1,
+        e1,
+        d1,
+        mx1,
+        my1,
+        gx1,
+        gy1,
+    ) in zip(chain, chain[1:]):
+        gps_step = math.hypot(gx1 - gx0, gy1 - gy0)
+        cand_step = np.hypot(
+            mx1[None, :] - mx0[:, None], my1[None, :] - my0[:, None]
+        )
+        trans = np.abs(cand_step - gps_step) / beta_m
+        total = costs[:, None] + trans
+        arg = np.argmin(total, axis=0)
+        back.append(arg)
+        costs = total[arg, np.arange(len(e1))] + (d1 / sigma_m) ** 2
+    j = int(np.argmin(costs))
+    path = [j]
+    for arg in reversed(back):
+        j = int(arg[j])
+        path.append(j)
+    path.reverse()
+    for (s, e, d, *_), idx in zip(chain, path):
+        out_idx.append(s)
+        out_edge.append(int(e[idx]))
+        out_dist.append(float(d[idx]))
