@@ -134,6 +134,41 @@ def main() -> None:
     best_of_2("pack_hot_source_sharded32", lambda: materialize(pack_sequences(hot, shards=32)))
     hot.unpersist(blocking=True)  # ~16M rows; free before the ANN section
 
+    # -- hot-key trajectory: slabbed trip segmentation evidence ------------
+    # 99% of points belong to ONE key (a fleet tracker / bot, the log
+    # norm): the naive per-key window sorts that key's entire history
+    # on one task; the slab_run_ids decomposition shards it across
+    # 10-second slabs. Same output rows (pinned in tests), the timing
+    # pair is the scale evidence for the shared slab kernel.
+    from ophois_spark.operators.trajectory import trip_segments, trip_segments_naive
+
+    traj = spark.range(8_000_000).select(
+        F3.when(F3.col("id") % 100 < 99, F3.lit(0))
+        .otherwise(F3.col("id") % 100)
+        .cast("long")
+        .alias("user_id"),
+        F3.col("id").alias("event_id"),
+        (F3.col("id") * 400_000).alias("t_us"),
+        (
+            F3.lit(45.0)
+            + (F3.col("id") % 29).cast("double") * F3.lit(1e-5)
+            + F3.when(F3.col("id") % 97 == 0, F3.lit(0.01)).otherwise(F3.lit(0.0))
+        ).alias("lat_d"),
+        (F3.lit(5.0) + ((F3.col("id") * 3) % 31).cast("double") * F3.lit(1e-5)).alias(
+            "lon_d"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    traj.count()  # generation excluded from the timers
+    best_of_2(
+        "trip_hot_key_naive",
+        lambda: materialize(trip_segments_naive(traj, 1_000_000, 100)),
+    )
+    best_of_2(
+        "trip_hot_key_slabbed",
+        lambda: materialize(trip_segments(traj, 1_000_000, 100, 10_000_000)),
+    )
+    traj.unpersist(blocking=True)
+
     # -- ANN recall@k vs the exact baseline --------------------------------
     # quantifies the approximation the ANN paths trade for scale: recall =
     # |ANN top-k ∩ exact top-k| / |exact top-k| over the bench query set.
