@@ -370,3 +370,18 @@ def _solve_chain(chain, out_idx, out_edge, out_dist, sigma_m, beta_m):
         out_idx.append(s)
         out_edge.append(int(e[idx]))
         out_dist.append(float(d[idx]))
+
+
+def place_popularity(stays: DataFrame) -> DataFrame:
+    """Place ranking → (gx, gy, n_visits, n_visitors, total_dwell_us):
+    the visit-count/dwell rollup over detected stay points (the
+    "popular places" layer a coverage or POI product serves). One
+    map-side-combinable groupBy; n_visitors is COUNT(DISTINCT key) —
+    the standard two-phase expand, keyed by cell so hot cells split
+    across the expand's partials."""
+    key = stays.columns[0]
+    return stays.groupBy("gx", "gy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_visits"),
+        F.countDistinct(key).cast("long").alias("n_visitors"),
+        F.sum("dwell_us").cast("long").alias("total_dwell_us"),
+    )

@@ -5597,3 +5597,47 @@ WHERE n_start IS NOT NULL AND n_ogx = d_gx AND n_ogy = d_gy
 
 QUERIES.update({"stay_points": q_stay_points})
 ORACLES.update({"stay_points": SQL_STAY_POINTS})
+
+
+def q_place_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popular-places rollup over detected stays —
+    operators/trajectory.py place_popularity (visits, distinct
+    visitors, total dwell per cell)."""
+    from ophois_spark.operators.trajectory import (
+        place_popularity,
+        stay_points,
+        trip_segments,
+    )
+
+    trips = trip_segments(
+        _event_points(spark, sf_dir),
+        gap_us=TRIP_GAP_US,
+        jump_m=TRIP_JUMP_M,
+        slab_us=TRIP_SLAB_US,
+        grid_deg=TRIP_GRID_DEG,
+    )
+    return place_popularity(stay_points(trips, min_dwell_us=TRIP_GAP_US))
+
+
+SQL_PLACE_POPULARITY = f"""
+WITH {_trip_ctes()},
+led AS (
+  SELECT user_id, trip_id, end_us, d_gx, d_gy,
+         lead(start_us) OVER w AS n_start,
+         lead(o_gx) OVER w AS n_ogx,
+         lead(o_gy) OVER w AS n_ogy
+  FROM trips WINDOW w AS (PARTITION BY user_id ORDER BY trip_id)),
+stays AS (
+  SELECT user_id, d_gx AS gx, d_gy AS gy, n_start - end_us AS dwell_us
+  FROM led
+  WHERE n_start IS NOT NULL AND n_ogx = d_gx AND n_ogy = d_gy
+    AND n_start - end_us >= {TRIP_GAP_US})
+SELECT gx, gy,
+       CAST(COUNT(*) AS BIGINT) AS n_visits,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_visitors,
+       CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us
+FROM stays GROUP BY 1, 2
+"""
+
+QUERIES.update({"place_popularity": q_place_popularity})
+ORACLES.update({"place_popularity": SQL_PLACE_POPULARITY})
