@@ -989,6 +989,55 @@ def raster_to_points(
     )
 
 
+def raster_runs(
+    tiles: DataFrame, zoom: int, tile_px: int = 256, slab_px: int = 4096
+) -> DataFrame:
+    """Raster→vector RLE vectorization → (gy, gx0, gx1, run_len): the
+    maximal horizontal runs of lit pixels in GLOBAL pixel space —
+    classic run-length extraction, the first stage of raster
+    vectorization (blob labeling, polygonization) and the compact
+    vector form of a scanline raster.
+
+    Global coordinates ``gx = tile_x·tile_px + px_x`` (same for y)
+    stitch runs ACROSS tile borders: a road crossing two adjacent
+    tiles decodes as one unbroken run, because adjacency is evaluated
+    on the world raster, not per tile — per-tile RLE would cut every
+    border. Tiles own disjoint global pixel blocks, so the decode
+    union is exact with no dedup.
+
+    Run detection is 1-D gap sessionization (key = scanline ``gy``,
+    order = ``gx``, cut = gap > 1), so it reuses the oracle-gated
+    ``slab_run_ids`` two-level slab prefix sum: a scanline's pixels
+    shard across ``slab_px``-wide slabs BY CONSTRUCTION — the per-task
+    bound is pixels-per-slab, never pixels-per-scanline, which at a
+    low-zoom world raster (2^zoom·tile_px pixels per row) is the
+    difference between a bounded task and an unsplittable hot key.
+    Decode itself is the shuffle-free ``raster_to_points`` map stage.
+    """
+    from ophois_spark.operators.temporal import slab_run_ids
+
+    pts = raster_to_points(tiles, zoom, tile_px).select(
+        (F.col("tile_x") * tile_px + F.col("px_x")).alias("gx"),
+        (F.col("tile_y") * tile_px + F.col("px_y")).alias("gy"),
+    )
+    e = pts.select(
+        F.col("gy").alias("_k"),
+        F.col("gx").alias("_t"),
+        F.col("gx").alias("_i"),
+    )
+    cut = lambda p, c: c["_t"] - p["_t"] > F.lit(1)  # noqa: E731
+    return (
+        slab_run_ids(e, slab_px, cut)
+        .groupBy(F.col("_k").alias("gy"), "_run")
+        .agg(
+            F.min("_t").alias("gx0"),
+            F.max("_t").alias("gx1"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .select("gy", "gx0", "gx1", "run_len")
+    )
+
+
 def bbox_covering_cells(
     lat_min: float, lat_max: float, lon_min: float, lon_max: float, res: int
 ) -> list[int]:

@@ -765,6 +765,44 @@ WHERE ix >= 0 AND ix < {px} AND iy >= 0 AND iy < {px}
 SQL_RASTER_POINTS = _raster_points_sql()
 
 
+def q_raster_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector RLE vectorization: render the graph's tiles, decode,
+    and extract maximal horizontal runs of lit pixels in GLOBAL pixel
+    space (runs stitch across tile borders — spatial.raster_runs via
+    the slab_run_ids kernel). Gated end-to-end: the oracle reconstructs
+    the pixel set from the vector edges and re-derives the runs with a
+    gaps-and-islands window, so a hash match proves render → decode →
+    RLE is exact."""
+    from ophois_spark.operators.spatial import raster_runs, render_tiles
+
+    g = derived_graph(spark, sf_dir)
+    r = render_tiles(g.edges_with_coords(), RENDER_ZOOM, RENDER_PX)
+    return raster_runs(r, RENDER_ZOOM, RENDER_PX)
+
+
+def _raster_runs_sql() -> str:
+    """Gaps-and-islands twin of spatial.raster_runs over the shared
+    pixel CTE: group key = gx − row_number per scanline (constant
+    within a maximal run, strictly decreasing across a gap)."""
+    px = RENDER_PX
+    return f"""{_render_pix_cte()},
+gp AS (
+  SELECT tile_x * {px} + ix AS gx, tile_y * {px} + iy AS gy
+  FROM pix WHERE ix >= 0 AND ix < {px} AND iy >= 0 AND iy < {px}
+),
+r AS (
+  SELECT gx, gy,
+         gx - ROW_NUMBER() OVER (PARTITION BY gy ORDER BY gx) AS grp
+  FROM gp
+)
+SELECT gy, MIN(gx) AS gx0, MAX(gx) AS gx1, COUNT(*) AS run_len
+FROM r GROUP BY gy, grp
+"""
+
+
+SQL_RASTER_RUNS = _raster_runs_sql()
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets rollup: event counts by (day, event_type) with the
     per-day and grand totals — date_trunc + ROLLUP in one pass."""
@@ -799,6 +837,7 @@ QUERIES.update(
         "render_tiles": q_render_tiles,
         "render_tiles_banded": q_render_tiles_banded,
         "raster_points": q_raster_points,
+        "raster_runs": q_raster_runs,
         "events_rollup": q_events_rollup,
     }
 )
@@ -812,6 +851,7 @@ ORACLES.update(
         "render_tiles": SQL_RENDER_TILES,
         "render_tiles_banded": SQL_RENDER_TILES,
         "raster_points": SQL_RASTER_POINTS,
+        "raster_runs": SQL_RASTER_RUNS,
         "events_rollup": SQL_EVENTS_ROLLUP,
     }
 )

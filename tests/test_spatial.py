@@ -533,3 +533,44 @@ def test_polygon_metrics_square_exact(spark):
     )
     assert out["ccw"]["perimeter_m"] == exp == out["cw"]["perimeter_m"]
     assert out["ccw"]["n_vertices"] == 4
+
+
+def test_raster_runs_stitch_and_cover(spark):
+    """RLE vectorization: (1) run lengths sum to the lit-pixel total,
+    (2) runs are maximal (no two runs on a scanline touch or overlap),
+    (3) a horizontal edge crossing a tile border yields ONE stitched
+    run in global pixel space, not one per tile."""
+    from ophois_spark.operators.spatial import raster_runs
+
+    zoom, px = 8, 64
+    n = 1 << zoom
+    # tile width is 360/n deg; straddle the x-border between two tiles
+    # with a pure-horizontal segment so the lit row is contiguous
+    lon_border = (n // 2 + 1) * 360.0 / n - 180.0
+    e = spark.createDataFrame(
+        [("u", "v", lon_border - 0.1, 45.0003, lon_border + 0.1, 45.0003)],
+        "src string, dst string, src_lon_d double, src_lat_d double, "
+        "dst_lon_d double, dst_lat_d double",
+    )
+    tiles = render_tiles(e, zoom=zoom, tile_px=px)
+    total_lit = sum(t["lit_px"] for t in tiles.collect())
+    assert tiles.count() == 2  # the segment really spans two tiles
+    runs = raster_runs(tiles, zoom=zoom, tile_px=px, slab_px=16).collect()
+    assert sum(r["run_len"] for r in runs) == total_lit
+    for r in runs:
+        assert r["run_len"] == r["gx1"] - r["gx0"] + 1
+    by_row: dict[int, list] = {}
+    for r in runs:
+        by_row.setdefault(r["gy"], []).append((r["gx0"], r["gx1"]))
+    for row_runs in by_row.values():
+        row_runs.sort()
+        for (a0, a1), (b0, b1) in zip(row_runs, row_runs[1:]):
+            assert b0 > a1 + 1  # maximal: a true gap between runs
+    # horizontal segment at constant lat → exactly one scanline (the DDA
+    # may leave 1-px sampling gaps WITHIN a tile at this zoom, so the
+    # row can hold several runs — but adjacency across the border must
+    # stitch: at least one run spans the tile boundary, which per-tile
+    # RLE could never produce)
+    assert len(by_row) == 1
+    (only_runs,) = by_row.values()
+    assert any(gx0 // px != gx1 // px for gx0, gx1 in only_runs)
