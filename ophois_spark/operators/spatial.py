@@ -1038,6 +1038,112 @@ def raster_runs(
     )
 
 
+def run_overlap_edges(
+    runs: DataFrame, world_w: int, cell_px: int = 64
+) -> DataFrame:
+    """Vertical 4-adjacency between RLE runs → (run_a, run_b): run A on
+    scanline ``gy`` touches run B on ``gy + 1`` iff their x-intervals
+    overlap. Run ids are ``gy·world_w + gx0`` — int64, unique (gx0 <
+    world_w), order-free, and identical arithmetic in the SQL oracle.
+
+    Scale shape: the naive form is a range self-join (equi on the row
+    pair, interval overlap as residual — per-row-pair cross product).
+    Instead each run explodes into its covering ``cell_px``-wide
+    column cells (≤ run_len/cell_px + 1 rows) and the join is pure
+    equi on (row-pair, cell); the exact overlap predicate filters, and
+    the reference-point rule — emit only in the cell holding the LEFT
+    end of the overlap interval, a cell both runs necessarily cover —
+    dedups multi-cell pairs without a distinct shuffle (same idiom as
+    ``segment_crossings``). Pairs orient downward (run_a's row < run_b's),
+    so no canonicalization pass is needed.
+    """
+    rid = (F.col("gy") * F.lit(world_w) + F.col("gx0")).alias("rid")
+    r = runs.select(rid, "gy", "gx0", "gx1").withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"gx0 div {int(cell_px)}"), F.expr(f"gx1 div {int(cell_px)}")
+            )
+        ),
+    )
+    a = r.select(
+        F.col("rid").alias("run_a"),
+        (F.col("gy") + 1).alias("jy"),
+        F.col("gx0").alias("a0"),
+        F.col("gx1").alias("a1"),
+        "cell",
+    )
+    b = r.select(
+        F.col("rid").alias("run_b"),
+        F.col("gy").alias("jy"),
+        F.col("gx0").alias("b0"),
+        F.col("gx1").alias("b1"),
+        "cell",
+    )
+    return (
+        a.join(b, ["jy", "cell"])
+        .filter((F.col("a0") <= F.col("b1")) & (F.col("b0") <= F.col("a1")))
+        .filter(
+            F.expr(f"greatest(a0, b0) div {int(cell_px)}") == F.col("cell")
+        )
+        .select("run_a", "run_b")
+    )
+
+
+def raster_blobs(
+    tiles: DataFrame,
+    zoom: int,
+    tile_px: int = 256,
+    slab_px: int = 4096,
+    cell_px: int = 64,
+) -> DataFrame:
+    """Raster→vector blob extraction → (blob_id, n_runs, n_px, gx_min,
+    gx_max, gy_min, gy_max): connected components of lit pixels under
+    4-adjacency in GLOBAL pixel space (blobs stitch across tile
+    borders), labeled at the RUN level — the standard two-pass
+    connected-component labeling made relational.
+
+    Composition of three independently gated parts, no new kernels:
+    ``raster_runs`` (RLE rows), ``run_overlap_edges`` (vertical
+    adjacency, its own oracle row), and the corpus/graph component
+    machinery ``_clusters_from_pairs`` (min-label propagation with
+    pointer jumping over the induced pair graph — the SAME operator
+    the street graph and near-dup dedup use). ``blob_id`` = min run id
+    in the blob. The full composition is pytest-gated against a
+    flood-fill oracle on synthetic multi-tile rasters (a closure-based
+    SQL oracle is quadratic in blob size — a connected street raster
+    is one giant blob, so the relational gate stops at the edge
+    relation and the component operator's own gate covers the rest).
+
+    Scale shape: runs are ~|lit px| / mean-run-length rows, edges only
+    exist between vertically touching runs, and the label loop runs on
+    the induced run graph — never the pixel grid.
+    """
+    from ophois_spark.operators.dedup import _clusters_from_pairs
+
+    world_w = (1 << zoom) * tile_px
+    runs = raster_runs(tiles, zoom, tile_px, slab_px).localCheckpoint(eager=True)
+    rid = (F.col("gy") * F.lit(world_w) + F.col("gx0")).alias("rid")
+    ids = runs.select(rid).select(F.col("rid").alias("id"))
+    pairs = run_overlap_edges(runs, world_w, cell_px).select(
+        F.col("run_a").alias("src"), F.col("run_b").alias("dst")
+    )
+    labels = _clusters_from_pairs(ids, pairs)
+    return (
+        runs.select(rid, "gy", "gx0", "gx1", "run_len")
+        .join(labels, F.col("rid") == F.col("id"))
+        .groupBy(F.col("comp").alias("blob_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("run_len").alias("n_px"),
+            F.min("gx0").alias("gx_min"),
+            F.max("gx1").alias("gx_max"),
+            F.min("gy").alias("gy_min"),
+            F.max("gy").alias("gy_max"),
+        )
+    )
+
+
 def bbox_covering_cells(
     lat_min: float, lat_max: float, lon_min: float, lon_max: float, res: int
 ) -> list[int]:

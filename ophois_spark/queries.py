@@ -803,6 +803,55 @@ FROM r GROUP BY gy, grp
 SQL_RASTER_RUNS = _raster_runs_sql()
 
 
+def q_raster_blob_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical run-adjacency edges of the rendered raster — the novel
+    relational step inside blob labeling (spatial.raster_blobs): run A
+    on scanline gy touches run B on gy+1 iff their x-intervals overlap.
+    The engine generates candidates via covering-cell equi-join +
+    reference-point dedup; the oracle states the naive interval
+    self-join over the same runs — an exact pair-set match proves the
+    cell decomposition loses and fabricates nothing. (The blob
+    composition itself is pytest-gated against a flood-fill oracle;
+    its component stage is the already-gated component operator.)"""
+    from ophois_spark.operators.spatial import (
+        raster_runs,
+        render_tiles,
+        run_overlap_edges,
+    )
+
+    g = derived_graph(spark, sf_dir)
+    r = render_tiles(g.edges_with_coords(), RENDER_ZOOM, RENDER_PX)
+    runs = raster_runs(r, RENDER_ZOOM, RENDER_PX)
+    world_w = (1 << RENDER_ZOOM) * RENDER_PX
+    return run_overlap_edges(runs, world_w)
+
+
+def _raster_blob_edges_sql() -> str:
+    px = RENDER_PX
+    world_w = (1 << RENDER_ZOOM) * px
+    return f"""{_render_pix_cte()},
+gp AS (
+  SELECT tile_x * {px} + ix AS gx, tile_y * {px} + iy AS gy
+  FROM pix WHERE ix >= 0 AND ix < {px} AND iy >= 0 AND iy < {px}
+),
+rr AS (
+  SELECT gx, gy,
+         gx - ROW_NUMBER() OVER (PARTITION BY gy ORDER BY gx) AS grp
+  FROM gp
+),
+runs AS (
+  SELECT gy, MIN(gx) AS gx0, MAX(gx) AS gx1 FROM rr GROUP BY gy, grp
+)
+SELECT a.gy * {world_w} + a.gx0 AS run_a,
+       b.gy * {world_w} + b.gx0 AS run_b
+FROM runs a JOIN runs b
+  ON b.gy = a.gy + 1 AND a.gx0 <= b.gx1 AND b.gx0 <= a.gx1
+"""
+
+
+SQL_RASTER_BLOB_EDGES = _raster_blob_edges_sql()
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets rollup: event counts by (day, event_type) with the
     per-day and grand totals — date_trunc + ROLLUP in one pass."""
@@ -838,6 +887,7 @@ QUERIES.update(
         "render_tiles_banded": q_render_tiles_banded,
         "raster_points": q_raster_points,
         "raster_runs": q_raster_runs,
+        "raster_blob_edges": q_raster_blob_edges,
         "events_rollup": q_events_rollup,
     }
 )
@@ -852,6 +902,7 @@ ORACLES.update(
         "render_tiles_banded": SQL_RENDER_TILES,
         "raster_points": SQL_RASTER_POINTS,
         "raster_runs": SQL_RASTER_RUNS,
+        "raster_blob_edges": SQL_RASTER_BLOB_EDGES,
         "events_rollup": SQL_EVENTS_ROLLUP,
     }
 )

@@ -574,3 +574,60 @@ def test_raster_runs_stitch_and_cover(spark):
     assert len(by_row) == 1
     (only_runs,) = by_row.values()
     assert any(gx0 // px != gx1 // px for gx0, gx1 in only_runs)
+
+
+def test_raster_blobs_floodfill_oracle(spark):
+    """Blob labeling == 4-connectivity flood fill on the global pixel
+    grid: cross-tile blobs stitch, diagonal-only contact does NOT
+    merge, and per-blob pixel counts/bboxes match the scalar oracle."""
+    from ophois_spark.operators.spatial import raster_blobs
+
+    zoom, px = 4, 8
+    world_w = (1 << zoom) * px
+    t0 = np.zeros((px, px), dtype=np.uint8)
+    t1 = np.zeros((px, px), dtype=np.uint8)
+    t0[2, 5:8] = 255  # blob A: row 2, x 5..7 ...
+    t1[2, 0:3] = 255  # ... continues into tile 1 (global x 8..10)
+    t0[4, 1] = 255    # blob B: single pixel
+    t0[5, 2] = 255    # blob C: diagonal neighbor of B — must NOT merge
+    t0[4, 4] = 255    # blob D: L-shape ...
+    t0[4, 5] = 255
+    t0[5, 5] = 255
+    tiles = spark.createDataFrame(
+        [(0, 0, t0.tobytes()), (1, 0, t1.tobytes())],
+        "tile_x long, tile_y long, pixels binary",
+    )
+    got = {
+        r["blob_id"]: (r["n_runs"], r["n_px"], r["gx_min"], r["gx_max"], r["gy_min"], r["gy_max"])
+        for r in raster_blobs(tiles, zoom=zoom, tile_px=px, slab_px=4, cell_px=4).collect()
+    }
+
+    # scalar oracle: flood fill over the union of global lit pixels
+    lit = set()
+    for tx, img in ((0, t0), (1, t1)):
+        ys, xs = np.nonzero(img)
+        lit |= {(tx * px + int(x), int(y)) for x, y in zip(xs, ys)}
+    seen, blobs = set(), []
+    for p in sorted(lit):
+        if p in seen:
+            continue
+        comp, stack = set(), [p]
+        while stack:
+            (x, y) = stack.pop()
+            if (x, y) in comp or (x, y) not in lit:
+                continue
+            comp.add((x, y))
+            stack += [(x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)]
+        seen |= comp
+        blobs.append(comp)
+    assert len(got) == len(blobs) == 4
+    for comp in blobs:
+        xs = [x for x, _ in comp]
+        ys = [y for _, y in comp]
+        # expected blob_id: min run id = min over runs of gy*world_w+gx0;
+        # runs are maximal x-intervals per row within the blob
+        rid = min(
+            y * world_w + min(x for x, yy in comp if yy == y) for y in set(ys)
+        )
+        n_runs = len({(y, x) for x, y in comp if (x - 1, y) not in comp})
+        assert got[rid] == (n_runs, len(comp), min(xs), max(xs), min(ys), max(ys))
