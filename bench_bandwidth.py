@@ -26,8 +26,10 @@ measured Spark efficiency against that, not against 1.0.
 Protocol: all P workers start on a barrier, run a fixed wall-clock
 window (default 2 s) after an untimed warm pass, and report iterations
 completed; ``OPHOIS_BW_REPS`` (default 3) repetitions per level,
-best aggregate kept. One JSON line on stdout; rewrites the
-"## Memory-bandwidth probe" section of BENCH/BASELINE.md.
+best aggregate kept. One JSON line on stdout; with
+``OPHOIS_BW_WRITE_MD=1`` also rewrites the "## Memory-bandwidth probe"
+section of BENCH/BASELINE.md (opt-in so ad-hoc partial-ladder probes
+cannot clobber the curated section).
 """
 
 from __future__ import annotations
@@ -152,7 +154,11 @@ def main() -> None:
             triad[p] = max(triad.get(p, 0.0), t)
             a = run_level("alu", p)
             alu[p] = max(alu.get(p, 0.0), a)
-    write_md(triad, alu)
+    if os.environ.get("OPHOIS_BW_WRITE_MD", "0") == "1":
+        # The BASELINE.md probe section carries curated narrative (the
+        # full 1-32 ladder + sandwich readings); an ad-hoc partial-level
+        # probe must not clobber it, so the rewrite is opt-in.
+        write_md(triad, alu)
     print(json.dumps({"triad_gbps": triad, "alu_gops": alu, "window_s": WINDOW_S}))
 
 
