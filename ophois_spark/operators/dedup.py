@@ -228,6 +228,64 @@ def shingle_jaccard_pairs(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+CONTAINMENT_MIN = 0.9  # containment threshold shared with the oracle
+
+
+def containment_pairs(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Asymmetric containment over LSH candidates — the doc-inside-doc
+    detector exact Jaccard misses: a 50-shingle quote embedded in a
+    5000-shingle page has J ≈ 0.01 but containment 1.0. Broder's
+    containment C(A,B) = |A∩B| / |A| evaluated with A = the SMALLER
+    shingle set of each candidate pair, emitted as (doc_contained,
+    doc_container) when C >= ``CONTAINMENT_MIN`` (ties on set size
+    break to the lower doc_id as the contained side, so the direction
+    is deterministic).
+
+    Same array-free execution shape as ``shingle_jaccard_pairs`` (the
+    100 TB discipline: no shingle arrays ever travel through the pair
+    join — intersections count exploded (pair, shingle) rows, constant
+    shuffle payload per row). Candidate generation is the identical
+    banded-MinHash chain, so recall is the LSH band curve evaluated at
+    the pair's JACCARD, not its containment: a tiny quote inside a
+    huge page has low J and will rarely share a band. That is the
+    documented trade of reusing symmetric MinHash for an asymmetric
+    question; the principled scale fix is a dedicated containment
+    sketch (e.g. bottom-k with asymmetric band widths), out of scope
+    here. The oracle replays the same LSH pair set, so both sides
+    agree on WHICH pairs are scored at any sf/seed.
+    """
+    from ophois_spark.plans.cache import swap_cached
+
+    sh = swap_cached("containment_pairs.shingles", doc_shingles(docs, k))
+    pairs = minhash_lsh_pairs(docs, k=k, shingles=sh)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
+        ).join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    )
+    # contained side = smaller shingle set; tie -> lower doc_id (doc_a,
+    # since pairs are emitted with doc_a < doc_b).
+    a_small = (F.col("na") < F.col("nb")) | (F.col("na") == F.col("nb"))
+    out = j.select(
+        F.when(a_small, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_contained"),
+        F.when(a_small, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_container"),
+        F.col("inter").cast("long").alias("inter"),
+        F.when(a_small, F.col("na")).otherwise(F.col("nb")).cast("long").alias("n_contained"),
+        (
+            F.col("inter").cast("double")
+            / F.when(a_small, F.col("na")).otherwise(F.col("nb")).cast("double")
+        ).alias("containment"),
+    )
+    return out.filter(F.col("containment") >= F.lit(CONTAINMENT_MIN))
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """60-bit SimHash over the token multiset — Arrow-batched kernel.
 

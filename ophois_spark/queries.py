@@ -5732,3 +5732,48 @@ FROM stays GROUP BY 1, 2
 
 QUERIES.update({"place_popularity": q_place_popularity})
 ORACLES.update({"place_popularity": SQL_PLACE_POPULARITY})
+
+
+# ---------------------------------------------------------------------------
+# round-4: asymmetric containment dedup (doc-inside-doc)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment C = |A∩B|/|A| (A = smaller shingle set) over
+    the gated LSH candidate pairs — flags quote/boilerplate inclusion
+    that symmetric Jaccard scores near zero."""
+    from ophois_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(load(spark, sf_dir, "documents"))
+
+
+def _containment_sql() -> str:
+    from ophois_spark.operators.dedup import CONTAINMENT_MIN
+
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+{_lsh_pair_ctes("sh")},
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+  FROM mh_pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+scored AS (
+  SELECT CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS doc_contained,
+         CASE WHEN sa.n <= sb.n THEN doc_b ELSE doc_a END AS doc_container,
+         CAST(i AS BIGINT) AS inter,
+         CAST(least(sa.n, sb.n) AS BIGINT) AS n_contained,
+         CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+SELECT * FROM scored WHERE containment >= {CONTAINMENT_MIN}
+"""
+
+
+SQL_MINHASH_CONTAINMENT = _containment_sql()
+
+QUERIES.update({"minhash_containment": q_minhash_containment})
+ORACLES.update({"minhash_containment": SQL_MINHASH_CONTAINMENT})

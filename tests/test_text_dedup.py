@@ -381,3 +381,38 @@ def test_kmv_small_cardinality_falls_back_to_exact(spark):
     assert r.n_exact == 2            # 'alpha beta gamma', 'beta gamma delta'
     assert r.n_mins == 2
     assert r.est_distinct == 2.0     # small-cardinality rule: exact
+
+
+def test_containment_detects_doc_inside_doc(spark):
+    from ophois_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog near the old river bank"
+    filler = " ".join(f"w{i} token{i} extra{i}" for i in range(20))
+    docs = _docs(
+        spark,
+        [
+            (1, quote),                      # the short doc
+            (2, quote + " " + quote),        # contains every shingle of 1 (J < 1 via joins)
+            (3, filler),                     # unrelated
+        ],
+    )
+    rows = containment_pairs(docs).collect()
+    got = {(r["doc_contained"], r["doc_container"]): r for r in rows}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    # every shingle of doc 1 appears in doc 2
+    assert r["inter"] == r["n_contained"]
+    assert r["containment"] == 1.0
+    assert all(3 not in k for k in got)
+
+
+def test_containment_direction_tiebreak_lower_id(spark):
+    from ophois_spark.operators.dedup import containment_pairs
+
+    # identical shingle sets: sizes tie -> contained side is the lower id
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, [(5, text), (9, text)])
+    rows = containment_pairs(docs).collect()
+    assert len(rows) == 1
+    assert (rows[0]["doc_contained"], rows[0]["doc_container"]) == (5, 9)
+    assert rows[0]["containment"] == 1.0
