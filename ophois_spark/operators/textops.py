@@ -375,6 +375,62 @@ def bm25_topk(
     )
 
 
+TFIDF_TOP_K = 5
+
+
+def tfidf_topterms(docs: DataFrame, k: int = TFIDF_TOP_K, text_col: str = "text") -> DataFrame:
+    """Per-document top-``k`` terms by smoothed tf-idf → (doc_id, rank,
+    term, score): the keyword/topic digest a corpus card or a
+    relevance-labeling pipeline attaches to every document
+    (sklearn-style smooth idf: ln((N+1)/(df+1)) + 1, always > 0).
+
+    Cross-engine float discipline (the bm25_topk contract, reduced to
+    the no-sum case): N and df are exact integers on both sides; the
+    idf is ONE fixed-shape expression rounded at 9 dp — which collapses
+    the ~1-ulp libm ``ln`` divergence — and the score is the exact
+    IEEE product tf × idf₉ rounded at 6 dp. No accumulation exists, so
+    no ordering clause is needed. Rank ties break (score desc, term
+    asc).
+
+    Scale shape at 10^12 docs: reuses ``index_postings`` (algebraic
+    aggs, map-side combined); the ranking window partitions by doc_id,
+    so its sort is bounded by a single document's distinct-term count —
+    a per-doc quantity, never a corpus hot key. The corpus size N is a
+    1-row aggregate cross-joined as a broadcast.
+    """
+    postings = index_postings(docs, text_col)
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf9 = F.round(
+        F.log(
+            (F.col("n_docs").cast("double") + F.lit(1.0))
+            / (F.col("df").cast("double") + F.lit(1.0))
+        )
+        + F.lit(1.0),
+        9,
+    )
+    scored = (
+        postings.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf").cast("double") * idf9, 6).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            "score",
+        )
+    )
+
+
 DUPSPAN_W = 8
 
 

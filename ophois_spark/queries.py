@@ -5777,3 +5777,44 @@ SQL_MINHASH_CONTAINMENT = _containment_sql()
 
 QUERIES.update({"minhash_containment": q_minhash_containment})
 ORACLES.update({"minhash_containment": SQL_MINHASH_CONTAINMENT})
+
+
+# ---------------------------------------------------------------------------
+# round-4: per-doc tf-idf keyword digest
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per document by smoothed tf-idf — the keyword digest
+    leg of the corpus card, composing the gated doc_postings lineage
+    under the bm25 float discipline."""
+    from ophois_spark.operators.textops import tfidf_topterms
+
+    return tfidf_topterms(load(spark, sf_dir, "documents"))
+
+
+def _tfidf_sql() -> str:
+    from ophois_spark.operators.textops import TFIDF_TOP_K
+
+    return f"""
+WITH p AS ({SQL_DOC_POSTINGS}),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term,
+         round(CAST(p.tf AS DOUBLE)
+               * round(ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                          / (CAST(p.df AS DOUBLE) + 1.0)) + 1.0, 9), 6) AS score
+  FROM p CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS INT) AS rank, term, score
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+SQL_TFIDF_TOPTERMS = _tfidf_sql()
+
+QUERIES.update({"tfidf_topterms": q_tfidf_topterms})
+ORACLES.update({"tfidf_topterms": SQL_TFIDF_TOPTERMS})

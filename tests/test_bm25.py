@@ -60,3 +60,33 @@ def test_bm25_k_truncates(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     rows = bm25_topk(docs, QUERY, k=1).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 1 and rows[0]["rank"] == 1
+
+
+def test_tfidf_topterms_hand_corpus(spark):
+    import math
+
+    from ophois_spark.operators.textops import tfidf_topterms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_topterms(docs, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["score"]) for r in rows}
+
+    def idf(df):
+        return round(math.log(4.0 / (df + 1.0)) + 1.0, 9)
+
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2
+    assert got[(1, 1)] == ("apple", round(2 * idf(1), 6))
+    assert got[(1, 2)] == ("banana", round(1 * idf(2), 6))
+    # doc 3: cherry tf=3 df=2 beats durian tf=1 df=1
+    assert got[(3, 1)] == ("cherry", round(3 * idf(2), 6))
+    assert got[(3, 2)] == ("durian", round(1 * idf(1), 6))
+    # doc 2: banana/cherry tie on tf=1 df=2 -> term-asc tiebreak
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    assert got[(2, 1)][1] == got[(2, 2)][1]
