@@ -52,3 +52,35 @@ def midpoint(x1: float, y1: float, x2: float, y2: float) -> tuple[float, float]:
 def interpolate(x1: float, y1: float, x2: float, y2: float, part: float) -> tuple[float, float]:
     """Planar linear interpolation a + t*(b-a) (reference src/geo.rs:26-31)."""
     return (x1 + part * (x2 - x1), y1 + part * (y2 - y1))
+
+
+def monotone_chain(points) -> list[tuple[int, int]]:
+    """Strict convex hull of integer lattice points (Andrew's monotone
+    chain, exact int arithmetic — Python ints never overflow, so the
+    cross products are exact at any lattice extent). Returns vertices
+    in CCW order starting at the lexicographically smallest point;
+    collinear boundary midpoints are NOT vertices (popped on
+    ``cross <= 0``). Degenerate inputs: 1 point → itself, 2 points →
+    both (smaller first), all-collinear → the two extreme endpoints.
+    """
+    pts = sorted({(int(x), int(y)) for x, y in points})
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b) -> int:
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[tuple[int, int]] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[tuple[int, int]] = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) == 2 and hull[0] == hull[1]:  # all-collinear: chains overlap
+        return [hull[0]]
+    return hull

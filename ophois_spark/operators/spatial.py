@@ -1582,3 +1582,59 @@ def polygon_metrics(verts: DataFrame, quant: float = 1e9) -> DataFrame:
         .alias("orientation"),
         "perimeter_m",
     )
+
+
+def convex_hull(points: DataFrame, x: str = "gx", y: str = "gy") -> DataFrame:
+    """Strict convex hull of an integer-lattice point set → (seq, gx,
+    gy): CCW vertex order starting at the lexicographically smallest
+    vertex. Geometry is EXACT — int64 lattice coords, Python-int cross
+    products (kernels/geo.monotone_chain), no floats anywhere — so the
+    vertex set is bit-identical across engines.
+
+    Scale shape (the classic mergeable-hull decomposition): hull(A∪B) =
+    hull(hull(A) ∪ hull(B)), so stage 1 runs the chain per input
+    partition via ``mapInPandas`` (narrow, no shuffle), collapsing each
+    partition to its O(h) extreme points — for uniformly scattered data
+    h ~ O(log n), so a 10^12-point table reduces to ~tens of points per
+    split before anything moves. Stage 2 gathers the surviving
+    candidates (tiny by construction) onto ONE task for the final exact
+    chain. The only full-width shuffle is the (gx, gy) ``distinct``,
+    which the per-partition chain does NOT need but keeps the
+    stage-1 inputs duplicate-free when upstream is raw (duplicates are
+    harmless to correctness either way — the kernel dedups locally).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ophois_spark.kernels.geo import monotone_chain
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list[tuple[int, int]] = []
+        for pdf in batches:
+            acc = monotone_chain(acc + list(zip(pdf["gx"], pdf["gy"])))
+        if acc:
+            xs, ys = zip(*acc)
+            yield pd.DataFrame(
+                {"gx": pd.Series(xs, dtype="int64"), "gy": pd.Series(ys, dtype="int64")}
+            )
+
+    def final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list[tuple[int, int]] = []
+        for pdf in batches:
+            acc = monotone_chain(acc + list(zip(pdf["gx"], pdf["gy"])))
+        if acc:
+            xs, ys = zip(*acc)
+            yield pd.DataFrame(
+                {
+                    "seq": pd.Series(range(len(acc)), dtype="int32"),
+                    "gx": pd.Series(xs, dtype="int64"),
+                    "gy": pd.Series(ys, dtype="int64"),
+                }
+            )
+
+    pts = points.select(
+        F.col(x).cast("long").alias("gx"), F.col(y).cast("long").alias("gy")
+    ).distinct()
+    partials = pts.mapInPandas(partial, "gx long, gy long")
+    return partials.repartition(1).mapInPandas(final, "seq int, gx long, gy long")

@@ -5818,3 +5818,72 @@ SQL_TFIDF_TOPTERMS = _tfidf_sql()
 
 QUERIES.update({"tfidf_topterms": q_tfidf_topterms})
 ORACLES.update({"tfidf_topterms": SQL_TFIDF_TOPTERMS})
+
+
+# ---------------------------------------------------------------------------
+# round-4: exact distributed convex hull
+# ---------------------------------------------------------------------------
+
+HULL_N_POINTS = 256  # deterministic md5-smallest subset (keeps the O(n^3)
+HULL_MOD = 2039      # edge-definition oracle tractable at every sf)
+
+
+def _hull_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer-lattice points from customer: two coprime
+    multiplicative scatters mod a prime, over the HULL_N_POINTS
+    md5-smallest keys (scale-independent subset, no ties possible on
+    md5 of distinct keys). All-integer, so every hull cross product is
+    exact on both engines."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.md5(F.col("c_custkey").cast("string")).alias("m"),
+    )
+    sub = c.orderBy("m").limit(HULL_N_POINTS)
+    return sub.select(
+        ((F.col("k") * 48271) % HULL_MOD).alias("gx"),
+        ((F.col("k") * 16807) % HULL_MOD).alias("gy"),
+    )
+
+
+def q_hull_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact convex hull: per-partition monotone chain →
+    merge (hull-of-hulls), CCW vertex sequence from the lexicographic
+    minimum. Gated against the O(n^3) directed-hull-edge definition +
+    a recursive-CTE boundary walk."""
+    from ophois_spark.operators.spatial import convex_hull
+
+    return convex_hull(_hull_points(spark, sf_dir))
+
+
+SQL_HULL_POINTS = f"""
+WITH RECURSIVE sub AS (
+  SELECT c_custkey AS k FROM customer
+  ORDER BY md5(CAST(c_custkey AS VARCHAR)) LIMIT {HULL_N_POINTS}),
+v AS (SELECT DISTINCT (k * 48271) % {HULL_MOD} AS gx, (k * 16807) % {HULL_MOD} AS gy FROM sub),
+-- directed hull edge a->b (interior strictly left): no point is strictly
+-- right of a->b, and any collinear point lies strictly between a and b
+-- (so collinear boundary midpoints are excluded as vertices: the edge
+-- that SKIPS them qualifies, the edges that end on them do not).
+edges AS (
+  SELECT a.gx AS ax, a.gy AS ay, b.gx AS bx, b.gy AS by
+  FROM v a JOIN v b ON NOT (a.gx = b.gx AND a.gy = b.gy)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM v p
+    WHERE NOT (p.gx = a.gx AND p.gy = a.gy)
+      AND NOT (p.gx = b.gx AND p.gy = b.gy)
+      AND ((b.gx - a.gx) * (p.gy - a.gy) - (b.gy - a.gy) * (p.gx - a.gx) < 0
+           OR ((b.gx - a.gx) * (p.gy - a.gy) - (b.gy - a.gy) * (p.gx - a.gx) = 0
+               AND NOT (p.gx BETWEEN least(a.gx, b.gx) AND greatest(a.gx, b.gx)
+                        AND p.gy BETWEEN least(a.gy, b.gy) AND greatest(a.gy, b.gy)))))),
+start AS (SELECT gx, gy FROM v ORDER BY gx, gy LIMIT 1),
+walk(seq, x, y) AS (
+  SELECT 0, gx, gy FROM start
+  UNION ALL
+  SELECT w.seq + 1, e.bx, e.by
+  FROM walk w JOIN edges e ON e.ax = w.x AND e.ay = w.y
+  WHERE NOT (e.bx = (SELECT gx FROM start) AND e.by = (SELECT gy FROM start)))
+SELECT CAST(seq AS INT) AS seq, CAST(x AS BIGINT) AS gx, CAST(y AS BIGINT) AS gy FROM walk
+"""
+
+QUERIES.update({"hull_points": q_hull_points})
+ORACLES.update({"hull_points": SQL_HULL_POINTS})

@@ -631,3 +631,28 @@ def test_raster_blobs_floodfill_oracle(spark):
         )
         n_runs = len({(y, x) for x, y in comp if (x - 1, y) not in comp})
         assert got[rid] == (n_runs, len(comp), min(xs), max(xs), min(ys), max(ys))
+
+
+def test_convex_hull_exact_and_partition_independent(spark):
+    from ophois_spark.operators.spatial import convex_hull
+
+    pts = [(0, 0), (4, 0), (4, 4), (0, 4), (2, 2), (2, 0), (4, 2), (1, 1), (3, 3)]
+    df = spark.createDataFrame(pts, "gx long, gy long")
+    expect = [(0, 0, 0), (1, 4, 0), (2, 4, 4), (3, 0, 4)]  # CCW from lexicographic min;
+    # collinear boundary midpoints (2,0) and (4,2) are NOT vertices
+    got = [(r["seq"], r["gx"], r["gy"]) for r in convex_hull(df).orderBy("seq").collect()]
+    assert got == expect
+    # hull(hull(A) ∪ hull(B)) = hull(A ∪ B): any partitioning yields the same hull
+    for n in (1, 3, 7):
+        got_n = [
+            (r["seq"], r["gx"], r["gy"])
+            for r in convex_hull(df.repartition(n)).orderBy("seq").collect()
+        ]
+        assert got_n == expect
+    # degenerate: single point and all-collinear
+    one = spark.createDataFrame([(5, 7)], "gx long, gy long")
+    assert [(r["seq"], r["gx"], r["gy"]) for r in convex_hull(one).collect()] == [(0, 5, 7)]
+    col = spark.createDataFrame([(0, 0), (2, 2), (4, 4), (6, 6)], "gx long, gy long")
+    assert [
+        (r["seq"], r["gx"], r["gy"]) for r in convex_hull(col).orderBy("seq").collect()
+    ] == [(0, 0, 0), (1, 6, 6)]
