@@ -5887,3 +5887,106 @@ SELECT CAST(seq AS INT) AS seq, CAST(x AS BIGINT) AS gx, CAST(y AS BIGINT) AS gy
 
 QUERIES.update({"hull_points": q_hull_points})
 ORACLES.update({"hull_points": SQL_HULL_POINTS})
+
+
+# ---------------------------------------------------------------------------
+# round-4: stays x admin-boundary composition
+# ---------------------------------------------------------------------------
+
+
+def q_stays_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell rollup per admin polygon: the gated stay-detection lineage
+    (trip_segments → stay_points) joined against the gated PIP
+    admin-boundary clipping through each stay cell's center point —
+    visits, distinct visitors and total dwell per region. Three gated
+    operators composed in ONE plan; the PIP join stays ONE cell-keyed
+    equi join (never per-polygon scans), and the final rollup moves
+    ~|polygons| rows."""
+    from ophois_spark.operators.spatial import pip_join
+    from ophois_spark.operators.trajectory import stay_points, trip_segments
+
+    trips = trip_segments(
+        _event_points(spark, sf_dir),
+        gap_us=TRIP_GAP_US,
+        jump_m=TRIP_JUMP_M,
+        slab_us=TRIP_SLAB_US,
+        grid_deg=TRIP_GRID_DEG,
+    )
+    stays = stay_points(trips, min_dwell_us=TRIP_GAP_US)
+    half = F.lit(0.5)
+    grid = F.lit(TRIP_GRID_DEG)
+    pts = stays.select(
+        "user_id",
+        "dwell_us",
+        ((F.col("gy").cast("double") + half) * grid).alias("lat_d"),
+        ((F.col("gx").cast("double") + half) * grid).alias("lon_d"),
+    )
+    polys = spark.createDataFrame(
+        PIP_POLYGONS, "poly_id string, xs array<double>, ys array<double>"
+    )
+    j = pip_join(pts, polys, res=CELL_RES)
+    return j.groupBy("poly_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_stays"),
+        F.countDistinct("user_id").cast("long").alias("n_visitors"),
+        F.sum("dwell_us").cast("long").alias("total_dwell_us"),
+    )
+
+
+def _stays_by_region_sql() -> str:
+    rows = []
+    for pid, xs, ys in PIP_POLYGONS:
+        nv = len(xs)
+        for i in range(nv):
+            x1, y1 = xs[i], ys[i]
+            x2, y2 = xs[(i + 1) % nv], ys[(i + 1) % nv]
+            rows.append(
+                f"('{pid}', CAST('{x1!r}' AS DOUBLE), CAST('{y1!r}' AS DOUBLE),"
+                f" CAST('{x2!r}' AS DOUBLE), CAST('{y2!r}' AS DOUBLE))"
+            )
+    vals = ",\n    ".join(rows)
+    return f"""
+WITH {_trip_ctes()},
+led AS (
+  SELECT user_id, trip_id, end_us, d_gx, d_gy,
+         lead(start_us) OVER w AS n_start,
+         lead(o_gx) OVER w AS n_ogx,
+         lead(o_gy) OVER w AS n_ogy
+  FROM trips WINDOW w AS (PARTITION BY user_id ORDER BY trip_id)),
+stays AS (
+  SELECT user_id, end_us AS arrive_us, n_start - end_us AS dwell_us,
+         (CAST(d_gy AS DOUBLE) + 0.5) * CAST('{TRIP_GRID_DEG!r}' AS DOUBLE) AS lat_d,
+         (CAST(d_gx AS DOUBLE) + 0.5) * CAST('{TRIP_GRID_DEG!r}' AS DOUBLE) AS lon_d
+  FROM led
+  WHERE n_start IS NOT NULL AND n_ogx = d_gx AND n_ogy = d_gy
+    AND n_start - end_us >= {TRIP_GAP_US}),
+poly(poly_id, x1, y1, x2, y2) AS (VALUES {vals}),
+bbox AS (
+  SELECT poly_id,
+         MIN(LEAST(x1, x2)) AS xmin, MAX(GREATEST(x1, x2)) AS xmax,
+         MIN(LEAST(y1, y2)) AS ymin, MAX(GREATEST(y1, y2)) AS ymax
+  FROM poly GROUP BY poly_id),
+cand AS (
+  SELECT s.user_id, s.arrive_us, s.dwell_us, s.lon_d, s.lat_d, b.poly_id
+  FROM stays s JOIN bbox b
+    ON s.lon_d >= b.xmin AND s.lon_d <= b.xmax
+   AND s.lat_d >= b.ymin AND s.lat_d <= b.ymax),
+hits AS (
+  SELECT c.user_id, c.arrive_us, c.dwell_us, c.poly_id,
+         SUM(CASE WHEN ((p.y1 > c.lat_d) <> (p.y2 > c.lat_d))
+                   AND (c.lon_d < (p.x2 - p.x1) * (c.lat_d - p.y1) / (p.y2 - p.y1) + p.x1)
+             THEN 1 ELSE 0 END) AS crossings
+  FROM cand c JOIN poly p ON p.poly_id = c.poly_id
+  GROUP BY 1, 2, 3, 4)
+SELECT poly_id,
+       CAST(COUNT(*) AS BIGINT) AS n_stays,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_visitors,
+       CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us
+FROM hits WHERE crossings % 2 = 1
+GROUP BY poly_id
+"""
+
+
+SQL_STAYS_BY_REGION = _stays_by_region_sql()
+
+QUERIES.update({"stays_by_region": q_stays_by_region})
+ORACLES.update({"stays_by_region": SQL_STAYS_BY_REGION})
