@@ -1,0 +1,161 @@
+"""Distributed BPE tokenizer training — the vocabulary-learning job a
+training-data pipeline runs over the full corpus before packing.
+
+Shape at 100 TB (the part that matters):
+
+1. ONE corpus-wide pass: whitespace words → (word, n) counts, a
+   map-side-combinable groupBy. Everything after operates on the
+   DISTINCT-WORD table — vocabulary-sized (millions), never
+   corpus-sized (trillions). This is the standard distributed BPE
+   decomposition (Sennrich et al., ACL'16 trains on exactly this
+   count table single-node).
+2. Per merge round: adjacent symbol pairs exploded from the symbol
+   arrays (JVM ``transform(sequence)``), weighted pair counts as one
+   algebraic aggregation (map-side combined), the argmax as a 1-row
+   ``max_by`` action — the components.py driver-loop discipline: one
+   cheap action per round.
+3. The winning pair is applied as a pure-Column ``aggregate`` fold
+   over each word's symbol array (greedy leftmost-first, proven
+   equivalent to the scan form below) — a narrow map stage on the
+   word table, no shuffle. Lineage is truncated with localCheckpoint
+   per round.
+
+Greedy-scan equivalence of the fold: the scan form (Sennrich's
+``i += 2`` after a merge) never reconsiders a just-merged token as the
+LEFT element of another merge in the same round. The fold checks
+``out[-1] == left``; a just-merged token equals ``left + right``,
+which can equal ``left`` only if ``right`` is empty — impossible. So
+fold and scan produce identical symbol sequences.
+
+Determinism: ties on pair count break to the lexicographically
+smallest (left, right) — pinned against the pure-Python twin
+(tests/test_bpe.py) on multi-tie corpora.
+
+Words carry an explicit end-of-word sentinel symbol ``"</w>"`` (the
+classic formulation), so learned merges distinguish word-final from
+word-internal contexts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+EOW = "</w>"
+BPE_MERGES = 12
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over the corpus — the single corpus-wide pass."""
+    from ophois_spark.operators.textops import tokens_col
+    from ophois_spark.plans.layout import fan_out
+
+    return (
+        fan_out(docs.select(F.col(text_col)))
+        .select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """word → (sym: array<string>, n): characters plus the EOW sentinel."""
+    return words.select(
+        F.concat(
+            F.split(F.col("word"), ""),  # each character
+            F.array(F.lit(EOW)),
+        ).alias("sym"),
+        "n",
+    )
+
+
+def _merge_fold(sym, left: str, right: str):
+    """Greedy leftmost-first merge of adjacent (left, right) → left+right
+    as a Column fold (see module docstring for scan equivalence)."""
+    merged = left + right
+
+    def step(acc, x):
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right))
+        )
+        replaced = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+        )
+        return F.when(can, replaced).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(sym, F.array().cast("array<string>"), step)
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
+) -> list[tuple[int, str, str]]:
+    """Learn ``n_merges`` BPE merges → [(rank, left, right), ...].
+
+    Driver-side result by design: the merge table IS the trained
+    artifact (size = n_merges, independent of corpus scale) and each
+    round needs the winner on the driver to build the next round's
+    fold anyway.
+    """
+    words = _initial_symbols(word_counts(docs, text_col)).localCheckpoint(
+        eager=False
+    )
+    merges: list[tuple[int, str, str]] = []
+    for r in range(n_merges):
+        idx = F.sequence(F.lit(1), F.size("sym") - 1)
+        pairs = (
+            words.filter(F.size("sym") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda i: F.struct(
+                            F.element_at("sym", i).alias("l"),
+                            F.element_at("sym", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best:
+            break
+        left, right = best[0]["l"], best[0]["r"]
+        merges.append((r, left, right))
+        words = words.select(
+            _merge_fold(F.col("sym"), left, right).alias("sym"), "n"
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_apply(
+    docs: DataFrame, merges: list[tuple[int, str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Tokenize with a learned merge table → (doc_id, n_bpe_tokens):
+    the per-doc BPE token count (the packing/pricing quantity). Each
+    merge is one Column fold applied in rank order — ``len(merges)``
+    chained narrow projections, zero shuffle, whole plan codegen."""
+    sym = F.concat(
+        F.split(F.col("_w"), ""),
+        F.array(F.lit(EOW)),
+    )
+    for _, left, right in sorted(merges):
+        sym = _merge_fold(sym, left, right)
+    from ophois_spark.operators.textops import tokens_col
+    from ophois_spark.plans.layout import fan_out
+
+    per_word = (
+        fan_out(docs.select("doc_id", F.col(text_col)))
+        .select(
+            "doc_id", F.explode(tokens_col(F.col(text_col))).alias("_w")
+        )
+        .filter(F.col("_w") != "")
+        .select("doc_id", F.size(sym).alias("_k"))
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum("_k").cast("long").alias("n_bpe_tokens")
+    )

@@ -5990,3 +5990,94 @@ SQL_STAYS_BY_REGION = _stays_by_region_sql()
 
 QUERIES.update({"stays_by_region": q_stays_by_region})
 ORACLES.update({"stays_by_region": SQL_STAYS_BY_REGION})
+
+
+# ---------------------------------------------------------------------------
+# round-4 flagship: distributed BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge table (rank, left, right) — learned by the
+    distributed loop in operators/bpe.py (one corpus pass to word
+    counts, then vocabulary-sized pair-count rounds). The oracle
+    re-learns the SAME merges independently: per round, pair counts +
+    argmax + the greedy leftmost-first merge restated as a
+    gaps-and-islands parity rule over exploded symbol positions —
+    fully unrolled to BPE_MERGES rounds of CTEs."""
+    from ophois_spark.operators.bpe import BPE_MERGES, bpe_train
+
+    merges = bpe_train(load(spark, sf_dir, "documents"), n_merges=BPE_MERGES)
+    return spark.createDataFrame(
+        [(int(r), l, rr) for r, l, rr in merges], "rank int, left string, right string"
+    )
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """One BPE round: positions → pair counts → argmax → greedy merge.
+
+    Greedy-as-parity: the engine's fold merges leftmost-first, which on
+    a maximal RUN of consecutive qualifying positions (only possible
+    when left == right, e.g. (a,a) on 'aaaa') merges offsets 0, 2, 4…
+    of the run — i.e. even offsets. Non-run positions are their own
+    runs (offset 0, always merged)."""
+    return f"""
+pos{r} AS MATERIALIZED (
+  SELECT wid, n, CAST(t.i AS INT) AS i, sym[t.i] AS s, sym[t.i + 1] AS s2
+  FROM words{r}, unnest(generate_series(1, len(sym))) AS t(i)),
+pc{r} AS (
+  SELECT s AS l, s2 AS r2, SUM(n) AS c FROM pos{r} WHERE s2 IS NOT NULL GROUP BY 1, 2),
+best{r} AS MATERIALIZED (SELECT l, r2 FROM pc{r} ORDER BY c DESC, l, r2 LIMIT 1),
+q{r} AS (
+  SELECT wid, n, i, s,
+         (s = (SELECT l FROM best{r}) AND s2 = (SELECT r2 FROM best{r})) AS q
+  FROM pos{r}),
+runs{r} AS (
+  SELECT wid, n, i, s, q,
+         CASE WHEN q THEN i - ROW_NUMBER() OVER
+           (PARTITION BY wid, q ORDER BY i) END AS grp
+  FROM q{r}),
+m{r} AS MATERIALIZED (
+  SELECT wid, i FROM (
+    SELECT wid, i,
+           ROW_NUMBER() OVER (PARTITION BY wid, grp ORDER BY i) - 1 AS off
+    FROM runs{r} WHERE q)
+  WHERE off % 2 = 0),
+tok{r} AS (
+  SELECT p.wid, p.n, p.i,
+         CASE WHEN m.i IS NOT NULL
+              THEN (SELECT l || r2 FROM best{r}) ELSE p.s END AS tk,
+         (m2.i IS NOT NULL) AS dropped
+  FROM pos{r} p
+  LEFT JOIN m{r} m ON m.wid = p.wid AND m.i = p.i
+  LEFT JOIN m{r} m2 ON m2.wid = p.wid AND m2.i = p.i - 1),
+words{r + 1} AS MATERIALIZED (
+  SELECT wid, n, list(tk ORDER BY i) AS sym
+  FROM tok{r} WHERE NOT dropped GROUP BY wid, n)"""
+
+
+def _bpe_merges_sql() -> str:
+    from ophois_spark.operators.bpe import BPE_MERGES, EOW
+
+    rounds = "".join("," + _bpe_round_ctes(r) for r in range(BPE_MERGES))
+    finals = "\nUNION ALL\n".join(
+        f'SELECT {r} AS "rank", (SELECT l FROM best{r}) AS "left",'
+        f' (SELECT r2 FROM best{r}) AS "right"' for r in range(BPE_MERGES)
+    )
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(t) AS word FROM toks) WHERE word <> '' GROUP BY word),
+words0 AS (
+  SELECT word AS wid, n, list_append(string_split(word, ''), '{EOW}') AS sym
+  FROM wc)
+{rounds}
+SELECT CAST("rank" AS INT) AS "rank", "left", "right" FROM ({finals}) AS u
+"""
+
+
+SQL_BPE_MERGES = _bpe_merges_sql()
+
+QUERIES.update({"bpe_merges": q_bpe_merges})
+ORACLES.update({"bpe_merges": SQL_BPE_MERGES})
