@@ -136,9 +136,14 @@ def bpe_apply(
     docs: DataFrame, merges: list[tuple[int, str, str]], text_col: str = "text"
 ) -> DataFrame:
     """Tokenize with a learned merge table → (doc_id, n_bpe_tokens):
-    the per-doc BPE token count (the packing/pricing quantity). Each
-    merge is one Column fold applied in rank order — ``len(merges)``
-    chained narrow projections, zero shuffle, whole plan codegen."""
+    the per-doc BPE token count (the packing/pricing quantity).
+
+    The merge chain (one Column fold per merge, rank order) runs ONCE
+    PER DISTINCT WORD, not per occurrence — at corpus scale the fold
+    cost is vocabulary-sized and occurrences just equi-join the
+    per-word length back on the word key (word-keyed hash join; hot
+    words like stopwords are one row on the build side, so no skew
+    materializes on the fold)."""
     sym = F.concat(
         F.split(F.col("_w"), ""),
         F.array(F.lit(EOW)),
@@ -148,14 +153,14 @@ def bpe_apply(
     from ophois_spark.operators.textops import tokens_col
     from ophois_spark.plans.layout import fan_out
 
-    per_word = (
+    occ = (
         fan_out(docs.select("doc_id", F.col(text_col)))
-        .select(
-            "doc_id", F.explode(tokens_col(F.col(text_col))).alias("_w")
-        )
+        .select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("_w"))
         .filter(F.col("_w") != "")
-        .select("doc_id", F.size(sym).alias("_k"))
     )
-    return per_word.groupBy("doc_id").agg(
-        F.sum("_k").cast("long").alias("n_bpe_tokens")
+    wl = occ.select("_w").distinct().select("_w", F.size(sym).alias("_k"))
+    return (
+        occ.join(wl, "_w")
+        .groupBy("doc_id")
+        .agg(F.sum("_k").cast("long").alias("n_bpe_tokens"))
     )

@@ -6081,3 +6081,42 @@ SQL_BPE_MERGES = _bpe_merges_sql()
 
 QUERIES.update({"bpe_merges": q_bpe_merges})
 ORACLES.update({"bpe_merges": SQL_BPE_MERGES})
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE token count under the trained merge table — the
+    packing/pricing quantity. Trains (gated by bpe_merges), then
+    applies the merge chain once per DISTINCT word and equi-joins the
+    lengths back to occurrences."""
+    from ophois_spark.operators.bpe import BPE_MERGES, bpe_apply, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_apply(docs, bpe_train(docs, n_merges=BPE_MERGES))
+
+
+def _bpe_token_counts_sql() -> str:
+    from ophois_spark.operators.bpe import BPE_MERGES, EOW
+
+    rounds = "".join("," + _bpe_round_ctes(r) for r in range(BPE_MERGES))
+    return f"""
+WITH toks AS MATERIALIZED ({_TOKS_SQL}),
+wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(t) AS word FROM toks) WHERE word <> '' GROUP BY word),
+words0 AS (
+  SELECT word AS wid, n, list_append(string_split(word, ''), '{EOW}') AS sym
+  FROM wc)
+{rounds},
+wl AS (SELECT wid, len(sym) AS k FROM words{BPE_MERGES}),
+dw AS (SELECT doc_id, unnest(t) AS word FROM toks)
+SELECT CAST(dw.doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(wl.k) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN wl ON dw.word = wl.wid
+GROUP BY dw.doc_id
+"""
+
+
+SQL_BPE_TOKEN_COUNTS = _bpe_token_counts_sql()
+
+QUERIES.update({"bpe_token_counts": q_bpe_token_counts})
+ORACLES.update({"bpe_token_counts": SQL_BPE_TOKEN_COUNTS})
