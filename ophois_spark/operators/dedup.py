@@ -674,3 +674,40 @@ def shingle_cardinality_kmv(docs: DataFrame, k: int = KMV_K) -> DataFrame:
             .alias("est_distinct"),
         )
     )
+
+
+EDIT_MAX = 16
+
+
+def edit_distance_pairs(
+    docs: DataFrame, max_dist: int = EDIT_MAX, text_col: str = "text"
+) -> DataFrame:
+    """Exact Levenshtein verification over SimHash candidate pairs →
+    (doc_a, doc_b, edit_dist) with ``edit_dist <= max_dist`` — the
+    character-level near-identical check (template pages differing by
+    a date stamp or a counter) that token-level Jaccard blurs.
+
+    Scale shape: the DP runs ONLY on the banded-SimHash candidate set
+    (exact recall at hamming <= 3, so character-level near-identity —
+    which implies near-identical token multisets — is inside the
+    candidate envelope for docs longer than a few tokens). Spark's
+    thresholded ``levenshtein(l, r, threshold)`` runs the banded DP —
+    O(len × max_dist) per pair, early-exit -1 above the threshold —
+    so per-pair cost is linear in document length, and the join ships
+    each candidate pair's two texts exactly once.
+    """
+    pairs = simhash_hamming_pairs(docs, text_col=text_col).select("doc_a", "doc_b")
+    t = docs.select("doc_id", F.col(text_col).alias("_t"))
+    j = (
+        pairs.join(t.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta")), "doc_a")
+        .join(t.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb")), "doc_b")
+    )
+    d = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
+    return (
+        j.select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            d.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )

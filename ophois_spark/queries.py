@@ -6120,3 +6120,36 @@ SQL_BPE_TOKEN_COUNTS = _bpe_token_counts_sql()
 
 QUERIES.update({"bpe_token_counts": q_bpe_token_counts})
 ORACLES.update({"bpe_token_counts": SQL_BPE_TOKEN_COUNTS})
+
+
+# ---------------------------------------------------------------------------
+# round-4: character-level near-identity verification
+# ---------------------------------------------------------------------------
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein <= EDIT_MAX over the gated SimHash candidate pairs —
+    thresholded banded DP engine-side, full DP + filter oracle-side
+    (identical surviving pairs/distances either way)."""
+    from ophois_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(load(spark, sf_dir, "documents"))
+
+
+def _edit_distance_sql() -> str:
+    from ophois_spark.operators.dedup import EDIT_MAX
+
+    return f"""
+WITH p AS ({SQL_SIMHASH_HAMMING}),
+t AS (SELECT doc_id, text FROM documents)
+SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+FROM p JOIN t a ON a.doc_id = p.doc_a JOIN t b ON b.doc_id = p.doc_b
+WHERE levenshtein(a.text, b.text) <= {EDIT_MAX}
+"""
+
+
+SQL_EDIT_DISTANCE_PAIRS = _edit_distance_sql()
+
+QUERIES.update({"edit_distance_pairs": q_edit_distance_pairs})
+ORACLES.update({"edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS})
