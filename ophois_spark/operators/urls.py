@@ -75,3 +75,37 @@ def host_of(url: Column) -> Column:
     hostport = F.lower(F.regexp_extract(url, URL_RX, 2))
     host = F.regexp_replace(hostport, r"^www\.", "")
     return F.substring_index(host, ":", 1)
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """Crawl-policy URL filtering with robots.txt longest-prefix-match
+    semantics → (doc_id, host, path, rule_prefix, allowed):
+    the most-specific (longest) matching rule prefix decides; no
+    matching rule means allowed (the robots default). ``urls``:
+    (doc_id, host, path); ``rules``: (host, prefix, allow 0/1) with
+    (host, prefix) unique — under which the longest match is provably
+    unique (two equal-length prefixes of the same path are the same
+    string).
+
+    Scale shape at 10^12 URLs: ONE host-keyed equi join (rules for
+    even millions of hosts are a thin table; broadcast when it fits,
+    shuffle hash join otherwise — never a prefix theta-join), the
+    startswith refine as a codegen predicate, and the per-URL argmax
+    as ``max_by`` keyed on prefix length — NULL keys (unmatched left
+    rows) are ignored by max_by, so the no-rule default falls out of
+    one ``coalesce``. All algebraic: map-side combinable, no window.
+    """
+    m = urls.join(rules, "host", "left")
+    hit = F.col("prefix").isNotNull() & F.col("path").startswith(F.col("prefix"))
+    agg = m.groupBy("doc_id", "host", "path").agg(
+        F.max_by(
+            F.struct("prefix", "allow"), F.when(hit, F.length("prefix"))
+        ).alias("r")
+    )
+    return agg.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "host",
+        "path",
+        F.col("r.prefix").alias("rule_prefix"),
+        F.coalesce(F.col("r.allow"), F.lit(1)).cast("int").alias("allowed"),
+    )

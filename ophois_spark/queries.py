@@ -6153,3 +6153,93 @@ SQL_EDIT_DISTANCE_PAIRS = _edit_distance_sql()
 
 QUERIES.update({"edit_distance_pairs": q_edit_distance_pairs})
 ORACLES.update({"edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS})
+
+
+# ---------------------------------------------------------------------------
+# round-4: robots-style crawl-policy filtering
+# ---------------------------------------------------------------------------
+
+
+def _make_robots_rules() -> list[tuple[str, str, int]]:
+    """Deterministic per-host rule table over the 40 synthetic hosts:
+    every host allows "/", selected hosts block /admin, /p (with a
+    longest-prefix /p/1 override) and /static — so the gate exercises
+    the default, the block, and the override on every run."""
+    rules = []
+    for h in range(40):
+        host = f"example{h}.com"
+        rules.append((host, "/", 1))
+        if h % 3 == 0:
+            rules.append((host, "/admin", 0))
+        if h % 4 == 0:
+            rules.append((host, "/p", 0))
+            rules.append((host, "/p/1", 1))
+        if h % 5 == 0:
+            rules.append((host, "/static", 0))
+    return rules
+
+
+ROBOTS_RULES = _make_robots_rules()
+
+
+def _robots_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 40).cast("string")
+    v = F.expr("(doc_id div 40) % 5")
+    path = (
+        F.when(v == 0, F.lit("/"))
+        .when(v == 1, F.concat(F.lit("/p/"), (F.col("doc_id") % 8).cast("string")))
+        .when(v == 2, F.concat(F.lit("/admin/x"), (F.col("doc_id") % 3).cast("string")))
+        .when(v == 3, F.concat(F.lit("/static/css/"), (F.col("doc_id") % 2).cast("string")))
+        .otherwise(F.lit("/p/1/edit"))
+    )
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("example"), h, F.lit(".com")).alias("host"),
+        path.alias("path"),
+    )
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match robots policy over synthesized per-host
+    paths: one host-keyed equi join + max_by on prefix length, default
+    allow when no rule matches."""
+    from ophois_spark.operators.urls import robots_filter
+
+    rules = spark.createDataFrame(ROBOTS_RULES, "host string, prefix string, allow int")
+    return robots_filter(_robots_urls(spark, sf_dir), rules)
+
+
+def _robots_filter_sql() -> str:
+    vals = ",\n    ".join(f"('{h}', '{p}', {a})" for h, p, a in ROBOTS_RULES)
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         'example' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host,
+         CASE (doc_id // 40) % 5
+           WHEN 0 THEN '/'
+           WHEN 1 THEN '/p/' || CAST(doc_id % 8 AS VARCHAR)
+           WHEN 2 THEN '/admin/x' || CAST(doc_id % 3 AS VARCHAR)
+           WHEN 3 THEN '/static/css/' || CAST(doc_id % 2 AS VARCHAR)
+           ELSE '/p/1/edit' END AS path
+  FROM documents),
+rules(host, prefix, allow) AS (VALUES {vals}),
+m AS (
+  SELECT u.doc_id, u.host, u.path, r.prefix, r.allow
+  FROM u LEFT JOIN rules r
+    ON u.host = r.host AND starts_with(u.path, r.prefix)),
+best AS (
+  SELECT doc_id, host, path,
+         arg_max(prefix, length(prefix)) AS rule_prefix,
+         arg_max(allow, length(prefix)) AS a
+  FROM m GROUP BY 1, 2, 3)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, host, path, rule_prefix,
+       CAST(COALESCE(a, 1) AS INT) AS allowed
+FROM best
+"""
+
+
+SQL_ROBOTS_FILTER = _robots_filter_sql()
+
+QUERIES.update({"robots_filter": q_robots_filter})
+ORACLES.update({"robots_filter": SQL_ROBOTS_FILTER})

@@ -62,3 +62,36 @@ def test_canonical_url_idempotent_on_generated_corpus(spark):
     assert all(r.c1 == r.c2 for r in rows), "canonicalization not idempotent"
     assert all("#" not in r.c1 and "utm_" not in r.c1 for r in rows)
     assert all(r.c1.split("://")[0] in ("http", "https") for r in rows)
+
+
+def test_robots_filter_longest_prefix_and_default(spark):
+    from ophois_spark.operators.urls import robots_filter
+
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/p/1/edit"),
+            (2, "a.com", "/p/2"),
+            (3, "a.com", "/other"),
+            (4, "b.com", "/admin/x"),
+            (5, "c.com", "/anything"),  # host with no rules at all
+        ],
+        "doc_id long, host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "/", 1),
+            ("a.com", "/p", 0),
+            ("a.com", "/p/1", 1),  # longest match overrides the /p block
+            ("b.com", "/admin", 0),
+        ],
+        "host string, prefix string, allow int",
+    )
+    got = {
+        r["doc_id"]: (r["rule_prefix"], r["allowed"])
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got[1] == ("/p/1", 1)   # most specific wins
+    assert got[2] == ("/p", 0)     # blocked by /p
+    assert got[3] == ("/", 1)      # falls back to the root rule
+    assert got[4] == ("/admin", 0)
+    assert got[5] == (None, 1)     # no rules -> robots default allow
