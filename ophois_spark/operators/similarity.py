@@ -454,3 +454,62 @@ def quantize_embeddings_int8(vecs: DataFrame, vec_col: str = "embedding") -> Dat
         F.min("q").cast("long").alias("min_q"),
         F.max("q").cast("long").alias("max_q"),
     )
+
+
+KNN_VOTE_K = 5
+
+
+def knn_label_vote(
+    embeddings: DataFrame, queries: DataFrame, k: int = KNN_VOTE_K
+) -> DataFrame:
+    """kNN classification by majority label vote → (qid, true_label,
+    pred_label, n_votes): the quality-probe a labeled-corpus pipeline
+    runs on its embedding space (label coherence = do my k nearest
+    neighbors agree with my own label).
+
+    Self is excluded BEFORE ranking (not truncate-then-drop, which
+    diverges when duplicate vectors tie the self row past rank k+1);
+    vote ties break to the smaller label (deterministic). This exact
+    form is the oracle-aligned baseline — at 10^12 vectors stage 1
+    swaps for the gated ANN candidate generation (ann_topk /
+    embedding_ivf_topk) with the vote stage unchanged; the brute
+    crossJoin here is the same labeled-baseline pattern as
+    ``cosine_topk``.
+    """
+    base = embeddings.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").cast("int").alias("true_label"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    sims = (
+        q.crossJoin(base)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "label",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    nn = sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    votes = nn.groupBy("qid", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") == 1)
+        .select(
+            "qid",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+        )
+    )

@@ -6243,3 +6243,47 @@ SQL_ROBOTS_FILTER = _robots_filter_sql()
 
 QUERIES.update({"robots_filter": q_robots_filter})
 ORACLES.update({"robots_filter": SQL_ROBOTS_FILTER})
+
+
+# ---------------------------------------------------------------------------
+# round-4: kNN label-vote classification probe
+# ---------------------------------------------------------------------------
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote kNN classification over the embedding space for
+    the md5-free deterministic query subset (vec_id % 50 = 0) — the
+    label-coherence probe of a labeled corpus."""
+    from ophois_spark.operators.similarity import KNN_VOTE_K, knn_label_vote
+
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_label_vote(emb, emb.filter(F.col("vec_id") % 50 == 0), k=KNN_VOTE_K)
+
+
+def _knn_label_vote_sql() -> str:
+    from ophois_spark.operators.similarity import KNN_VOTE_K
+
+    return f"""
+WITH q AS (SELECT vec_id AS qid, CAST(label AS INT) AS true_label,
+                  embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (
+  SELECT q.qid, q.true_label, CAST(e.label AS INT) AS label, e.vec_id,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      FROM c),
+votes AS (
+  SELECT qid, true_label, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM r WHERE rnk <= {KNN_VOTE_K} GROUP BY 1, 2, 3),
+best AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) AS vr
+         FROM votes)
+SELECT qid, true_label, label AS pred_label, n_votes FROM best WHERE vr = 1
+"""
+
+
+SQL_KNN_LABEL_VOTE = _knn_label_vote_sql()
+
+QUERIES.update({"knn_label_vote": q_knn_label_vote})
+ORACLES.update({"knn_label_vote": SQL_KNN_LABEL_VOTE})
