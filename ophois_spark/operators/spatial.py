@@ -1638,3 +1638,60 @@ def convex_hull(points: DataFrame, x: str = "gx", y: str = "gy") -> DataFrame:
     ).distinct()
     partials = pts.mapInPandas(partial, "gx long, gy long")
     return partials.repartition(1).mapInPandas(final, "seq int, gx long, gy long")
+
+
+def tiles_dirty(
+    before_edges: DataFrame,
+    after_edges: DataFrame,
+    nodes: DataFrame,
+    zoom: int,
+) -> DataFrame:
+    """Incremental re-render planning → (tile_x, tile_y, n_added,
+    n_removed): the raster tiles whose content changed between two
+    graph snapshots, with per-tile added/removed edge counts — what a
+    per-crawl tile refresh actually re-renders instead of the world.
+
+    Delta-first discipline: the (src, dst) anti-joins run BEFORE any
+    coordinate join or tile explode, so everything downstream scales
+    with |changed edges|, not |graph| — the property that keeps
+    per-crawl re-rendering feasible at 10^12 edges. The coordinate
+    joins then touch only delta rows; the per-side tile rollups are
+    algebraic (map-side combined) and the final full-outer join moves
+    ~|dirty tiles| rows.
+    """
+    def ewc(e: DataFrame) -> DataFrame:
+        a = nodes.select(
+            F.col("id").alias("src"),
+            F.col("lon_d").alias("src_lon_d"),
+            F.col("lat_d").alias("src_lat_d"),
+        )
+        b = nodes.select(
+            F.col("id").alias("dst"),
+            F.col("lon_d").alias("dst_lon_d"),
+            F.col("lat_d").alias("dst_lat_d"),
+        )
+        return e.join(a, "src").join(b, "dst")
+
+    bk = before_edges.select("src", "dst")
+    ak = after_edges.select("src", "dst")
+    added = ak.join(bk, ["src", "dst"], "left_anti")
+    removed = bk.join(ak, ["src", "dst"], "left_anti")
+    ta = (
+        tile_assignment(ewc(added), zoom)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_added"))
+    )
+    tr = (
+        tile_assignment(ewc(removed), zoom)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
+    )
+    return (
+        ta.join(tr, ["tile_x", "tile_y"], "full")
+        .select(
+            F.col("tile_x").cast("long").alias("tile_x"),
+            F.col("tile_y").cast("long").alias("tile_y"),
+            F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )

@@ -6287,3 +6287,83 @@ SQL_KNN_LABEL_VOTE = _knn_label_vote_sql()
 
 QUERIES.update({"knn_label_vote": q_knn_label_vote})
 ORACLES.update({"knn_label_vote": SQL_KNN_LABEL_VOTE})
+
+
+# ---------------------------------------------------------------------------
+# round-4: incremental tile invalidation (snapshot delta -> dirty tiles)
+# ---------------------------------------------------------------------------
+
+
+def _after_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot B: A minus a deterministic tenth of its edges, plus a
+    fresh derived edge family (canonicalized; overlaps with A are
+    neither added nor removed — the set ops decide, not the synth)."""
+    g = derived_graph(spark, sf_dir)
+    drop = (F.col("src").cast("long") * 31 + F.col("dst").cast("long")) % 10 == 0
+    kept = g.edges.select("src", "dst").filter(~drop)
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "customer").select(F.count(F.lit(1)).alias("n_cust"))
+    u = F.col("o_custkey").cast("string")
+    v = ((F.col("o_orderkey") * 17 + 3) % F.col("n_cust")).cast("string")
+    new = (
+        o.crossJoin(F.broadcast(n))
+        .select(F.least(u, v).alias("src"), F.greatest(u, v).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return kept.union(new).distinct()
+
+
+def q_tiles_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-tile planning between two graph snapshots: delta-first
+    anti-joins, coords joined on delta rows only, per-tile added/
+    removed rollups."""
+    from ophois_spark.operators.spatial import tiles_dirty
+
+    g = derived_graph(spark, sf_dir)
+    return tiles_dirty(
+        g.edges.select("src", "dst"),
+        _after_edges(spark, sf_dir),
+        g.nodes,
+        TILE_ZOOM,
+    )
+
+
+def _tiles_dirty_sql() -> str:
+    n = 1 << TILE_ZOOM
+    tx = lambda c: f"greatest(0, least({n - 1}, CAST(floor(({c} + 180.0) / 360.0 * {n}) AS BIGINT)))"  # noqa: E731
+    ty = lambda c: f"greatest(0, least({n - 1}, CAST(floor(({c} + 90.0) / 180.0 * {n}) AS BIGINT)))"  # noqa: E731
+    return f"""
+WITH nodes AS MATERIALIZED ({_NODES_SQL}),
+before_e AS MATERIALIZED ({_EDGES_SQL}),
+after_e AS MATERIALIZED (
+  SELECT src, dst FROM before_e
+  WHERE (CAST(src AS BIGINT) * 31 + CAST(dst AS BIGINT)) % 10 <> 0
+  UNION
+  SELECT least(u, v) AS src, greatest(u, v) AS dst
+  FROM (SELECT CAST(o_custkey AS VARCHAR) AS u,
+               CAST((o_orderkey * 17 + 3) % (SELECT COUNT(*) FROM customer) AS VARCHAR) AS v
+        FROM orders)
+  WHERE u <> v),
+delta AS (
+  SELECT src, dst, 1 AS is_add FROM (SELECT src, dst FROM after_e EXCEPT SELECT src, dst FROM before_e)
+  UNION ALL
+  SELECT src, dst, 0 AS is_add FROM (SELECT src, dst FROM before_e EXCEPT SELECT src, dst FROM after_e)),
+j AS (
+  SELECT d.is_add,
+         {tx("least(a.lon_d, b.lon_d)")} AS tx0, {tx("greatest(a.lon_d, b.lon_d)")} AS tx1,
+         {ty("least(a.lat_d, b.lat_d)")} AS ty0, {ty("greatest(a.lat_d, b.lat_d)")} AS ty1
+  FROM delta d JOIN nodes a ON d.src = a.id JOIN nodes b ON d.dst = b.id),
+xs AS (SELECT is_add, ty0, ty1, unnest(generate_series(tx0, tx1)) AS tile_x FROM j),
+cov AS (SELECT is_add, tile_x, unnest(generate_series(ty0, ty1)) AS tile_y FROM xs)
+SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
+       CAST(SUM(is_add) AS BIGINT) AS n_added,
+       CAST(SUM(1 - is_add) AS BIGINT) AS n_removed
+FROM cov GROUP BY 1, 2
+"""
+
+
+SQL_TILES_DIRTY = _tiles_dirty_sql()
+
+QUERIES.update({"tiles_dirty": q_tiles_dirty})
+ORACLES.update({"tiles_dirty": SQL_TILES_DIRTY})
