@@ -779,3 +779,71 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.length("_s").cast("long").alias("scrubbed_len"),
         F.md5(F.encode("_s", "UTF-8")).alias("scrubbed_md5"),
     )
+
+
+def doc_bigram_nll(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram language-model score per document → (doc_id, n_bigrams,
+    nll_bits, mean_x1000): the CCNet-style perplexity quality signal
+    (score each doc under an n-gram LM trained on the corpus itself)
+    in the repo's INTEGER cross-engine discipline — per-bigram cost is
+    the whole-bit cross entropy ``flog2(c1 + V) − flog2(c12)`` (add-V
+    denominator smoothing; flog2 exact on every engine, no libm), so
+    the per-doc sum is exact int64 addition: order-independent, no
+    rounding policy, no fold-ordering clause. ``mean_x1000`` is the
+    per-bigram mean in integer permille.
+
+    Scale shape at 10^12 docs: bigram rows explode from the token
+    array JVM-side (zero shuffle); the count tables are algebraic
+    groupBys (map-side combine absorbs stopword-pair hot keys); the
+    lookup joins are key-hashed with AQE skew-split as the fallback;
+    V and nothing else is a broadcast scalar. Docs with < 2 tokens
+    emit (0, 0, 0) via the left join.
+    """
+    from ophois_spark.plans.layout import fan_out
+
+    base = fan_out(docs.select("doc_id", F.col(text_col))).select(
+        "doc_id", tokens_col(F.col(text_col)).alias("t")
+    )
+    bg = base.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        base.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    flog2 = lambda c: F.length(F.bin(c)) - F.lit(1)  # noqa: E731
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (flog2(F.col("c1") + F.col("v")) - flog2(F.col("c12"))).alias("bits"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("nll_bits"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("nll_bits", F.lit(0)).cast("long").alias("nll_bits"),
+        F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0))
+        .otherwise(F.expr("(1000 * coalesce(nll_bits, 0)) div coalesce(n_bigrams, 1)"))
+        .cast("long")
+        .alias("mean_x1000"),
+    )

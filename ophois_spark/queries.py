@@ -6367,3 +6367,47 @@ SQL_TILES_DIRTY = _tiles_dirty_sql()
 
 QUERIES.update({"tiles_dirty": q_tiles_dirty})
 ORACLES.update({"tiles_dirty": SQL_TILES_DIRTY})
+
+
+# ---------------------------------------------------------------------------
+# round-4: bigram LM quality scoring (integer-bits cross entropy)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram LM score in whole bits — the CCNet perplexity
+    quality signal with the float-LM trap removed (flog2 integer
+    cross entropy, exact int64 sums)."""
+    from ophois_spark.operators.textops import doc_bigram_nll
+
+    return doc_bigram_nll(load(spark, sf_dir, "documents"))
+
+
+SQL_DOC_BIGRAM_NLL = f"""
+WITH toks AS MATERIALIZED ({_TOKS_SQL}),
+bg AS MATERIALIZED (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT unnest(t) AS w FROM toks) WHERE w <> ''),
+pd AS (
+  SELECT bg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM((length(bin(c1.c1 + (SELECT v FROM v))) - 1)
+                  - (length(bin(c12.c12)) - 1)) AS BIGINT) AS nll_bits
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(pd.nll_bits, 0) AS BIGINT) AS nll_bits,
+       CAST(CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN 0
+                 ELSE (1000 * COALESCE(pd.nll_bits, 0)) // pd.n_bigrams END AS BIGINT)
+         AS mean_x1000
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+"""
+
+QUERIES.update({"doc_bigram_nll": q_doc_bigram_nll})
+ORACLES.update({"doc_bigram_nll": SQL_DOC_BIGRAM_NLL})
