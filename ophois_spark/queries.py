@@ -5997,6 +5997,22 @@ ORACLES.update({"stays_by_region": SQL_STAYS_BY_REGION})
 # ---------------------------------------------------------------------------
 
 
+_BPE_MEMO: dict = {}
+
+
+def _trained_merges(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str]]:
+    """Single-entry memo per (session, sf_dir) — bpe_merges and
+    bpe_token_counts both consume the trained table; without the memo
+    each replays the 12-round driver loop (_GRAPH_CACHE policy)."""
+    from ophois_spark.operators.bpe import BPE_MERGES, bpe_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_MEMO:
+        _BPE_MEMO.clear()
+        _BPE_MEMO[key] = bpe_train(load(spark, sf_dir, "documents"), n_merges=BPE_MERGES)
+    return _BPE_MEMO[key]
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained BPE merge table (rank, left, right) — learned by the
     distributed loop in operators/bpe.py (one corpus pass to word
@@ -6005,9 +6021,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax + the greedy leftmost-first merge restated as a
     gaps-and-islands parity rule over exploded symbol positions —
     fully unrolled to BPE_MERGES rounds of CTEs."""
-    from ophois_spark.operators.bpe import BPE_MERGES, bpe_train
-
-    merges = bpe_train(load(spark, sf_dir, "documents"), n_merges=BPE_MERGES)
+    merges = _trained_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(int(r), l, rr) for r, l, rr in merges], "rank int, left string, right string"
     )
@@ -6088,10 +6102,10 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing/pricing quantity. Trains (gated by bpe_merges), then
     applies the merge chain once per DISTINCT word and equi-joins the
     lengths back to occurrences."""
-    from ophois_spark.operators.bpe import BPE_MERGES, bpe_apply, bpe_train
+    from ophois_spark.operators.bpe import bpe_apply
 
     docs = load(spark, sf_dir, "documents")
-    return bpe_apply(docs, bpe_train(docs, n_merges=BPE_MERGES))
+    return bpe_apply(docs, _trained_merges(spark, sf_dir))
 
 
 def _bpe_token_counts_sql() -> str:
