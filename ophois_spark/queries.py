@@ -6425,3 +6425,60 @@ FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
 
 QUERIES.update({"doc_bigram_nll": q_doc_bigram_nll})
 ORACLES.update({"doc_bigram_nll": SQL_DOC_BIGRAM_NLL})
+
+
+# ---------------------------------------------------------------------------
+# round-4: double-sweep diameter probe
+# ---------------------------------------------------------------------------
+
+DIAM_HOPS = 8  # per-sweep hop bound (both sweeps share it; the probe's
+# contract is "diameter lower bound within H hops per sweep")
+
+
+def q_graph_diameter_lb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep BFS diameter lower bound: BFS from the md5-min
+    node, re-sweep from the farthest node found (tie → min id), report
+    that sweep's eccentricity — the standard cheap diameter probe
+    (two gated BFS compositions, one 1-row driver action between)."""
+    from ophois_spark.operators.routing import bfs_hops
+
+    g = derived_graph(spark, sf_dir)
+    seed1 = g.nodes.select("id").orderBy(F.md5("id")).limit(1)
+    p1 = bfs_hops(g, seed1, max_hops=DIAM_HOPS)
+    far = (
+        p1.orderBy(F.desc("hops"), F.asc("id")).limit(1).collect()
+    )
+    far_id = far[0]["id"]
+    p2 = bfs_hops(g, spark.createDataFrame([(far_id,)], "id string"), max_hops=DIAM_HOPS)
+    return p2.agg(
+        F.lit(far_id).alias("far_node"),
+        F.max("hops").cast("int").alias("diameter_lb"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+
+
+SQL_GRAPH_DIAMETER_LB = f"""
+WITH RECURSIVE nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+bi AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+s1 AS (SELECT id FROM nodes ORDER BY md5(id) LIMIT 1),
+r1(id, hops) AS (
+  SELECT id, 0 FROM s1
+  UNION
+  SELECT bi.b, r1.hops + 1 FROM r1 JOIN bi ON r1.id = bi.a
+  WHERE r1.hops < {DIAM_HOPS}),
+d1 AS (SELECT id, MIN(hops) AS hops FROM r1 GROUP BY id),
+far AS (SELECT id FROM d1 ORDER BY hops DESC, id LIMIT 1),
+r2(id, hops) AS (
+  SELECT id, 0 FROM far
+  UNION
+  SELECT bi.b, r2.hops + 1 FROM r2 JOIN bi ON r2.id = bi.a
+  WHERE r2.hops < {DIAM_HOPS}),
+d2 AS (SELECT id, MIN(hops) AS hops FROM r2 GROUP BY id)
+SELECT (SELECT id FROM far) AS far_node,
+       CAST(MAX(hops) AS INT) AS diameter_lb,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM d2
+"""
+
+QUERIES.update({"graph_diameter_lb": q_graph_diameter_lb})
+ORACLES.update({"graph_diameter_lb": SQL_GRAPH_DIAMETER_LB})
