@@ -656,3 +656,26 @@ def test_convex_hull_exact_and_partition_independent(spark):
     assert [
         (r["seq"], r["gx"], r["gy"]) for r in convex_hull(col).orderBy("seq").collect()
     ] == [(0, 0, 0), (1, 6, 6)]
+
+
+def test_tiles_dirty_counts_added_and_removed(spark):
+    from ophois_spark.operators.spatial import tiles_dirty
+
+    # zoom chosen so each 0.1-deg step is its own tile column
+    nodes = spark.createDataFrame(
+        [("1", 45.0, 5.0), ("2", 45.0, 5.0001), ("3", 45.0, 5.0002)],
+        "id string, lat_d double, lon_d double",
+    )
+    before = spark.createDataFrame([("1", "2")], "src string, dst string")
+    after = spark.createDataFrame([("1", "2"), ("2", "3")], "src string, dst string")
+    out = tiles_dirty(before, after, nodes, zoom=18).collect()
+    # edge (1,2) unchanged -> not dirty; (2,3) added -> its tiles count 1 added
+    assert len(out) >= 1
+    assert all(r["n_added"] >= 1 and r["n_removed"] == 0 for r in out)
+
+    # removal only
+    out2 = tiles_dirty(after, before, nodes, zoom=18).collect()
+    assert all(r["n_added"] == 0 and r["n_removed"] >= 1 for r in out2)
+
+    # identical snapshots -> nothing dirty
+    assert tiles_dirty(after, after, nodes, zoom=18).count() == 0
