@@ -847,3 +847,92 @@ def doc_bigram_nll(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("mean_x1000"),
     )
+
+
+COOC_WINDOW = 2
+COOC_TOP = 200
+
+
+def term_cooccurrence(
+    docs: DataFrame,
+    window: int = COOC_WINDOW,
+    top: int = COOC_TOP,
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed term co-occurrence statistics → the top-``top``
+    unordered pairs by count: (w_a, w_b, n_pairs, pmi_bits) — the
+    collocation/word-vector co-occurrence table a corpus statistics
+    pass builds (word2vec-style, symmetric window ≤ ``window``).
+
+    ``pmi_bits`` is the integer whole-bit PMI proxy
+    ``flog2(c_ab) + flog2(N) − flog2(c_a) − flog2(c_b)`` (flog2 =
+    binary length − 1, exact on both engines — the doc_surprisal
+    discipline; N = total windowed pair count). The top-k total order
+    is (count desc, w_a, w_b) — no rank ties possible.
+
+    Scale shape: pair explode is JVM ``transform(sequence)`` per
+    distance (zero shuffle, bounded by window × doc length); the count
+    tables are algebraic groupBys (map-side combine absorbs stopword
+    pairs); the final top-k is a TakeOrdered, never a full sort.
+    """
+    from ophois_spark.plans.layout import fan_out
+
+    base = fan_out(docs.select(F.col(text_col))).select(
+        tokens_col(F.col(text_col)).alias("t")
+    )
+    empty = F.array().cast("array<struct<wa:string,wb:string>>")
+
+    # closure factory, NOT `lambda i, d=d`: a two-parameter lambda is
+    # treated by transform() as its binary (element, index) form, which
+    # silently rebinds d to the 0-based position
+    def pair_at(d: int):
+        return lambda i: F.struct(
+            F.least(F.element_at("t", i), F.element_at("t", i + d)).alias("wa"),
+            F.greatest(F.element_at("t", i), F.element_at("t", i + d)).alias("wb"),
+        )
+
+    parts = []
+    for d in range(1, window + 1):
+        # guard: Spark sequence(1, 0) DESCENDS ([1, 0]) rather than
+        # being empty, so short docs need the explicit when()
+        parts.append(
+            F.when(
+                F.size("t") >= d + 1,
+                F.transform(F.sequence(F.lit(1), F.size("t") - d), pair_at(d)),
+            ).otherwise(empty)
+        )
+    pairs = (
+        base.filter(F.size("t") >= 2)
+        .select(F.explode(F.concat(*parts)).alias("p"))
+        .select("p.wa", "p.wb")
+        .filter((F.col("wa") != "") & (F.col("wb") != ""))
+    )
+    c12 = pairs.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("c12"))
+    # unigram mass in PAIR SLOTS: each pair contributes one occurrence
+    # to each endpoint (self-pairs contribute two) — derived from c12
+    # itself so both engines share one definition
+    ends = c12.select(F.col("wa").alias("w"), F.col("c12").alias("c")).union(
+        c12.select(F.col("wb").alias("w"), F.col("c12").alias("c"))
+    )
+    c1 = ends.groupBy("w").agg(F.sum("c").alias("c1"))
+    n = c12.agg(F.sum("c12").alias("n_total"))
+    flog2 = lambda c: F.length(F.bin(c)) - F.lit(1)  # noqa: E731
+    scored = (
+        c12.join(c1.select(F.col("w").alias("wa"), F.col("c1").alias("ca")), "wa")
+        .join(c1.select(F.col("w").alias("wb"), F.col("c1").alias("cb")), "wb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("wa").alias("w_a"),
+            F.col("wb").alias("w_b"),
+            F.col("c12").cast("long").alias("n_pairs"),
+            (
+                flog2(F.col("c12"))
+                + flog2(F.col("n_total"))
+                - flog2(F.col("ca"))
+                - flog2(F.col("cb"))
+            )
+            .cast("int")
+            .alias("pmi_bits"),
+        )
+    )
+    return scored.orderBy(F.desc("n_pairs"), F.asc("w_a"), F.asc("w_b")).limit(top)

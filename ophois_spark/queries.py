@@ -6482,3 +6482,47 @@ FROM d2
 
 QUERIES.update({"graph_diameter_lb": q_graph_diameter_lb})
 ORACLES.update({"graph_diameter_lb": SQL_GRAPH_DIAMETER_LB})
+
+
+# ---------------------------------------------------------------------------
+# round-4: windowed co-occurrence statistics
+# ---------------------------------------------------------------------------
+
+
+def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 windowed co-occurrence pairs with integer whole-bit PMI
+    — the collocation table of a corpus statistics pass."""
+    from ophois_spark.operators.textops import term_cooccurrence
+
+    return term_cooccurrence(load(spark, sf_dir, "documents"))
+
+
+def _term_cooccurrence_sql() -> str:
+    from ophois_spark.operators.textops import COOC_TOP, COOC_WINDOW
+
+    dists = " UNION ALL ".join(
+        f"SELECT least(t[i], t[i + {d}]) AS wa, greatest(t[i], t[i + {d}]) AS wb"
+        f" FROM toks, unnest(generate_series(1, len(t) - {d})) AS u{d}(i)"
+        f" WHERE len(t) >= 2"
+        for d in range(1, COOC_WINDOW + 1)
+    )
+    return f"""
+WITH toks AS MATERIALIZED ({_TOKS_SQL}),
+p AS (SELECT wa, wb FROM ({dists}) q WHERE wa <> '' AND wb <> ''),
+c12 AS MATERIALIZED (SELECT wa, wb, COUNT(*) AS c12 FROM p GROUP BY 1, 2),
+ends AS (SELECT wa AS w, c12 AS c FROM c12 UNION ALL SELECT wb, c12 FROM c12),
+c1 AS (SELECT w, SUM(c) AS c1 FROM ends GROUP BY 1),
+n AS (SELECT SUM(c12) AS n_total FROM c12)
+SELECT c12.wa AS w_a, c12.wb AS w_b,
+       CAST(c12.c12 AS BIGINT) AS n_pairs,
+       CAST((length(bin(c12.c12)) - 1) + (length(bin((SELECT n_total FROM n))) - 1)
+            - (length(bin(a.c1)) - 1) - (length(bin(b.c1)) - 1) AS INT) AS pmi_bits
+FROM c12 JOIN c1 a ON a.w = c12.wa JOIN c1 b ON b.w = c12.wb
+ORDER BY n_pairs DESC, w_a, w_b LIMIT {COOC_TOP}
+"""
+
+
+SQL_TERM_COOCCURRENCE = _term_cooccurrence_sql()
+
+QUERIES.update({"term_cooccurrence": q_term_cooccurrence})
+ORACLES.update({"term_cooccurrence": SQL_TERM_COOCCURRENCE})
