@@ -1695,3 +1695,49 @@ def tiles_dirty(
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+ZORDER_BITS = 12
+
+
+def zorder_key(ix, iy, bits: int = ZORDER_BITS):
+    """Morton (Z-order) interleave of two ``bits``-bit grid coords as
+    pure integer Column math — the clustering key an Iceberg/parquet
+    sort order uses so that spatially-near rows land in the same file
+    ranges (the write-side counterpart of the cell-clustered layout in
+    bench_layout.py; 2·bits ≤ 62 keeps the key in int64). Exact shifts
+    and masks only — bit-identical in any engine.
+    """
+    ix = ix.cast("long")
+    iy = iy.cast("long")
+    k = F.lit(0).cast("long")
+    for b in range(bits):
+        k = (
+            k
+            + F.shiftleft(F.shiftright(ix, b) % 2, 2 * b)
+            + F.shiftleft(F.shiftright(iy, b) % 2, 2 * b + 1)
+        )
+    return k
+
+
+def zorder_cells(
+    points: DataFrame,
+    res: int,
+    lon_col: str = "lon_d",
+    lat_col: str = "lat_d",
+    bits: int = ZORDER_BITS,
+) -> DataFrame:
+    """→ (id, ix, iy, zkey): grid coords at ``res`` plus the Morton
+    key. Writing sorted by zkey gives range scans over any bbox a
+    bounded number of key intervals — the standard spatial layout for
+    a 10^12-row table (this operator is the projection; the sort is
+    the writer's job)."""
+    n = 1 << res
+    ix = _grid_x(F.col(lon_col), n)
+    iy = _grid_y(F.col(lat_col), n)
+    return points.select(
+        "id",
+        ix.cast("long").alias("ix"),
+        iy.cast("long").alias("iy"),
+        zorder_key(ix, iy, bits).alias("zkey"),
+    )

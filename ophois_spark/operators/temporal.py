@@ -490,3 +490,64 @@ def st_cube_rollup(
             "n_users",
         )
     )
+
+
+OUTLIER_K = 3  # MAD multiplier
+OUTLIER_MIN_ABS = 2  # absolute floor so mad=0 users need a real jump
+
+
+def user_rate_outliers(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-user daily-rate anomaly flags → (user_id, day, n_events,
+    med, mad, is_outlier): a day is anomalous when its event count
+    deviates from the user's median daily count by more than
+    ``OUTLIER_K``×MAD and by more than ``OUTLIER_MIN_ABS`` (the
+    abuse/bot-rate probe a crawl or event pipeline runs per account).
+
+    INTEGER discipline end-to-end: day = epoch day (exact), counts are
+    ints, median/MAD are lower-median ORDER STATISTICS (value at
+    row_number ceil(n/2) in (value, day)-sorted order — deterministic,
+    no float percentile, cross-engine exact). Windows partition by
+    user_id: bounded by one user's distinct days, never a corpus hot
+    key. Two window passes (median, then MAD) + one broadcast-free
+    join back on user_id.
+    """
+    d = events.select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+    )
+    daily = d.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    from pyspark.sql import Window
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.asc(val), F.asc("day"))
+        ranked = df.withColumn("_r", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+        med = ranked.filter(F.col("_r") == F.ceil(F.col("_n") / 2)).select(
+            "user_id", F.col(val).alias(out)
+        )
+        return med
+
+    med = lower_median(daily, "n_events", "med")
+    dev = daily.join(med, "user_id").withColumn(
+        "_ad", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = lower_median(
+        dev.select("user_id", "day", F.col("_ad").alias("n_events")), "n_events", "mad"
+    )
+    out = dev.join(mad, "user_id")
+    flag = (F.col("_ad") > F.lit(OUTLIER_K) * F.col("mad")) & (
+        F.col("_ad") > F.lit(OUTLIER_MIN_ABS)
+    )
+    return out.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.col("med").cast("long").alias("med"),
+        F.col("mad").cast("long").alias("mad"),
+        flag.cast("int").alias("is_outlier"),
+    )

@@ -6526,3 +6526,88 @@ SQL_TERM_COOCCURRENCE = _term_cooccurrence_sql()
 
 QUERIES.update({"term_cooccurrence": q_term_cooccurrence})
 ORACLES.update({"term_cooccurrence": SQL_TERM_COOCCURRENCE})
+
+
+# ---------------------------------------------------------------------------
+# round-4: Z-order layout key + integer MAD rate outliers
+# ---------------------------------------------------------------------------
+
+
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton layout keys for the derived nodes at res = ZORDER_BITS —
+    the write-side clustering key of the cell-clustered layout
+    (bench_layout.py reads; this is the exact-bit projection gate)."""
+    from ophois_spark.operators.spatial import ZORDER_BITS, zorder_cells
+
+    return zorder_cells(derived_nodes(spark, sf_dir), res=ZORDER_BITS)
+
+
+def _zorder_sql() -> str:
+    from ophois_spark.operators.spatial import ZORDER_BITS
+
+    n = 1 << ZORDER_BITS
+    gx = f"greatest(0, least({n - 1}, CAST(floor((lon_d + 180.0) / 360.0 * {n}) AS BIGINT)))"
+    gy = f"greatest(0, least({n - 1}, CAST(floor((lat_d + 90.0) / 180.0 * {n}) AS BIGINT)))"
+    terms = " + ".join(
+        f"(((ix // {1 << b}) % 2) * {1 << (2 * b)})"
+        f" + (((iy // {1 << b}) % 2) * {1 << (2 * b + 1)})"
+        for b in range(ZORDER_BITS)
+    )
+    return f"""
+WITH nodes AS ({_NODES_SQL}),
+g AS (SELECT id, {gx} AS ix, {gy} AS iy FROM nodes)
+SELECT id, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy,
+       CAST({terms} AS BIGINT) AS zkey
+FROM g
+"""
+
+
+SQL_ZORDER_CELLS = _zorder_sql()
+
+QUERIES.update({"zorder_cells": q_zorder_cells})
+ORACLES.update({"zorder_cells": SQL_ZORDER_CELLS})
+
+
+def q_user_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-MAD per-user daily-rate anomalies over events — the
+    abuse/bot probe; medians are deterministic lower-median order
+    statistics, no float percentile anywhere."""
+    from ophois_spark.operators.temporal import user_rate_outliers
+
+    return user_rate_outliers(load(spark, sf_dir, "events"))
+
+
+def _user_rate_outliers_sql() -> str:
+    from ophois_spark.operators.temporal import OUTLIER_K, OUTLIER_MIN_ABS
+
+    return f"""
+WITH d AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events),
+daily AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_events FROM d GROUP BY 1, 2),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events, day) AS r,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM daily),
+med AS (SELECT user_id, n_events AS med FROM r1 WHERE r = CAST(ceil(n / 2.0) AS BIGINT)),
+dev AS (
+  SELECT daily.user_id, daily.day, daily.n_events, med.med,
+         abs(daily.n_events - med.med) AS ad
+  FROM daily JOIN med USING (user_id)),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ad, day) AS r,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM dev),
+mad AS (SELECT user_id, ad AS mad FROM r2 WHERE r = CAST(ceil(n / 2.0) AS BIGINT))
+SELECT dev.user_id, dev.day, dev.n_events,
+       CAST(dev.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+       CAST(CASE WHEN dev.ad > {OUTLIER_K} * mad.mad AND dev.ad > {OUTLIER_MIN_ABS}
+                 THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM dev JOIN mad USING (user_id)
+"""
+
+
+SQL_USER_RATE_OUTLIERS = _user_rate_outliers_sql()
+
+QUERIES.update({"user_rate_outliers": q_user_rate_outliers})
+ORACLES.update({"user_rate_outliers": SQL_USER_RATE_OUTLIERS})
