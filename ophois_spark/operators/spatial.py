@@ -1741,3 +1741,182 @@ def zorder_cells(
         iy.cast("long").alias("iy"),
         zorder_key(ix, iy, bits).alias("zkey"),
     )
+
+
+def quadtree_bins(
+    points: DataFrame,
+    grid_deg: float,
+    levels: int,
+    threshold: int,
+    lon_col: str = "lon_d",
+    lat_col: str = "lat_d",
+) -> DataFrame:
+    """Adaptive quadtree binning → (lvl, gx, gy, n_points): split every
+    bin whose count exceeds ``threshold`` into its 4 children until it
+    fits or the finest level is reached — the adaptive histogram a
+    choropleth/heatmap uses so dense urban cores get fine cells and
+    empty ocean stays coarse (one output row per LEAF; leaves partition
+    the input, so sum(n_points) == |points|).
+
+    ``grid_deg`` is the FINEST cell edge; level ``lvl`` ∈ [0, levels)
+    has edge ``grid_deg·2^(levels-1-lvl)`` (lvl 0 = coarsest). Because
+    a child's count never exceeds its parent's, "first level from the
+    top whose count ≤ threshold" is exactly the quadtree leaf rule —
+    so the recursion flattens into closed-form ancestor arithmetic
+    (floor-division by powers of two), no iteration, no UDF.
+
+    Execution shape at 10^12 points: ONE map-side-combinable groupBy
+    of the point set at the finest grid; every coarser level is a 4:1
+    rollup of the (already tiny) next-finer CELL relation; the leaf
+    decision is ``levels`` broadcast-joinable lookups on cell tables,
+    never on points. Total shuffled bytes beyond the first aggregation
+    are proportional to the number of POPULATED finest cells.
+    """
+    from ophois_spark.plans.cache import swap_cached
+
+    gd = F.lit(float(grid_deg))
+    finest = points.select(
+        F.floor(F.col(lon_col) / gd).cast("long").alias("gx"),
+        F.floor(F.col(lat_col) / gd).cast("long").alias("gy"),
+    )
+    # counts[k] = per-cell counts at level (levels-1-k): k=0 finest
+    counts = [
+        swap_cached(
+            "quadtree.finest",
+            finest.groupBy("gx", "gy").agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            ),
+        )
+    ]
+    for _ in range(1, levels):
+        prev = counts[-1]
+        counts.append(
+            prev.select(
+                F.floor(F.col("gx") / 2).cast("long").alias("gx"),
+                F.floor(F.col("gy") / 2).cast("long").alias("gy"),
+                "n",
+            )
+            .groupBy("gx", "gy")
+            .agg(F.sum("n").alias("n"))
+        )
+    # leaf level per finest cell: walk coarse -> fine, first fit wins
+    leaf = counts[0].select("gx", "gy", "n")
+    for k in range(levels - 1, 0, -1):  # k = shift to ancestor
+        lvl = levels - 1 - k
+        anc = counts[k].select(
+            F.col("gx").alias("agx"),
+            F.col("gy").alias("agy"),
+            F.col("n").alias("an"),
+        )
+        leaf = (
+            leaf.join(
+                F.broadcast(anc),
+                (F.floor(F.col("gx") / F.lit(1 << k)) == F.col("agx"))
+                & (F.floor(F.col("gy") / F.lit(1 << k)) == F.col("agy")),
+            )
+            .withColumn(
+                "_fit",
+                F.when(F.col("an") <= F.lit(int(threshold)), F.lit(lvl)),
+            )
+            .withColumn(
+                "lvl",
+                F.coalesce(
+                    F.col("lvl") if "lvl" in leaf.columns else F.lit(None).cast("int"),
+                    F.col("_fit"),
+                ),
+            )
+            .drop("agx", "agy", "an", "_fit")
+        )
+    leaf = leaf.withColumn(
+        "lvl", F.coalesce(F.col("lvl"), F.lit(levels - 1)).cast("int")
+    )
+    shift = F.expr(f"shiftleft(1L, {levels - 1} - lvl)")
+    return (
+        leaf.select(
+            "lvl",
+            F.floor(F.col("gx") / shift).cast("long").alias("gx"),
+            F.floor(F.col("gy") / shift).cast("long").alias("gy"),
+            "n",
+        )
+        .groupBy("lvl", "gx", "gy")
+        .agg(F.sum("n").cast("long").alias("n_points"))
+    )
+
+
+def cell_moran(
+    points: DataFrame,
+    grid_deg: float,
+    lon_col: str = "lon_d",
+    lat_col: str = "lat_d",
+) -> DataFrame:
+    """Local Moran's I components per populated cell → (gx, gy, x, d,
+    w_n, lag_d, local_i): the spatial-autocorrelation decomposition
+    (Anselin's LISA) over cell point counts with queen (8-neighbor)
+    binary weights, in EXACT integer arithmetic so the oracle gate is
+    bit-identical — the hotspot/cold-spot screen a density surface
+    feeds before anyone trusts a cluster.
+
+    To keep every term an int64 the mean is never divided out:
+    ``d = x·N − S`` (N = populated-cell count, S = total points) is
+    N× the deviation, ``lag_d = Σ d_j`` over present neighbors,
+    ``local_i = d·lag_d`` is N²·(the usual unstandardized local
+    numerator). Global Moran's I = (N/W)·Σ local_i / Σ d² with
+    W = Σ w_n follows by two sums downstream; signs and rankings are
+    what analysts read and those are exact here. Absent neighbors
+    contribute nothing (binary weights over POPULATED cells — the
+    sparse convention; materializing the empty grid at planet scale
+    is the thing this avoids).
+
+    Shape: one map-side-combinable groupBy of points; a 1-row global
+    broadcast (metrics.py's A1 idiom); a constant 8-way explode of the
+    CELL relation + one algebraic agg on the neighbor key (the
+    cell_density_smooth scatter≡gather trick, self excluded).
+    """
+    from ophois_spark.plans.cache import swap_cached
+
+    gd = F.lit(float(grid_deg))
+    cells = swap_cached(
+        "moran.cells",
+        points.select(
+            F.floor(F.col(lon_col) / gd).cast("long").alias("gx"),
+            F.floor(F.col(lat_col) / gd).cast("long").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).cast("long").alias("x")),
+    )
+    glob = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("x").cast("long").alias("s_pts"),
+    )
+    dev = cells.crossJoin(F.broadcast(glob)).select(
+        "gx", "gy", "x", (F.col("x") * F.col("n_cells") - F.col("s_pts")).alias("d")
+    )
+    offs = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    arr = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs]
+    )
+    scat = dev.select("gx", "gy", "d", F.explode(arr).alias("o")).select(
+        (F.col("gx") + F.col("o.dx")).alias("ngx"),
+        (F.col("gy") + F.col("o.dy")).alias("ngy"),
+        "d",
+    )
+    lag = scat.groupBy(
+        F.col("ngx").alias("gx"), F.col("ngy").alias("gy")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("w_n"),
+        F.sum("d").cast("long").alias("lag_d"),
+    )
+    return (
+        dev.join(lag, ["gx", "gy"], "left")
+        .select(
+            "gx",
+            "gy",
+            "x",
+            "d",
+            F.coalesce("w_n", F.lit(0)).cast("long").alias("w_n"),
+            F.coalesce("lag_d", F.lit(0)).cast("long").alias("lag_d"),
+            (F.col("d") * F.coalesce("lag_d", F.lit(0)))
+            .cast("long")
+            .alias("local_i"),
+        )
+    )

@@ -385,3 +385,120 @@ def place_popularity(stays: DataFrame) -> DataFrame:
         F.countDistinct(key).cast("long").alias("n_visitors"),
         F.sum("dwell_us").cast("long").alias("total_dwell_us"),
     )
+
+
+def trip_points(
+    points: DataFrame,
+    gap_us: int,
+    jump_m: int,
+    slab_us: int,
+    grid_deg: float = 0.001,
+    key: str = "user_id",
+    ts: str = "t_us",
+    tie: str = "event_id",
+) -> DataFrame:
+    """Per-point trip labels → (key, trip_id, t_us, tie, lat_d, lon_d):
+    the pre-rollup rows ``trip_segments`` aggregates (same slab prefix
+    sum, same cut rule — shared lineage, pinned equal by the rollup
+    identity test), for consumers that need the trip's POINT SET:
+    similarity (``trip_hausdorff``), map matching, polyline export.
+    """
+    from ophois_spark.operators.temporal import slab_run_ids
+
+    def _step(p, c):
+        return F.floor(
+            haversine_m(p["_lon"], p["_lat"], c["_lon"], c["_lat"])
+        ).cast("long")
+
+    def _cut(p, c):
+        return (c["_t"] - p["_t"] > F.lit(int(gap_us))) | (
+            _step(p, c) > F.lit(int(jump_m))
+        )
+
+    e = _prep(points, grid_deg, key, ts, tie)
+    j = slab_run_ids(e, slab_us, _cut, carry=("_lat", "_lon"), run_col="trip_id")
+    return j.select(
+        F.col("_k").alias(key),
+        "trip_id",
+        F.col("_t").alias("t_us"),
+        F.col("_i").alias(tie),
+        F.col("_lat").alias("lat_d"),
+        F.col("_lon").alias("lon_d"),
+    )
+
+
+def trip_hausdorff(
+    labeled: DataFrame, key: str = "user_id", pid: str = "event_id"
+) -> DataFrame:
+    """Discrete Hausdorff similarity between each trip and the SAME
+    key's next trip → (key, trip_a, trip_b, h_ab_m, h_ba_m,
+    hausdorff_m): h_ab = max over A's points of the min floored-metre
+    distance to B's points (and vice versa; H = max of both) — the
+    commute-regularity / route-change detector run after segmentation
+    (is today's trip the same route as yesterday's?).
+
+    Candidate pairing is CONSECUTIVE trips per key (trip_b = trip_a+1)
+    so the pair count is linear in trips, and each pair's work is
+    |A|·|B| with both factors bounded by a single trip's length —
+    never a per-key or per-corpus quadratic. Execution: one equi-join
+    on (key, trip+1) fans each pair's point cross product, then two
+    algebraic min/max cascades (no window, no UDF); distances are
+    floored int64 metres (the A3 length discipline), so min/max ties
+    are exact and the oracle gate is bit-identical.
+
+    At 100 TB the join keys (key, trip_id) are the partitioning the
+    segmentation already produced; a pathological million-point trip
+    is the only skew risk and trips are bounded by ``gap_us`` by
+    construction (a cap-and-sample guard would go in _prep if real
+    traces violated that).
+    """
+    a = labeled.select(
+        F.col(key).alias("_k"),
+        F.col("trip_id").alias("trip_a"),
+        F.col(pid).alias("_ia"),
+        F.col("lat_d").alias("_alat"),
+        F.col("lon_d").alias("_alon"),
+    )
+    b = labeled.select(
+        F.col(key).alias("_k"),
+        (F.col("trip_id") - 1).alias("trip_a"),
+        F.col(pid).alias("_ib"),
+        F.col("lat_d").alias("_blat"),
+        F.col("lon_d").alias("_blon"),
+    )
+    joined = a.join(b, ["_k", "trip_a"]).select(
+        "_k",
+        "trip_a",
+        "_ia",
+        "_ib",
+        F.floor(
+            haversine_m(
+                F.col("_alon"), F.col("_alat"), F.col("_blon"), F.col("_blat")
+            )
+        )
+        .cast("long")
+        .alias("_d"),
+    )
+    h_ab = (
+        joined.groupBy("_k", "trip_a", "_ia")
+        .agg(F.min("_d").alias("_m"))
+        .groupBy("_k", "trip_a")
+        .agg(F.max("_m").cast("long").alias("h_ab_m"))
+    )
+    h_ba = (
+        joined.groupBy("_k", "trip_a", "_ib")
+        .agg(F.min("_d").alias("_m"))
+        .groupBy("_k", "trip_a")
+        .agg(F.max("_m").cast("long").alias("h_ba_m"))
+    )
+    return (
+        h_ab.join(h_ba, ["_k", "trip_a"])
+        .select(
+            F.col("_k").alias(key),
+            "trip_a",
+            (F.col("trip_a") + 1).alias("trip_b"),
+            "h_ab_m",
+            "h_ba_m",
+            F.greatest("h_ab_m", "h_ba_m").alias("hausdorff_m"),
+        )
+    )

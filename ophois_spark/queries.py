@@ -6611,3 +6611,166 @@ SQL_USER_RATE_OUTLIERS = _user_rate_outliers_sql()
 
 QUERIES.update({"user_rate_outliers": q_user_rate_outliers})
 ORACLES.update({"user_rate_outliers": SQL_USER_RATE_OUTLIERS})
+
+
+# ---------------------------------------------------------------------------
+# round-4: adaptive quadtree bins, local Moran's I, trip Hausdorff
+# ---------------------------------------------------------------------------
+
+QUADTREE_GRID_DEG = 0.0008
+QUADTREE_LEVELS = 4
+QUADTREE_THRESHOLD = 100
+MORAN_GRID_DEG = 0.002
+
+_EVENT_POINTS_CTE = """
+  SELECT user_id, event_id,
+         45.0 + CAST(user_id % 50 AS DOUBLE) * 0.002
+              + CAST((event_id * 3) % 7 AS DOUBLE) * 0.0002 AS lat_d,
+         5.0 + CAST((user_id * 7) % 50 AS DOUBLE) * 0.002
+             + CAST((event_id * 5) % 7 AS DOUBLE) * 0.0002 AS lon_d
+  FROM events
+"""
+
+
+def q_quadtree_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree binning over the event point field —
+    operators/spatial.py quadtree_bins: dense cells split to the
+    finest level, sparse stay coarse; leaves partition the input."""
+    from ophois_spark.operators.spatial import quadtree_bins
+
+    return quadtree_bins(
+        _event_points(spark, sf_dir),
+        grid_deg=QUADTREE_GRID_DEG,
+        levels=QUADTREE_LEVELS,
+        threshold=QUADTREE_THRESHOLD,
+    )
+
+
+def _quadtree_sql() -> str:
+    g, T = QUADTREE_GRID_DEG, QUADTREE_THRESHOLD
+    return f"""
+WITH p AS ({_EVENT_POINTS_CTE}),
+f AS (SELECT CAST(floor(lon_d / {g!r}) AS BIGINT) AS gx,
+             CAST(floor(lat_d / {g!r}) AS BIGINT) AS gy FROM p),
+c0 AS (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1, 2),
+c1 AS (SELECT CAST(floor(gx / 2.0) AS BIGINT) AS gx,
+              CAST(floor(gy / 2.0) AS BIGINT) AS gy,
+              CAST(SUM(n) AS BIGINT) AS n FROM c0 GROUP BY 1, 2),
+c2 AS (SELECT CAST(floor(gx / 2.0) AS BIGINT) AS gx,
+              CAST(floor(gy / 2.0) AS BIGINT) AS gy,
+              CAST(SUM(n) AS BIGINT) AS n FROM c1 GROUP BY 1, 2),
+c3 AS (SELECT CAST(floor(gx / 2.0) AS BIGINT) AS gx,
+              CAST(floor(gy / 2.0) AS BIGINT) AS gy,
+              CAST(SUM(n) AS BIGINT) AS n FROM c2 GROUP BY 1, 2),
+leaf AS (
+  SELECT c0.gx, c0.gy, c0.n,
+         CAST(floor(c0.gx / 2.0) AS BIGINT) AS a1x, CAST(floor(c0.gy / 2.0) AS BIGINT) AS a1y,
+         CAST(floor(c0.gx / 4.0) AS BIGINT) AS a2x, CAST(floor(c0.gy / 4.0) AS BIGINT) AS a2y,
+         CAST(floor(c0.gx / 8.0) AS BIGINT) AS a3x, CAST(floor(c0.gy / 8.0) AS BIGINT) AS a3y
+  FROM c0),
+lv AS (
+  SELECT leaf.*, CASE WHEN c3.n <= {T} THEN 0
+                      WHEN c2.n <= {T} THEN 1
+                      WHEN c1.n <= {T} THEN 2
+                      ELSE 3 END AS lvl
+  FROM leaf
+  JOIN c3 ON leaf.a3x = c3.gx AND leaf.a3y = c3.gy
+  JOIN c2 ON leaf.a2x = c2.gx AND leaf.a2y = c2.gy
+  JOIN c1 ON leaf.a1x = c1.gx AND leaf.a1y = c1.gy)
+SELECT CAST(lvl AS INT) AS lvl,
+       CASE lvl WHEN 0 THEN a3x WHEN 1 THEN a2x WHEN 2 THEN a1x ELSE gx END AS gx,
+       CASE lvl WHEN 0 THEN a3y WHEN 1 THEN a2y WHEN 2 THEN a1y ELSE gy END AS gy,
+       CAST(SUM(n) AS BIGINT) AS n_points
+FROM lv GROUP BY 1, 2, 3
+"""
+
+
+SQL_QUADTREE_BINS = _quadtree_sql()
+
+QUERIES.update({"quadtree_bins": q_quadtree_bins})
+ORACLES.update({"quadtree_bins": SQL_QUADTREE_BINS})
+
+
+def q_cell_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I components (integer LISA) over the derived node
+    field — operators/spatial.py cell_moran."""
+    from ophois_spark.operators.spatial import cell_moran
+
+    return cell_moran(derived_nodes(spark, sf_dir), grid_deg=MORAN_GRID_DEG)
+
+
+def _cell_moran_sql() -> str:
+    g = MORAN_GRID_DEG
+    return f"""
+WITH nodes AS ({_NODES_SQL}),
+cells AS (SELECT CAST(floor(lon_d / {g!r}) AS BIGINT) AS gx,
+                 CAST(floor(lat_d / {g!r}) AS BIGINT) AS gy,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM nodes GROUP BY 1, 2),
+gstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                CAST(SUM(x) AS BIGINT) AS s FROM cells),
+dev AS (SELECT gx, gy, x, CAST(x * n_cells - s AS BIGINT) AS d
+        FROM cells CROSS JOIN gstats),
+offs AS (SELECT * FROM (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(1,0),(-1,1),(0,1),(1,1)) t(dx, dy)),
+lag AS (SELECT dev.gx + dx AS gx, dev.gy + dy AS gy,
+               CAST(COUNT(*) AS BIGINT) AS w_n,
+               CAST(SUM(d) AS BIGINT) AS lag_d
+        FROM dev CROSS JOIN offs GROUP BY 1, 2)
+SELECT dev.gx, dev.gy, x, d,
+       CAST(COALESCE(w_n, 0) AS BIGINT) AS w_n,
+       CAST(COALESCE(lag_d, 0) AS BIGINT) AS lag_d,
+       CAST(d * COALESCE(lag_d, 0) AS BIGINT) AS local_i
+FROM dev LEFT JOIN lag ON dev.gx = lag.gx AND dev.gy = lag.gy
+"""
+
+
+SQL_CELL_MORAN = _cell_moran_sql()
+
+QUERIES.update({"cell_moran": q_cell_moran})
+ORACLES.update({"cell_moran": SQL_CELL_MORAN})
+
+
+def q_trip_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Hausdorff distance between each trip and the same
+    user's next trip — operators/trajectory.py trip_hausdorff over
+    trip_points (the shared slab segmentation lineage)."""
+    from ophois_spark.operators.trajectory import trip_hausdorff, trip_points
+
+    labeled = trip_points(
+        _event_points(spark, sf_dir),
+        gap_us=TRIP_GAP_US,
+        jump_m=TRIP_JUMP_M,
+        slab_us=TRIP_SLAB_US,
+        grid_deg=TRIP_GRID_DEG,
+    )
+    return trip_hausdorff(labeled)
+
+
+def _trip_hausdorff_sql() -> str:
+    hav = _hav_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")
+    return f"""
+WITH {_trip_ctes()},
+pts AS (SELECT user_id, CAST(trip_id AS BIGINT) AS trip_id, i, lat_d, lon_d FROM t2),
+j AS (
+  SELECT a.user_id, a.trip_id AS trip_a, a.i AS ia, b.i AS ib,
+         CAST(floor({hav}) AS BIGINT) AS d
+  FROM pts a JOIN pts b
+    ON a.user_id = b.user_id AND b.trip_id = a.trip_id + 1),
+hab AS (
+  SELECT user_id, trip_a, CAST(MAX(m) AS BIGINT) AS h_ab_m
+  FROM (SELECT user_id, trip_a, ia, MIN(d) AS m FROM j GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+hba AS (
+  SELECT user_id, trip_a, CAST(MAX(m) AS BIGINT) AS h_ba_m
+  FROM (SELECT user_id, trip_a, ib, MIN(d) AS m FROM j GROUP BY 1, 2, 3)
+  GROUP BY 1, 2)
+SELECT hab.user_id, hab.trip_a, hab.trip_a + 1 AS trip_b, h_ab_m, h_ba_m,
+       greatest(h_ab_m, h_ba_m) AS hausdorff_m
+FROM hab JOIN hba ON hab.user_id = hba.user_id AND hab.trip_a = hba.trip_a
+"""
+
+
+SQL_TRIP_HAUSDORFF = _trip_hausdorff_sql()
+
+QUERIES.update({"trip_hausdorff": q_trip_hausdorff})
+ORACLES.update({"trip_hausdorff": SQL_TRIP_HAUSDORFF})
