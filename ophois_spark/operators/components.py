@@ -288,3 +288,81 @@ def coreness(
         ),
         rounds_by_k,
     )
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a CANONICAL (src < dst) simple
+    edge relation → (src, dst, support), edges in ≥1 triangle only.
+    Under src < dst every triangle a<b<c is generated exactly once by
+    the wedge (a,b)+(a,c) closed by (b,c); each triangle then scatters
+    to its 3 edges for the algebraic count.
+    """
+    a = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    c = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = (
+        a.join(c, "a")
+        .filter(F.col("b") < F.col("c"))
+        .join(
+            e.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+            ["b", "c"],
+            "left_semi",
+        )
+    )
+    sides = (
+        tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+        .unionByName(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+    )
+    return sides.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
+def ktruss(edges: DataFrame, k: int, max_rounds: int = 100) -> tuple[DataFrame, int]:
+    """→ (truss_edges(src, dst, support), rounds): the k-truss of an
+    undirected simple graph — the maximal subgraph where EVERY edge is
+    in ≥ k−2 triangles of that subgraph (Cohen '08) — by parallel
+    peeling: each round recomputes per-edge support on the surviving
+    edges and drops every under-supported edge at once; fixpoint when
+    nothing drops. ``support`` is the edge's triangle count in the
+    FINAL truss. The cohesion screen one notch stricter than k-core
+    (a k-truss is always inside the (k−1)-core but prunes chains and
+    stars that survive core peeling) — link-farm and mutual-citation
+    forensics read it directly.
+
+    Determinism/replay contract: the dropped set per round is a pure
+    function of the surviving subgraph (no tie-breaks), so rounds past
+    the fixpoint are identities and a SQL oracle may unroll to any
+    pinned count ≥ the measured depth — the kcore/H4/H6 contract.
+
+    Scale shape at 10^12 edges: the wedge join is the cost center; the
+    canonical id orientation bounds a wedge source's fan-out by its
+    forward-degree (the degree-ordered variant in metrics.triangle_
+    counts drops in unchanged if id order correlates with degree —
+    with the same output, since support is orientation-free). Each
+    round: one wedge equi-join + one left-semi closure + one algebraic
+    count + one inner join back, one count action, lineage truncated
+    with localCheckpoint; the edge relation only shrinks.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_prev = None
+    rounds = 0
+    while True:
+        sup = _edge_support(e)
+        keep = sup.filter(F.col("support") >= k - 2).localCheckpoint(eager=False)
+        n = keep.count()  # the round's single action
+        if n == n_prev:
+            return keep, rounds
+        if n == 0:
+            return keep.select("src", "dst", "support"), rounds + 1
+        n_prev = n
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(f"k-truss did not converge within {max_rounds} rounds")
+        e = keep.select("src", "dst").localCheckpoint(eager=False)

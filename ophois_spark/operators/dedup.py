@@ -711,3 +711,87 @@ def edit_distance_pairs(
         )
         .filter(F.col("edit_dist") >= 0)
     )
+
+
+MIRROR_FP_DF_MAX = 8  # fingerprints on more sources than this are chrome, not content
+
+
+def source_mirror_pairs(
+    docs: DataFrame,
+    jac_num: int = 1,
+    jac_den: int = 2,
+    fp_df_max: int = MIRROR_FP_DF_MAX,
+    text_col: str = "text",
+) -> DataFrame:
+    """Mirror-site detection → (source_a, source_b, n_a, n_b, n_shared,
+    jac_pct): pairs of sources whose CONTENT fingerprint sets overlap
+    with Jaccard ≥ jac_num/jac_den — the host-level dedup a crawl
+    curation runs before per-document dedup ever sees the mirrored
+    half (CDN aliases, www/non-www splits, scraped re-hosts).
+
+    Exact integer gate: fingerprints are md5 of whitespace-normalized
+    text (the corpus_pipeline fp), per-source set sizes and pairwise
+    intersections are counts over DISTINCT (source, fp), and the
+    threshold is cross-multiplied — ``jac_den·i ≥ jac_num·(n_a+n_b−i)``
+    — so no float division decides membership; ``jac_pct`` is the
+    floored integer percent for reading, not for the cut.
+
+    Scale shape: candidates come from ONE fp equi-join over distinct
+    (source, fp) — only sources sharing at least one fingerprint ever
+    meet, never an all-pairs loop over hosts. A fingerprint present on
+    > ``fp_df_max`` sources fans that join out quadratically AND says
+    "boilerplate/chrome", not "mirrored content" — it is dropped
+    before the join (the CCNet df-cap rationale, disclosed in the
+    output semantics: shared counts are over content-discriminative
+    fingerprints). The per-source size agg and the pair count are both
+    map-side combinable.
+    """
+    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+", " "))
+    sfp = docs.select("source", fp.alias("fp")).distinct()
+    from ophois_spark.plans.cache import swap_cached
+
+    sfp = swap_cached("mirror.sfp", sfp)
+    sizes = sfp.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rare = sfp.join(
+        sfp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= fp_df_max)
+        .select("fp"),
+        "fp",
+        "left_semi",
+    )
+    shared = (
+        rare.alias("a")
+        .join(rare.alias("b"), "fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")),
+            "source_b",
+        )
+        .filter(
+            F.lit(int(jac_den)) * F.col("n_shared")
+            >= F.lit(int(jac_num)) * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "n_shared",
+        F.floor(
+            F.lit(100) * F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        )
+        .cast("long")
+        .alias("jac_pct"),
+    )

@@ -6774,3 +6774,139 @@ SQL_TRIP_HAUSDORFF = _trip_hausdorff_sql()
 
 QUERIES.update({"trip_hausdorff": q_trip_hausdorff})
 ORACLES.update({"trip_hausdorff": SQL_TRIP_HAUSDORFF})
+
+
+# ---------------------------------------------------------------------------
+# round-4: k-truss (edge-support peeling — one notch past k-core)
+# ---------------------------------------------------------------------------
+
+KTRUSS_K = 3
+# Oracle unroll: measured peel depth on the link overlay is small (the
+# peeled set per round is a pure function of the surviving subgraph, so
+# rounds past the fixpoint are identities — the kcore/H4/H6 replay
+# contract). 6 = measured worst case + 100% margin, pytest-guarded in
+# tests/test_ktruss.py at both gate scales.
+KTRUSS_UNROLL = 6
+
+
+def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=3) of the undirected link overlay → (src, dst,
+    support): surviving edges each in ≥1 triangle of the truss itself
+    — operators/components.py ktruss, the mutual-citation / link-farm
+    cohesion screen one notch stricter than kcore_decomposition."""
+    from ophois_spark.operators.components import ktruss
+
+    _nodes, edges = _link_overlay(spark, sf_dir)
+    truss, _rounds = ktruss(edges, KTRUSS_K)
+    return truss.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("support").cast("long").alias("support"),
+    )
+
+
+def _ktruss_sql() -> str:
+    k = KTRUSS_K
+    parts = [
+        "n AS MATERIALIZED (SELECT doc_id AS id FROM documents)",
+        "c AS (SELECT COUNT(*) AS cnt FROM documents)",
+        "j0 AS (SELECT id, unnest(generate_series(1, 1 + (id % 3))) AS j FROM n)",
+        """le AS MATERIALIZED (
+  SELECT DISTINCT id AS src, (id*31 + 97*j) % (SELECT cnt FROM c) AS dst
+  FROM j0 WHERE (id*31 + 97*j) % (SELECT cnt FROM c) <> id)""",
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst FROM le)""",
+    ]
+    prev = "e0"
+    for j in range(1, KTRUSS_UNROLL + 1):
+        parts.append(f"""t{j} AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.src = e1.src AND e1.dst < e2.dst
+  JOIN {prev} e3 ON e3.src = e1.dst AND e3.dst = e2.dst)""")
+        parts.append(f"""s{j} AS (
+  SELECT src, dst, COUNT(*) AS sup FROM (
+    SELECT a AS src, b AS dst FROM t{j}
+    UNION ALL SELECT b, c FROM t{j}
+    UNION ALL SELECT a, c FROM t{j}) GROUP BY 1, 2)""")
+        parts.append(f"""e{j} AS MATERIALIZED (
+  SELECT src, dst, CAST(sup AS BIGINT) AS support
+  FROM s{j} WHERE sup >= {k - 2})""")
+        prev = f"e{j}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, support
+FROM e{KTRUSS_UNROLL}"""
+    )
+
+
+SQL_KTRUSS_EDGES = _ktruss_sql()
+
+QUERIES.update({"ktruss_edges": q_ktruss_edges})
+ORACLES.update({"ktruss_edges": SQL_KTRUSS_EDGES})
+
+
+# ---------------------------------------------------------------------------
+# round-4: host-level mirror detection
+# ---------------------------------------------------------------------------
+
+
+def _mirror_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror overlay on documents (the boilerplate/dirty-URL overlay
+    discipline): every source keeps its originals, and 2 of every 3
+    docs are re-hosted under ``source || '_m'`` — a planted mirror
+    whose fingerprint set is a ~2/3 subset of its origin's, so the
+    (src, src_m) pairs clear Jaccard 1/2 and nothing else meets."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    m = d.filter(F.col("doc_id") % 3 < 2).select(
+        "doc_id", F.concat(F.col("source"), F.lit("_m")).alias("source"), "text"
+    )
+    return d.unionByName(m)
+
+
+def q_source_mirror_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level mirror detection over the mirror overlay —
+    operators/dedup.py source_mirror_pairs (fingerprint-set Jaccard
+    via one fp equi-join, integer cross-multiplied threshold)."""
+    from ophois_spark.operators.dedup import source_mirror_pairs
+
+    return source_mirror_pairs(_mirror_docs(spark, sf_dir))
+
+
+def _source_mirror_sql() -> str:
+    from ophois_spark.operators.dedup import MIRROR_FP_DF_MAX
+
+    return rf"""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id, source || '_m' AS source, text FROM documents WHERE doc_id % 3 < 2),
+sfp AS (
+  SELECT DISTINCT source,
+         md5(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp
+  FROM docs),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sfp GROUP BY 1),
+rare AS (
+  SELECT sfp.* FROM sfp
+  JOIN (SELECT fp FROM sfp GROUP BY fp HAVING COUNT(*) <= {MIRROR_FP_DF_MAX}) r
+  USING (fp)),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM rare a JOIN rare b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+       CAST(floor(100 * n_shared / (sa.n + sb.n - n_shared)) AS BIGINT) AS jac_pct
+FROM shared
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+WHERE 2 * n_shared >= 1 * (sa.n + sb.n - n_shared)
+"""
+
+
+SQL_SOURCE_MIRROR_PAIRS = _source_mirror_sql()
+
+QUERIES.update({"source_mirror_pairs": q_source_mirror_pairs})
+ORACLES.update({"source_mirror_pairs": SQL_SOURCE_MIRROR_PAIRS})
