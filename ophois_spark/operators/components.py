@@ -366,3 +366,56 @@ def ktruss(edges: DataFrame, k: int, max_rounds: int = 100) -> tuple[DataFrame, 
         if rounds > max_rounds:
             raise RuntimeError(f"k-truss did not converge within {max_rounds} rounds")
         e = keep.select("src", "dst").localCheckpoint(eager=False)
+
+
+def lpa_communities(nodes: DataFrame, edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """→ (id, label): synchronous label propagation (Raghavan '07) run
+    for EXACTLY ``rounds`` rounds over the undirected simple graph —
+    init label(v)=v; each round every node adopts the most frequent
+    label among its neighbors, ties to the smallest label; isolated
+    nodes keep their own. Community detection for link-farm / topic-
+    cluster screening one level below connected components (which this
+    refines: labels never cross a component boundary).
+
+    Fixed-round semantics ON PURPOSE: async LPA is order-dependent and
+    sync LPA can 2-cycle on bipartite-ish regions, so "run to
+    convergence" is not a well-defined deterministic contract. "Labels
+    after R synchronous min-tie-break rounds" is — bit-replayable on
+    any engine, so the oracle unrolls the identical R rounds rather
+    than pinning a measured depth (contrast ktruss, where the fixpoint
+    IS deterministic).
+
+    Scale shape: per round ONE adjacency→label equi-join, ONE
+    map-side-combinable (id, lbl) count, ONE argmax via min(struct) —
+    no window over a node's full neighborhood and no skew cliff: a
+    celebrity node's million neighbor rows pre-aggregate to its
+    distinct incident labels before the reduce. Lineage truncated per
+    round; no driver action anywhere (the plan is R unrolled stages).
+    """
+    sym = (
+        edges.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    adj = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = nodes.select(F.col("id"), F.col("id").cast("long").alias("label"))
+    for _ in range(rounds):
+        nbr = (
+            adj.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nlbl")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), F.col("nlbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = nbr.groupBy("id").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("nlbl").alias("lbl"))).alias("b")
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce(F.col("b.lbl"), F.col("label")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -6910,3 +6910,68 @@ SQL_SOURCE_MIRROR_PAIRS = _source_mirror_sql()
 
 QUERIES.update({"source_mirror_pairs": q_source_mirror_pairs})
 ORACLES.update({"source_mirror_pairs": SQL_SOURCE_MIRROR_PAIRS})
+
+
+# ---------------------------------------------------------------------------
+# round-4: label-propagation communities (fixed-round sync LPA)
+# ---------------------------------------------------------------------------
+
+# Fixed-round semantics, not a pinned fixpoint: sync LPA can 2-cycle, so
+# the deterministic contract is "labels after exactly R min-tie-break
+# rounds" and the oracle unrolls the SAME R rounds (no margin needed —
+# contrast KTRUSS_UNROLL, where rounds past the fixpoint are identities).
+LPA_ROUNDS = 4
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (R=4 rounds, min
+    tie-break) over the undirected link overlay → (id, label) —
+    operators/components.py lpa_communities, the topic-cluster /
+    link-farm screen one level below connected components."""
+    from ophois_spark.operators.components import lpa_communities
+
+    nodes, edges = _link_overlay(spark, sf_dir)
+    out = lpa_communities(nodes, edges, rounds=LPA_ROUNDS)
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.col("label").cast("long").alias("label")
+    )
+
+
+def _lpa_sql() -> str:
+    parts = [
+        "n AS MATERIALIZED (SELECT doc_id AS id FROM documents)",
+        "c AS (SELECT COUNT(*) AS cnt FROM documents)",
+        "j0 AS (SELECT id, unnest(generate_series(1, 1 + (id % 3))) AS j FROM n)",
+        """le AS (
+  SELECT DISTINCT id AS src, (id*31 + 97*j) % (SELECT cnt FROM c) AS dst
+  FROM j0 WHERE (id*31 + 97*j) % (SELECT cnt FROM c) <> id)""",
+        """eu AS (
+  SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d FROM le)""",
+        """adj AS MATERIALIZED (
+  SELECT s AS src, d AS dst FROM eu UNION ALL SELECT d, s FROM eu)""",
+        "l0 AS (SELECT id, id AS label FROM n)",
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(f"""nb{r} AS (
+  SELECT a.src AS id, l.label AS nlbl, COUNT(*) AS cn
+  FROM adj a JOIN l{r-1} l ON l.id = a.dst GROUP BY 1, 2)""")
+        parts.append(f"""m{r} AS (
+  SELECT id, nlbl AS label FROM (
+    SELECT id, nlbl,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY cn DESC, nlbl ASC) AS rn
+    FROM nb{r}) WHERE rn = 1)""")
+        parts.append(f"""l{r} AS MATERIALIZED (
+  SELECT p.id, COALESCE(m.label, p.label) AS label
+  FROM l{r-1} p LEFT JOIN m{r} m USING (id))""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l{LPA_ROUNDS}"""
+    )
+
+
+SQL_LPA_COMMUNITIES = _lpa_sql()
+
+QUERIES.update({"lpa_communities": q_lpa_communities})
+ORACLES.update({"lpa_communities": SQL_LPA_COMMUNITIES})
