@@ -385,3 +385,35 @@ def resolve_redirects(edges: DataFrame, max_depth: int) -> DataFrame:
             (F.col("hops") + F.coalesce("_h2", F.lit(0))).alias("hops"),
         )
     return f.select("src", F.col("dst").alias("final"), "hops")
+
+
+def crawl_frontier(ranked_docs: DataFrame, rounds: int, host_col: str = "source") -> DataFrame:
+    """Politeness-scheduled crawl frontier → (doc_id, host, rank,
+    fetch_round): each host releases its pages in importance order —
+    ``fetch_round`` = the page's 1-based rank position WITHIN its host
+    (rank desc, doc_id asc) — and the frontier keeps the first
+    ``rounds`` rounds. One fetch per host per round is the standard
+    crawl politeness contract (a frontier that ordered purely by rank
+    would hammer the top host); the output is a deterministic SET, so
+    the gate needs no global ordering.
+
+    Input: (doc_id, <host_col>, rank) — in the registry the converged
+    PageRank memo joined to the documents dim, so scheduling composes
+    the gated importance lineage instead of re-deriving it.
+
+    Scale shape: ONE window partitioned by host — bounded by a single
+    host's page count, the same per-key bound every crawler queue has
+    to hold anyway — then a codegen filter. No global sort, no driver
+    action; a mega-host (the skew case) costs one task scanning its
+    own pages, and pre-capping with an approximate per-host top-K
+    before the exact window drops in unchanged if a host's page count
+    itself explodes.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.desc("rank"), F.asc("doc_id"))
+    return (
+        ranked_docs.select("doc_id", F.col(host_col).alias("host"), "rank")
+        .withColumn("fetch_round", F.row_number().over(w).cast("long"))
+        .filter(F.col("fetch_round") <= rounds)
+    )

@@ -6975,3 +6975,45 @@ SQL_LPA_COMMUNITIES = _lpa_sql()
 
 QUERIES.update({"lpa_communities": q_lpa_communities})
 ORACLES.update({"lpa_communities": SQL_LPA_COMMUNITIES})
+
+
+# ---------------------------------------------------------------------------
+# round-4: politeness-scheduled crawl frontier
+# ---------------------------------------------------------------------------
+
+FRONTIER_ROUNDS = 5
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl scheduling over the converged importance ranks: each host
+    (= document source) releases pages rank-first, one per politeness
+    round; keep the first 5 rounds — operators/webgraph.py
+    crawl_frontier composing the link_pagerank_converged memo."""
+    from ophois_spark.operators.webgraph import crawl_frontier
+
+    r = q_link_pagerank_converged(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = r.join(d, "doc_id")
+    out = crawl_frontier(ranked, FRONTIER_ROUNDS)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("host"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("fetch_round").cast("long").alias("fetch_round"),
+    )
+
+
+SQL_CRAWL_FRONTIER = f"""
+WITH ranks AS ({SQL_LINK_PAGERANK_CONVERGED}),
+ranked AS (
+  SELECT r.doc_id, d.source AS host, r.rank,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY d.source ORDER BY r.rank DESC, r.doc_id ASC
+         ) AS BIGINT) AS fetch_round
+  FROM ranks r JOIN documents d USING (doc_id))
+SELECT doc_id, host, rank, fetch_round
+FROM ranked WHERE fetch_round <= {FRONTIER_ROUNDS}
+"""
+
+QUERIES.update({"crawl_frontier": q_crawl_frontier})
+ORACLES.update({"crawl_frontier": SQL_CRAWL_FRONTIER})
