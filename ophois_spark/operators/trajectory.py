@@ -502,3 +502,65 @@ def trip_hausdorff(
             F.greatest("h_ab_m", "h_ba_m").alias("hausdorff_m"),
         )
     )
+
+
+def trace_resample(
+    points: DataFrame, step_us: int, user_col: str = "user_id"
+) -> DataFrame:
+    """Fixed-epoch trace resampling → (user, epoch_us, mlat, mlon): the
+    user's position linearly interpolated at every epoch boundary
+    k·step_us that falls strictly after one ping and at-or-before the
+    next — the uniform-time view every trajectory model (stay
+    inference, co-location, exposure) wants instead of raw irregular
+    pings. Boundaries outside a user's observed span are NOT
+    extrapolated.
+
+    Exactness contract: the epoch index range per consecutive pair is
+    pure int64 arithmetic (k0 = floor(prev/step)+1, k1 = floor(t/step),
+    empty when k1 < k0 — which also silently skips zero-duration
+    pairs, no division guard needed); the interpolation itself is the
+    fixed IEEE expression lat0 + (lat1−lat0)·((T−t0)/(t1−t0)) whose
+    +,−,·,/ round identically on every engine (no libm), and the
+    output is floored integer MICRODEGREES so the gate is integer
+    (the floored-metre discipline, in degree space — geo.rs:interpolate
+    is the same lat/lon-linear rule).
+
+    Scale shape: ONE lag window per user (the sessionize bound), one
+    sequence-explode whose fan-out per pair is the pair's own epoch
+    count — total output rows ≈ observed-span/step per user, so a
+    long-gap pair (the skew case) costs its own rows and nothing
+    shuffles twice; the window is the only exchange.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy("t_us", "event_id")
+    step = int(step_us)
+    l = points.select(
+        F.col(user_col).alias("user"),
+        "t_us",
+        "lat_d",
+        "lon_d",
+        F.lag("t_us").over(w).alias("pt"),
+        F.lag("lat_d").over(w).alias("plat"),
+        F.lag("lon_d").over(w).alias("plon"),
+    ).filter(F.col("pt").isNotNull())
+    k0 = (F.floor(F.col("pt") / step) + 1).cast("long")
+    k1 = F.floor(F.col("t_us") / step).cast("long")
+    ks = l.select(
+        "*",
+        F.explode(
+            F.when(k1 >= k0, F.sequence(k0, k1)).otherwise(F.array().cast("array<long>"))
+        ).alias("k"),
+    )
+    t = (F.col("k") * F.lit(step)).cast("double")
+    f = (t - F.col("pt").cast("double")) / (
+        F.col("t_us").cast("double") - F.col("pt").cast("double")
+    )
+    lat_i = F.col("plat") + (F.col("lat_d") - F.col("plat")) * f
+    lon_i = F.col("plon") + (F.col("lon_d") - F.col("plon")) * f
+    return ks.select(
+        "user",
+        (F.col("k") * F.lit(step)).cast("long").alias("epoch_us"),
+        F.floor(lat_i * F.lit(1000000.0)).cast("long").alias("mlat"),
+        F.floor(lon_i * F.lit(1000000.0)).cast("long").alias("mlon"),
+    )

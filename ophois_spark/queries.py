@@ -7017,3 +7017,66 @@ FROM ranked WHERE fetch_round <= {FRONTIER_ROUNDS}
 
 QUERIES.update({"crawl_frontier": q_crawl_frontier})
 ORACLES.update({"crawl_frontier": SQL_CRAWL_FRONTIER})
+
+
+# ---------------------------------------------------------------------------
+# round-4: fixed-epoch trace resampling
+# ---------------------------------------------------------------------------
+
+RESAMPLE_STEP_US = 86_400_000_000  # daily boundaries over the 30-day overlay
+
+
+def q_trace_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-boundary position interpolation over the event-point
+    overlay — operators/trajectory.py trace_resample: int64 epoch
+    ranges per consecutive-ping pair, fixed IEEE lat/lon-linear
+    interpolation, floored integer microdegrees."""
+    from ophois_spark.operators.trajectory import trace_resample
+
+    out = trace_resample(_event_points(spark, sf_dir), RESAMPLE_STEP_US)
+    return out.select(
+        F.col("user").cast("long").alias("user_id"),
+        "epoch_us",
+        "mlat",
+        "mlon",
+    )
+
+
+def _trace_resample_sql() -> str:
+    step = RESAMPLE_STEP_US
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id AS i, epoch_us(ts) AS t,
+         45.0 + CAST(user_id % 50 AS DOUBLE) * 0.002
+              + CAST((event_id * 3) % 7 AS DOUBLE) * 0.0002 AS lat_d,
+         5.0 + CAST((user_id * 7) % 50 AS DOUBLE) * 0.002
+             + CAST((event_id * 5) % 7 AS DOUBLE) * 0.0002 AS lon_d
+  FROM events),
+l AS (
+  SELECT user_id, t, lat_d, lon_d,
+         lag(t) OVER w AS pt, lag(lat_d) OVER w AS plat, lag(lon_d) OVER w AS plon
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, i)),
+e AS (
+  SELECT *, CAST(floor(pt / {step}) + 1 AS BIGINT) AS k0,
+            CAST(floor(t / {step}) AS BIGINT) AS k1
+  FROM l WHERE pt IS NOT NULL),
+x AS (
+  SELECT e.*, unnest(generate_series(k0, k1)) AS k FROM e WHERE k1 >= k0),
+y AS (
+  SELECT user_id, k,
+         (CAST(k * {step} AS DOUBLE) - CAST(pt AS DOUBLE))
+           / (CAST(t AS DOUBLE) - CAST(pt AS DOUBLE)) AS f,
+         plat, plon, lat_d, lon_d
+  FROM x)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(k * {step} AS BIGINT) AS epoch_us,
+       CAST(floor((plat + (lat_d - plat) * f) * 1000000.0) AS BIGINT) AS mlat,
+       CAST(floor((plon + (lon_d - plon) * f) * 1000000.0) AS BIGINT) AS mlon
+FROM y
+"""
+
+
+SQL_TRACE_RESAMPLE = _trace_resample_sql()
+
+QUERIES.update({"trace_resample": q_trace_resample})
+ORACLES.update({"trace_resample": SQL_TRACE_RESAMPLE})
