@@ -1920,3 +1920,78 @@ def cell_moran(
             .alias("local_i"),
         )
     )
+
+
+def cell_trend(
+    points: DataFrame,
+    grid_deg: float,
+    day_us: int = 86_400_000_000,
+    lon_col: str = "lon_d",
+    lat_col: str = "lat_d",
+    t_col: str = "t_us",
+) -> DataFrame:
+    """Mann–Kendall trend per populated cell → (gx, gy, n_days,
+    total, s_stat): the emerging-hot-spot screen — for each cell, the
+    exact integer Kendall statistic S = Σ_{i<j} sign(x_j − x_i) over
+    its ZERO-FILLED daily point counts across the dataset's observed
+    day span. S ≫ 0 = intensifying cell, S ≪ 0 = cooling, |S| small =
+    flat or oscillating; with n time bins, |S| close to n(n−1)/2 is a
+    monotone run (the space-time-cube "new/intensifying hotspot"
+    classification reads exactly this statistic).
+
+    Exactness: counts, day indexes, pair signs, and S are all int64 —
+    no variance normalization (the z-score's σ(S) is a pure function
+    of n_days and downstream division; signs and rankings are what the
+    classification reads and those are exact here). Zero-filling is
+    REQUIRED for the semantics (a cell active only on day 1 must trend
+    DOWN); the day span is global so every cell sees the same bins.
+
+    Scale shape: the time dimension is calendar-bounded (T = 30 here,
+    365 at a year), so per-cell work is a constant T(T−1)/2 regardless
+    of data size: ONE map-side-combinable (cell, day) count, one 1-row
+    span agg broadcast into a sequence explode for the zero-fill, one
+    equi self-join ON THE CELL KEY restricted to day1 < day2, one
+    algebraic sum. Nothing is quadratic in points or cells.
+    """
+    day = F.floor(F.col(t_col) / F.lit(int(day_us))).cast("long")
+    c = (
+        points.select(
+            F.floor(F.col(lon_col) / grid_deg).cast("long").alias("gx"),
+            F.floor(F.col(lat_col) / grid_deg).cast("long").alias("gy"),
+            day.alias("day"),
+        )
+        .groupBy("gx", "gy", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    span = c.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )  # 1-row broadcast
+    days = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    filled = (
+        c.select("gx", "gy").distinct()
+        .crossJoin(F.broadcast(days))
+        .join(c, ["gx", "gy", "day"], "left")
+        .select("gx", "gy", "day", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+    )
+    a, b = filled.alias("a"), filled.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.gx") == F.col("b.gx"))
+        & (F.col("a.gy") == F.col("b.gy"))
+        & (F.col("a.day") < F.col("b.day")),
+    )
+    sgn = (
+        F.when(F.col("b.x") > F.col("a.x"), F.lit(1))
+        .when(F.col("b.x") < F.col("a.x"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    stats = filled.groupBy("gx", "gy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    s = pairs.groupBy(F.col("a.gx").alias("gx"), F.col("a.gy").alias("gy")).agg(
+        F.sum(sgn).cast("long").alias("s_stat")
+    )
+    return stats.join(s, ["gx", "gy"], "left").select(
+        "gx", "gy", "n_days", "total", F.coalesce("s_stat", F.lit(0)).cast("long").alias("s_stat")
+    )

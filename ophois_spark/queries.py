@@ -7080,3 +7080,62 @@ SQL_TRACE_RESAMPLE = _trace_resample_sql()
 
 QUERIES.update({"trace_resample": q_trace_resample})
 ORACLES.update({"trace_resample": SQL_TRACE_RESAMPLE})
+
+
+# ---------------------------------------------------------------------------
+# round-4: emerging-hotspot trend (per-cell Mann-Kendall over daily counts)
+# ---------------------------------------------------------------------------
+
+TREND_GRID_DEG = 0.01
+TREND_DAY_US = 86_400_000_000
+
+
+def q_cell_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Mann-Kendall S over zero-filled daily point counts of
+    the event-point overlay — operators/spatial.py cell_trend, the
+    space-time-cube emerging-hotspot statistic in exact int64."""
+    from ophois_spark.operators.spatial import cell_trend
+
+    return cell_trend(_event_points(spark, sf_dir), grid_deg=TREND_GRID_DEG, day_us=TREND_DAY_US)
+
+
+def _cell_trend_sql() -> str:
+    g, du = TREND_GRID_DEG, TREND_DAY_US
+    return f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         45.0 + CAST(user_id % 50 AS DOUBLE) * 0.002
+              + CAST((event_id * 3) % 7 AS DOUBLE) * 0.0002 AS lat_d,
+         5.0 + CAST((user_id * 7) % 50 AS DOUBLE) * 0.002
+             + CAST((event_id * 5) % 7 AS DOUBLE) * 0.0002 AS lon_d
+  FROM events),
+c AS (SELECT CAST(floor(lon_d / {g!r}) AS BIGINT) AS gx,
+             CAST(floor(lat_d / {g!r}) AS BIGINT) AS gy,
+             CAST(floor(t_us / {du}) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM p GROUP BY 1, 2, 3),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM c),
+days AS (SELECT unnest(generate_series(d0, d1)) AS day FROM span),
+filled AS (
+  SELECT k.gx, k.gy, days.day, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+  FROM (SELECT DISTINCT gx, gy FROM c) k
+  CROSS JOIN days
+  LEFT JOIN c ON c.gx = k.gx AND c.gy = k.gy AND c.day = days.day),
+stats AS (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(x) AS BIGINT) AS total
+          FROM filled GROUP BY 1, 2),
+s AS (SELECT a.gx, a.gy,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM filled a JOIN filled b
+        ON a.gx = b.gx AND a.gy = b.gy AND a.day < b.day
+      GROUP BY 1, 2)
+SELECT stats.gx, stats.gy, n_days, total,
+       CAST(COALESCE(s_stat, 0) AS BIGINT) AS s_stat
+FROM stats LEFT JOIN s ON stats.gx = s.gx AND stats.gy = s.gy
+"""
+
+
+SQL_CELL_TREND = _cell_trend_sql()
+
+QUERIES.update({"cell_trend": q_cell_trend})
+ORACLES.update({"cell_trend": SQL_CELL_TREND})
