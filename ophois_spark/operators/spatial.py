@@ -1995,3 +1995,60 @@ def cell_trend(
     return stats.join(s, ["gx", "gy"], "left").select(
         "gx", "gy", "n_days", "total", F.coalesce("s_stat", F.lit(0)).cast("long").alias("s_stat")
     )
+
+
+def colocation_pairs(
+    points: DataFrame,
+    grid_deg: float,
+    bin_us: int,
+    crowd_max: int = 32,
+    user_col: str = "user_id",
+    lon_col: str = "lon_d",
+    lat_col: str = "lat_d",
+    t_col: str = "t_us",
+) -> DataFrame:
+    """Spatiotemporal contact graph → (user_a, user_b, n_bins): pairs
+    of users observed in the SAME grid cell during the SAME time bin,
+    with the number of distinct co-located (cell, bin) slots — the
+    contact/companionship query (co-travel detection, exposure
+    tracing, account-farm colocation) over raw pings.
+
+    Semantics: presence is per DISTINCT (user, cell, bin) — a user
+    pinging 50 times in one slot counts once, so n_bins counts shared
+    SLOTS, not ping coincidences. Slots where more than ``crowd_max``
+    distinct users appear are dropped BEFORE pairing: a crowd slot
+    (station concourse) says nothing about companionship AND is the
+    quadratic fan-out hazard — same df-cap rationale as
+    dedup.source_mirror_pairs, disclosed in the output contract.
+
+    Scale shape: one distinct over (user, cell, bin), one
+    map-side-combinable slot-size count, a left-semi crowd gate, then
+    ONE equi self-join on the (cell, bin) slot key — only users
+    sharing a slot ever meet, and the per-slot fan-out is bounded by
+    crowd_max², so no skew cliff exists by construction. The final
+    pair count is algebraic.
+    """
+    slots = (
+        points.select(
+            F.col(user_col).alias("u"),
+            F.floor(F.col(lon_col) / grid_deg).cast("long").alias("gx"),
+            F.floor(F.col(lat_col) / grid_deg).cast("long").alias("gy"),
+            F.floor(F.col(t_col) / F.lit(int(bin_us))).cast("long").alias("bin"),
+        )
+        .distinct()
+    )
+    quiet = slots.join(
+        slots.groupBy("gx", "gy", "bin")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= crowd_max)
+        .select("gx", "gy", "bin"),
+        ["gx", "gy", "bin"],
+        "left_semi",
+    )
+    a, b = quiet.alias("a"), quiet.alias("b")
+    return (
+        a.join(b, ["gx", "gy", "bin"])
+        .filter(F.col("a.u") < F.col("b.u"))
+        .groupBy(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bins"))
+    )

@@ -7139,3 +7139,65 @@ SQL_CELL_TREND = _cell_trend_sql()
 
 QUERIES.update({"cell_trend": q_cell_trend})
 ORACLES.update({"cell_trend": SQL_CELL_TREND})
+
+
+# ---------------------------------------------------------------------------
+# round-4: spatiotemporal co-location contact graph
+# ---------------------------------------------------------------------------
+
+COLOC_GRID_DEG = 0.002
+COLOC_BIN_US = 86_400_000_000
+COLOC_CROWD_MAX = 32
+
+
+def q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users sharing a (cell, day-bin) slot over the event-point
+    overlay, crowd slots dropped — operators/spatial.py
+    colocation_pairs, the co-travel / account-farm contact query."""
+    from ophois_spark.operators.spatial import colocation_pairs
+
+    out = colocation_pairs(
+        _event_points(spark, sf_dir),
+        grid_deg=COLOC_GRID_DEG,
+        bin_us=COLOC_BIN_US,
+        crowd_max=COLOC_CROWD_MAX,
+    )
+    return out.select(
+        F.col("user_a").cast("long").alias("user_a"),
+        F.col("user_b").cast("long").alias("user_b"),
+        "n_bins",
+    )
+
+
+def _colocation_sql() -> str:
+    g, bu, cm = COLOC_GRID_DEG, COLOC_BIN_US, COLOC_CROWD_MAX
+    return f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         45.0 + CAST(user_id % 50 AS DOUBLE) * 0.002
+              + CAST((event_id * 3) % 7 AS DOUBLE) * 0.0002 AS lat_d,
+         5.0 + CAST((user_id * 7) % 50 AS DOUBLE) * 0.002
+             + CAST((event_id * 5) % 7 AS DOUBLE) * 0.0002 AS lon_d
+  FROM events),
+slots AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(lon_d / {g!r}) AS BIGINT) AS gx,
+         CAST(floor(lat_d / {g!r}) AS BIGINT) AS gy,
+         CAST(floor(t_us / {bu}) AS BIGINT) AS bin
+  FROM p),
+quiet AS (
+  SELECT slots.* FROM slots
+  JOIN (SELECT gx, gy, bin FROM slots GROUP BY 1, 2, 3 HAVING COUNT(*) <= {cm}) q
+  USING (gx, gy, bin))
+SELECT CAST(a.u AS BIGINT) AS user_a, CAST(b.u AS BIGINT) AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_bins
+FROM quiet a JOIN quiet b
+  ON a.gx = b.gx AND a.gy = b.gy AND a.bin = b.bin AND a.u < b.u
+GROUP BY 1, 2
+"""
+
+
+SQL_COLOCATION_PAIRS = _colocation_sql()
+
+QUERIES.update({"colocation_pairs": q_colocation_pairs})
+ORACLES.update({"colocation_pairs": SQL_COLOCATION_PAIRS})
