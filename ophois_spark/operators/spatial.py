@@ -2052,3 +2052,50 @@ def colocation_pairs(
         .groupBy(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_bins"))
     )
+
+
+def voronoi_assign(
+    points: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "id",
+    lon_col: str = "lon_d",
+    lat_col: str = "lat_d",
+) -> DataFrame:
+    """Voronoi partition → (id, seed_id, dist_m): every point assigned
+    to its nearest seed by floored-metre haversine, distance ties to
+    the smaller seed id — the service-area / catchment decomposition
+    (which depot serves this node, which region owns this point).
+
+    ``seeds`` is a SMALL relation (id, lon, lat) — facility sites,
+    sampled pivots — broadcast to every task: the assignment is one
+    broadcast nested-loop of |points|·K distance evaluations followed
+    by one argmin agg (min over struct(dist, seed) — the floored-metre
+    int64 makes the tie rule exact, the G1 discipline). No candidate
+    generation is needed because K is the SMALL side by contract; a
+    million-seed Voronoi is a kNN problem and belongs to knn_nodes'
+    annulus machinery instead (documented split, same as
+    knn_bruteforce vs knn_nodes).
+    """
+    from ophois_spark.functions import haversine_m
+
+    s = seeds.select(
+        F.col(id_col).alias("seed_id"),
+        F.col(lon_col).alias("s_lon"),
+        F.col(lat_col).alias("s_lat"),
+    )
+    d = F.floor(
+        haversine_m(F.col(lon_col), F.col(lat_col), F.col("s_lon"), F.col("s_lat"))
+    ).cast("long")
+    cand = points.select(id_col, lon_col, lat_col).crossJoin(F.broadcast(s)).select(
+        F.col(id_col).alias("id"),
+        F.col("seed_id"),
+        d.alias("dist_m"),
+    )
+    best = cand.groupBy("id").agg(
+        F.min(F.struct(F.col("dist_m"), F.col("seed_id"))).alias("b")
+    )
+    return best.select(
+        "id",
+        F.col("b.seed_id").alias("seed_id"),
+        F.col("b.dist_m").alias("dist_m"),
+    )

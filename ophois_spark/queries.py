@@ -7201,3 +7201,49 @@ SQL_COLOCATION_PAIRS = _colocation_sql()
 
 QUERIES.update({"colocation_pairs": q_colocation_pairs})
 ORACLES.update({"colocation_pairs": SQL_COLOCATION_PAIRS})
+
+
+# ---------------------------------------------------------------------------
+# round-4: Voronoi service-area assignment
+# ---------------------------------------------------------------------------
+
+VORONOI_N_SEEDS = 8
+
+
+def q_voronoi_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voronoi partition of the derived node field: every node assigned
+    to its nearest of the 8 md5-selected seed nodes (floored-metre
+    haversine, ties to the smaller seed id) — operators/spatial.py
+    voronoi_assign, the catchment/service-area decomposition."""
+    from ophois_spark.operators.spatial import voronoi_assign
+
+    nodes = derived_nodes(spark, sf_dir)
+    seeds = (
+        nodes.orderBy(F.md5(F.col("id")))
+        .limit(VORONOI_N_SEEDS)
+        .select("id", "lon_d", "lat_d")
+    )
+    return voronoi_assign(nodes, seeds)
+
+
+def _voronoi_sql() -> str:
+    hav = _hav_sql("n.lat_d", "n.lon_d", "s.lat_d", "s.lon_d")
+    return f"""
+WITH nodes AS ({_NODES_SQL}),
+seeds AS (SELECT id, lon_d, lat_d FROM nodes ORDER BY md5(id) LIMIT {VORONOI_N_SEEDS}),
+cand AS (
+  SELECT n.id, s.id AS seed_id,
+         CAST(floor({hav}) AS BIGINT) AS dist_m
+  FROM nodes n CROSS JOIN seeds s),
+r AS (
+  SELECT id, seed_id, dist_m,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist_m, seed_id) AS rn
+  FROM cand)
+SELECT id, seed_id, dist_m FROM r WHERE rn = 1
+"""
+
+
+SQL_VORONOI_REGIONS = _voronoi_sql()
+
+QUERIES.update({"voronoi_regions": q_voronoi_regions})
+ORACLES.update({"voronoi_regions": SQL_VORONOI_REGIONS})
