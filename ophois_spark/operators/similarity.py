@@ -513,3 +513,89 @@ def knn_label_vote(
             "n_votes",
         )
     )
+
+
+PQ_SUBSPACES = 4
+PQ_CENTROIDS = 16
+PQ_SCALE = 1 << 20  # float32 -> int64 grid; see pq_codes exactness note
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_centroids: int = PQ_CENTROIDS,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codes → (vec_id, c0..c{M-1}): each vector
+    split into M contiguous subvectors, each subvector assigned to its
+    nearest of K codebook centroids — the vector-compression layer an
+    ANN index at 10^11 vectors stores instead of raw floats (M·log2(K)
+    bits per vector here = 16 bits vs 256 bytes; scan-time distances
+    become M table lookups). Codebook: centroid j of subspace s is the
+    s-th subvector of the j-th hash-sample seed (the deterministic
+    ``ivf_centroids`` discipline — a trained codebook drops in without
+    changing the assignment contract).
+
+    Exactness: values are snapped to the 2^-20 grid FIRST
+    (round(x·2^20) as int64 — float32 inputs cast to double exactly,
+    and both engines round half-away-from-zero), so every subvector
+    distance is an EXACT integer Σ(a−b)² (≤ 16 dims · (few·2^20)² ≪
+    2^63) and the argmin tie rule (smaller centroid index) is exact —
+    no float comparison anywhere in the gate, unlike the cosine paths
+    whose oracles round at 6 dp.
+
+    Scale shape: the codebook is K·M subvectors — a broadcast of
+    K·D scaled ints; assignment is one broadcast join producing K
+    candidate rows per (vector, subspace) with constant-size arrays,
+    then two algebraic argmin/pivot aggs keyed by vec_id. O(N·K·D)
+    work, no shuffle carries a vector payload wider than D ints.
+    """
+    from pyspark.sql import Window
+
+    sv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * PQ_SCALE).cast("long")
+    )
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"), sv.alias("sv"))
+    w = Window.orderBy("h", "vec_id")
+    seeds = (
+        vecs.select(
+            "vec_id", "sv", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .select((F.row_number().over(w) - 1).alias("j"), "sv")
+    )
+    width = F.size(F.col("sv")) / n_subspaces  # integral by contract
+    cents = seeds.select(
+        "j",
+        F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("s"),
+        "sv",
+    ).select(
+        "j",
+        "s",
+        F.slice(
+            F.col("sv"), (F.col("s") * width + 1).cast("int"), width.cast("int")
+        ).alias("carr"),
+    )
+    cand = vecs.crossJoin(F.broadcast(cents))
+    sub = F.slice(
+        F.col("sv"), (F.col("s") * width + 1).cast("int"), width.cast("int")
+    )
+    dist = F.aggregate(
+        F.zip_with(sub, F.col("carr"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        cand.select("vec_id", "s", "j", dist.alias("dd"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct(F.col("dd"), F.col("j"))).alias("b"))
+    )
+    return best.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("s") == k, F.col("b.j")))
+            .cast("long")
+            .alias(f"c{k}")
+            for k in range(n_subspaces)
+        ]
+    )

@@ -7247,3 +7247,60 @@ SQL_VORONOI_REGIONS = _voronoi_sql()
 
 QUERIES.update({"voronoi_regions": q_voronoi_regions})
 ORACLES.update({"voronoi_regions": SQL_VORONOI_REGIONS})
+
+
+# ---------------------------------------------------------------------------
+# round-4: product-quantization codes (exact-integer PQ assignment)
+# ---------------------------------------------------------------------------
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression codes over the embeddings table (M=4 subspaces,
+    K=16 hash-sample centroids, exact int64 grid distances) —
+    operators/similarity.py pq_codes."""
+    from ophois_spark.operators.similarity import pq_codes
+
+    return pq_codes(load(spark, sf_dir, "embeddings"))
+
+
+def _pq_sql() -> str:
+    from ophois_spark.operators.similarity import PQ_CENTROIDS, PQ_SCALE, PQ_SUBSPACES
+
+    m, k, sc = PQ_SUBSPACES, PQ_CENTROIDS, PQ_SCALE
+    pivot = ", ".join(
+        f"CAST(MAX(CASE WHEN s = {i} THEN j END) AS BIGINT) AS c{i}" for i in range(m)
+    )
+    return f"""
+WITH z AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+         unnest(generate_series(0, len(embedding) - 1)) AS d
+  FROM embeddings),
+si AS (
+  SELECT vec_id, d, d // (SELECT len(embedding) // {m} FROM embeddings LIMIT 1) AS s,
+         CAST(round(val * {sc}) AS BIGINT) AS sv
+  FROM z),
+seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+  FROM (SELECT vec_id FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})),
+cent AS (
+  SELECT seeds.j, si.s, si.d, si.sv AS cv
+  FROM si JOIN seeds USING (vec_id)),
+dist AS (
+  SELECT v.vec_id, v.s, c.j, SUM((v.sv - c.cv) * (v.sv - c.cv)) AS dd
+  FROM si v JOIN cent c ON c.s = v.s AND c.d = v.d
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT vec_id, s, j FROM (
+    SELECT vec_id, s, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dd, j) AS rn
+    FROM dist) WHERE rn = 1)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, {pivot}
+FROM best GROUP BY vec_id
+"""
+
+
+SQL_PQ_CODES = _pq_sql()
+
+QUERIES.update({"pq_codes": q_pq_codes})
+ORACLES.update({"pq_codes": SQL_PQ_CODES})

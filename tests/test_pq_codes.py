@@ -1,0 +1,72 @@
+"""pq_codes pins: exact-integer assignment vs a numpy twin, seed
+determinism, and the grid-snap rule."""
+
+import hashlib
+
+import numpy as np
+
+from ophois_spark.operators.similarity import PQ_SCALE, pq_codes
+
+
+def _twin(vecs, m, k):
+    """Pure-python PQ: same grid snap, same hash-sample codebook."""
+    ids = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    seeds = ids[:k]
+    snapped = {
+        i: np.array([round(float(x) * PQ_SCALE) for x in v], dtype=np.int64)
+        for i, v in vecs.items()
+    }
+    dim = len(next(iter(vecs.values())))
+    w = dim // m
+    out = {}
+    for i, v in snapped.items():
+        codes = []
+        for s in range(m):
+            sub = v[s * w : (s + 1) * w]
+            best = min(
+                range(len(seeds)),
+                key=lambda j: (int(((snapped[seeds[j]][s * w : (s + 1) * w] - sub) ** 2).sum()), j),
+            )
+            codes.append(best)
+        out[i] = tuple(codes)
+    return out
+
+
+def test_matches_numpy_twin(spark):
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.randn(8).astype(np.float32).tolist() for i in range(20)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.vec_id: (r.c0, r.c1) for r in pq_codes(df, n_subspaces=2, n_centroids=4).collect()
+    }
+    assert got == _twin(vecs, 2, 4)
+
+
+def test_seed_vector_codes_itself(spark):
+    # every seed's subvectors are in the codebook -> distance 0 to its
+    # own centroid, so a seed's code always includes its own index
+    vecs = {i: [float(i)] * 8 for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: (r.c0, r.c1) for r in pq_codes(df, n_subspaces=2, n_centroids=4).collect()}
+    twin = _twin(vecs, 2, 4)
+    assert out == twin
+    # constant-per-vector vectors: each maps to exactly its own seed slot
+    ids = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    for i in vecs:
+        j = ids.index(i)
+        assert out[i] == (j, j)
+
+
+def test_partitioning_independence(spark):
+    rng = np.random.RandomState(3)
+    vecs = {i: rng.randn(16).astype(np.float32).tolist() for i in range(30)}
+    rows = [(i, v) for i, v in vecs.items()]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(1)
+    b = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(7)
+    ra = {r.vec_id: (r.c0, r.c1, r.c2, r.c3) for r in pq_codes(a).collect()}
+    rb = {r.vec_id: (r.c0, r.c1, r.c2, r.c3) for r in pq_codes(b).collect()}
+    assert ra == rb == _twin(vecs, 4, 16)
