@@ -2099,3 +2099,70 @@ def voronoi_assign(
         F.col("b.seed_id").alias("seed_id"),
         F.col("b.dist_m").alias("dist_m"),
     )
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_PRECISION = 7
+
+
+def geohash_cells(
+    points: DataFrame,
+    precision: int = GEOHASH_PRECISION,
+    id_col: str = "id",
+    lon_col: str = "lon_d",
+    lat_col: str = "lat_d",
+) -> DataFrame:
+    """Standard geohash strings → (id, gh, gh_parent): the industry
+    interchange cell key (Elasticsearch/Redis/Postgres all speak it),
+    alongside the engine's own quadkey/Z-order keys. A geohash IS a
+    Morton interleave read MSB-first in 5-bit base32 groups with
+    longitude on the even bits — so the whole encode is closed-form
+    int64 shifts + alphabet substrings, one codegen projection, no
+    UDF, and prefix-truncation = parent coarsening (``gh_parent`` is
+    the precision−2 prefix, the standard aggregation trick).
+
+    Exactness: ix/iy are clamped floor() grid indexes (the cell-kernel
+    discipline); every bit placement is integer arithmetic an oracle
+    restates with // and %. Encodes agree with the published geohash
+    spec (gated by pytest against known reference hashes, e.g.
+    u09tunq for the Eiffel Tower at precision 7).
+    """
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    nx, ny = 1 << lon_bits, 1 << lat_bits
+    ix = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(nx - 1),
+            F.floor((F.col(lon_col) + 180.0) / 360.0 * nx).cast("long"),
+        ),
+    )
+    iy = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(ny - 1),
+            F.floor((F.col(lat_col) + 90.0) / 180.0 * ny).cast("long"),
+        ),
+    )
+    g = points.select(F.col(id_col).alias("id"), ix.alias("ix"), iy.alias("iy"))
+    z = None
+    for b in range(lon_bits):
+        t = ((F.col("ix") / (1 << b)).cast("long") % 2) * F.lit(1 << (2 * b))
+        z = t if z is None else z + t
+    for b in range(lat_bits):
+        z = z + ((F.col("iy") / (1 << b)).cast("long") % 2) * F.lit(1 << (2 * b + 1))
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_ALPHABET),
+            ((F.col("z") / (1 << (5 * (precision - 1 - c)))).cast("long") % 32 + 1).cast(
+                "int"
+            ),
+            1,
+        )
+        for c in range(precision)
+    ]
+    out = g.select("id", z.alias("z")).select(
+        "id", F.concat(*chars).alias("gh")
+    )
+    return out.select("id", "gh", F.substring("gh", 1, precision - 2).alias("gh_parent"))

@@ -7304,3 +7304,50 @@ SQL_PQ_CODES = _pq_sql()
 
 QUERIES.update({"pq_codes": q_pq_codes})
 ORACLES.update({"pq_codes": SQL_PQ_CODES})
+
+
+# ---------------------------------------------------------------------------
+# round-4: standard geohash interchange keys
+# ---------------------------------------------------------------------------
+
+
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash strings (precision 7 + parent prefix) for the derived
+    nodes — operators/spatial.py geohash_cells: the Morton interleave
+    read MSB-first in base32, one codegen projection."""
+    from ophois_spark.operators.spatial import geohash_cells
+
+    return geohash_cells(derived_nodes(spark, sf_dir))
+
+
+def _geohash_sql() -> str:
+    from ophois_spark.operators.spatial import GEOHASH_ALPHABET, GEOHASH_PRECISION
+
+    p = GEOHASH_PRECISION
+    nbits = 5 * p
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    nx, ny = 1 << lon_bits, 1 << lat_bits
+    gx = f"greatest(0, least({nx - 1}, CAST(floor((lon_d + 180.0) / 360.0 * {nx}) AS BIGINT)))"
+    gy = f"greatest(0, least({ny - 1}, CAST(floor((lat_d + 90.0) / 180.0 * {ny}) AS BIGINT)))"
+    terms = " + ".join(
+        [f"(((ix // {1 << b}) % 2) * {1 << (2 * b)})" for b in range(lon_bits)]
+        + [f"(((iy // {1 << b}) % 2) * {1 << (2 * b + 1)})" for b in range(lat_bits)]
+    )
+    chars = " || ".join(
+        f"substring('{GEOHASH_ALPHABET}', CAST((z // {1 << (5 * (p - 1 - c))}) % 32 + 1 AS INT), 1)"
+        for c in range(p)
+    )
+    return f"""
+WITH nodes AS ({_NODES_SQL}),
+g AS (SELECT id, {gx} AS ix, {gy} AS iy FROM nodes),
+zz AS (SELECT id, CAST({terms} AS BIGINT) AS z FROM g),
+h AS (SELECT id, {chars} AS gh FROM zz)
+SELECT id, gh, substring(gh, 1, {p - 2}) AS gh_parent FROM h
+"""
+
+
+SQL_GEOHASH_CELLS = _geohash_sql()
+
+QUERIES.update({"geohash_cells": q_geohash_cells})
+ORACLES.update({"geohash_cells": SQL_GEOHASH_CELLS})
