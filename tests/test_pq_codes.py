@@ -70,3 +70,14 @@ def test_partitioning_independence(spark):
     ra = {r.vec_id: (r.c0, r.c1, r.c2, r.c3) for r in pq_codes(a).collect()}
     rb = {r.vec_id: (r.c0, r.c1, r.c2, r.c3) for r in pq_codes(b).collect()}
     assert ra == rb == _twin(vecs, 4, 16)
+
+
+def test_plan_broadcast_codebook_no_python(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    rows = [(i, rng.randn(16).astype(np.float32).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = pq_codes(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
