@@ -936,3 +936,59 @@ def term_cooccurrence(
         )
     )
     return scored.orderBy(F.desc("n_pairs"), F.asc("w_a"), F.asc("w_b")).limit(top)
+
+
+def doc_quality_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style quality bucketing → (doc_id, lang, mean_x1000,
+    bucket): each document labeled head / middle / tail by per-language
+    terciles of its per-bigram LM cost (``doc_bigram_nll.mean_x1000``,
+    LOW cost = well-modeled = head) — the bucket split the CCNet
+    pipeline ships so downstream training can sample head-heavy.
+
+    Cuts are VALUE order statistics, not rank splits: cut1(lang) = the
+    smallest cost value whose cumulative doc count reaches ceil(n/3)
+    (cut2 at ceil(2n/3)); a doc is head iff cost ≤ cut1, middle iff
+    ≤ cut2, else tail. Equal-cost docs therefore always share a bucket
+    (no tie-break inside a value), every quantity is int64, and the
+    oracle restates the identical cumulative rule.
+
+    Scale shape: the cumulative window runs over DISTINCT (lang, cost)
+    values — a relation bounded by the cost grid, orders of magnitude
+    smaller than the corpus — never over docs; the per-lang cuts are a
+    3-row broadcast; bucketing is one codegen projection after a
+    broadcast join. No doc-level sort anywhere (the
+    source_token_quantiles integer-rank discipline, value-cut form).
+    """
+    from pyspark.sql import Window
+
+    nll = doc_bigram_nll(docs, text_col=text_col).select("doc_id", "mean_x1000")
+    d = docs.select("doc_id", "lang").join(nll, "doc_id")
+    counts = d.groupBy("lang", "mean_x1000").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("mean_x1000")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("m").over(w))
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    k = cum.join(sizes, "lang").select(
+        "lang",
+        "mean_x1000",
+        "cum",
+        F.floor((F.col("n") + 2) / 3).cast("long").alias("k1"),
+        F.floor((2 * F.col("n") + 2) / 3).cast("long").alias("k2"),
+    )
+    cuts = k.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") >= F.col("k1"), F.col("mean_x1000"))).alias("cut1"),
+        F.min(F.when(F.col("cum") >= F.col("k2"), F.col("mean_x1000"))).alias("cut2"),
+    )
+    bucket = (
+        F.when(F.col("mean_x1000") <= F.col("cut1"), F.lit("head"))
+        .when(F.col("mean_x1000") <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return d.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "mean_x1000", bucket.alias("bucket")
+    )

@@ -7351,3 +7351,48 @@ SQL_GEOHASH_CELLS = _geohash_sql()
 
 QUERIES.update({"geohash_cells": q_geohash_cells})
 ORACLES.update({"geohash_cells": SQL_GEOHASH_CELLS})
+
+
+# ---------------------------------------------------------------------------
+# round-4: CCNet head/middle/tail quality bucketing
+# ---------------------------------------------------------------------------
+
+
+def q_doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tercile quality buckets over the bigram-LM cost —
+    operators/textops.py doc_quality_buckets (value order-statistic
+    cuts; the CCNet corpus split)."""
+    from ophois_spark.operators.textops import doc_quality_buckets
+
+    return doc_quality_buckets(load(spark, sf_dir, "documents"))
+
+
+SQL_DOC_QUALITY_BUCKETS = f"""
+WITH nll AS ({SQL_DOC_BIGRAM_NLL}),
+d AS (
+  SELECT doc.doc_id, doc.lang, nll.mean_x1000
+  FROM documents doc JOIN nll ON nll.doc_id = doc.doc_id),
+counts AS (
+  SELECT lang, mean_x1000, CAST(COUNT(*) AS BIGINT) AS m
+  FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT lang, mean_x1000, m,
+         SUM(m) OVER (PARTITION BY lang ORDER BY mean_x1000
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts),
+sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+cuts AS (
+  SELECT cum.lang,
+         MIN(CASE WHEN cum >= (n + 2) // 3 THEN mean_x1000 END) AS cut1,
+         MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN mean_x1000 END) AS cut2
+  FROM cum JOIN sizes ON sizes.lang = cum.lang
+  GROUP BY 1)
+SELECT d.doc_id, d.lang, d.mean_x1000,
+       CASE WHEN d.mean_x1000 <= cuts.cut1 THEN 'head'
+            WHEN d.mean_x1000 <= cuts.cut2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM d JOIN cuts ON cuts.lang = d.lang
+"""
+
+QUERIES.update({"doc_quality_buckets": q_doc_quality_buckets})
+ORACLES.update({"doc_quality_buckets": SQL_DOC_QUALITY_BUCKETS})
