@@ -2166,3 +2166,77 @@ def geohash_cells(
         "id", F.concat(*chars).alias("gh")
     )
     return out.select("id", "gh", F.substring("gh", 1, precision - 2).alias("gh_parent"))
+
+
+def cell_orientation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    grid_deg: float,
+) -> DataFrame:
+    """Street-grid orientation per cell → (gx, gy, n_edges, b0, b1,
+    b2, b3, dom_permille): each edge's initial bearing folded to
+    [0, 180) (streets are undirected) and binned into the four
+    45-degree orientation classes (N-S, NE-SW, E-W, NW-SE), counted in
+    the cell of the edge's SOURCE endpoint; ``dom_permille`` is the
+    dominant class's integer share ×1000 — high = a griddy planned
+    street network, low = organic (the Boeing-2019 urban-form signal,
+    with the entropy statistic replaced by the exact-integer dominant
+    share so the gate needs no logarithm).
+
+    Exactness: bearing is floored to whole degrees FIRST (the
+    bearing_distribution discipline — the only libm in the lineage,
+    already ulp-pinned), then fold (% 180) and bin (// 45) are pure
+    int64; counts, pivots and the permille are integer.
+
+    Scale shape: two node-coordinate equi-joins (the edge relation's
+    standard shape), then ONE map-side-combinable groupBy on
+    (cell, bin) and a 4-way conditional-sum pivot — no window, no
+    explode, nothing quadratic.
+    """
+    from ophois_spark.functions import bearing_deg
+
+    n1 = nodes.select(
+        F.col("id").alias("src"),
+        F.col("lat_d").alias("lat1"),
+        F.col("lon_d").alias("lon1"),
+    )
+    n2 = nodes.select(
+        F.col("id").alias("dst"),
+        F.col("lat_d").alias("lat2"),
+        F.col("lon_d").alias("lon2"),
+    )
+    b = (
+        edges.join(n1, "src")
+        .join(n2, "dst")
+        .select(
+            F.floor(F.col("lon1") / grid_deg).cast("long").alias("gx"),
+            F.floor(F.col("lat1") / grid_deg).cast("long").alias("gy"),
+            (
+                F.floor(
+                    bearing_deg(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"))
+                ).cast("long")
+                % 180
+                / 45
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+    )
+    agg = b.groupBy("gx", "gy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        *[
+            F.sum((F.col("bin") == k).cast("long")).cast("long").alias(f"b{k}")
+            for k in range(4)
+        ],
+    )
+    dom = F.greatest(*[F.col(f"b{k}") for k in range(4)])
+    return agg.select(
+        "gx",
+        "gy",
+        "n_edges",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.floor(dom * 1000 / F.col("n_edges")).cast("long").alias("dom_permille"),
+    )

@@ -7396,3 +7396,47 @@ FROM d JOIN cuts ON cuts.lang = d.lang
 
 QUERIES.update({"doc_quality_buckets": q_doc_quality_buckets})
 ORACLES.update({"doc_quality_buckets": SQL_DOC_QUALITY_BUCKETS})
+
+
+# ---------------------------------------------------------------------------
+# round-4: street-grid orientation per cell (Boeing-style urban form)
+# ---------------------------------------------------------------------------
+
+
+def q_cell_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell folded-bearing orientation histogram + dominant share
+    over the derived street graph — operators/spatial.py
+    cell_orientation (grid MORAN_GRID_DEG)."""
+    from ophois_spark.operators.spatial import cell_orientation
+
+    g = derived_graph(spark, sf_dir)
+    return cell_orientation(g.nodes, g.edges, grid_deg=MORAN_GRID_DEG)
+
+
+def _cell_orientation_sql() -> str:
+    g = MORAN_GRID_DEG
+    bear = _bearing_sql("n1.lat_d", "n1.lon_d", "n2.lat_d", "n2.lon_d")
+    return f"""
+WITH nodes AS ({_NODES_SQL}), edges AS ({_EDGES_SQL}),
+b AS (
+  SELECT CAST(floor(n1.lon_d / {g!r}) AS BIGINT) AS gx,
+         CAST(floor(n1.lat_d / {g!r}) AS BIGINT) AS gy,
+         (CAST(floor({bear}) AS BIGINT) % 180) // 45 AS bin
+  FROM edges e JOIN nodes n1 ON e.src = n1.id JOIN nodes n2 ON e.dst = n2.id),
+agg AS (
+  SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+         CAST(SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+         CAST(SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+         CAST(SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+  FROM b GROUP BY 1, 2)
+SELECT gx, gy, n_edges, b0, b1, b2, b3,
+       CAST(floor(greatest(b0, b1, b2, b3) * 1000 / n_edges) AS BIGINT) AS dom_permille
+FROM agg
+"""
+
+
+SQL_CELL_ORIENTATION = _cell_orientation_sql()
+
+QUERIES.update({"cell_orientation": q_cell_orientation})
+ORACLES.update({"cell_orientation": SQL_CELL_ORIENTATION})
