@@ -7440,3 +7440,50 @@ SQL_CELL_ORIENTATION = _cell_orientation_sql()
 
 QUERIES.update({"cell_orientation": q_cell_orientation})
 ORACLES.update({"cell_orientation": SQL_CELL_ORIENTATION})
+
+
+def q_source_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality fingerprint: head/middle/tail doc counts and
+    the integer head share — the data-card row corpus buyers read
+    first. Composes doc_quality_buckets through one conditional-sum
+    rollup (joins move |docs| rows once, the agg is map-side
+    combinable)."""
+    from ophois_spark.operators.textops import doc_quality_buckets
+
+    d = load(spark, sf_dir, "documents")
+    b = doc_quality_buckets(d).join(d.select("doc_id", "source"), "doc_id")
+    agg = b.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum((F.col("bucket") == lbl).cast("long")).cast("long").alias(f"n_{lbl}")
+            for lbl in ("head", "middle", "tail")
+        ],
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_head",
+        "n_middle",
+        "n_tail",
+        F.floor(F.col("n_head") * 1000 / F.col("n_docs")).cast("long").alias("head_permille"),
+    )
+
+
+SQL_SOURCE_QUALITY_MIX = f"""
+WITH b AS ({SQL_DOC_QUALITY_BUCKETS}),
+j AS (
+  SELECT b.doc_id, d.source, b.bucket
+  FROM b JOIN documents d ON d.doc_id = b.doc_id),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+         CAST(SUM(CASE WHEN bucket = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+         CAST(SUM(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+  FROM j GROUP BY 1)
+SELECT source, n_docs, n_head, n_middle, n_tail,
+       CAST(floor(n_head * 1000 / n_docs) AS BIGINT) AS head_permille
+FROM agg
+"""
+
+QUERIES.update({"source_quality_mix": q_source_quality_mix})
+ORACLES.update({"source_quality_mix": SQL_SOURCE_QUALITY_MIX})
