@@ -550,47 +550,9 @@ def pq_codes(
     then two algebraic argmin/pivot aggs keyed by vec_id. O(N·K·D)
     work, no shuffle carries a vector payload wider than D ints.
     """
-    from pyspark.sql import Window
-
-    sv = F.transform(
-        F.col("embedding"), lambda x: F.round(x.cast("double") * PQ_SCALE).cast("long")
-    )
-    vecs = embeddings.select(F.col(id_col).alias("vec_id"), sv.alias("sv"))
-    w = Window.orderBy("h", "vec_id")
-    seeds = (
-        vecs.select(
-            "vec_id", "sv", F.md5(F.col("vec_id").cast("string")).alias("h")
-        )
-        .orderBy("h", "vec_id")
-        .limit(n_centroids)
-        .select((F.row_number().over(w) - 1).alias("j"), "sv")
-    )
-    width = F.size(F.col("sv")) / n_subspaces  # integral by contract
-    cents = seeds.select(
-        "j",
-        F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("s"),
-        "sv",
-    ).select(
-        "j",
-        "s",
-        F.slice(
-            F.col("sv"), (F.col("s") * width + 1).cast("int"), width.cast("int")
-        ).alias("carr"),
-    )
-    cand = vecs.crossJoin(F.broadcast(cents))
-    sub = F.slice(
-        F.col("sv"), (F.col("s") * width + 1).cast("int"), width.cast("int")
-    )
-    dist = F.aggregate(
-        F.zip_with(sub, F.col("carr"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    best = (
-        cand.select("vec_id", "s", "j", dist.alias("dd"))
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct(F.col("dd"), F.col("j"))).alias("b"))
-    )
+    vecs = _pq_scaled(embeddings, id_col)
+    cents = _pq_codebook(vecs, n_subspaces, n_centroids)
+    best = _pq_assign(vecs, cents, n_subspaces)
     return best.groupBy("vec_id").agg(
         *[
             F.max(F.when(F.col("s") == k, F.col("b.j")))
@@ -598,4 +560,113 @@ def pq_codes(
             .alias(f"c{k}")
             for k in range(n_subspaces)
         ]
+    )
+
+
+def _pq_scaled(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, sv): the 2^-20-grid int64 vector (see pq_codes)."""
+    sv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * PQ_SCALE).cast("long")
+    )
+    return embeddings.select(F.col(id_col).alias("vec_id"), sv.alias("sv"))
+
+
+def _pq_sub(arr, width, n_subspaces: int):
+    """Subvector ``s`` of a scaled vector column (1-based slice)."""
+    return F.slice(arr, (F.col("s") * width + 1).cast("int"), width.cast("int"))
+
+
+def _pq_codebook(vecs: DataFrame, n_subspaces: int, n_centroids: int) -> DataFrame:
+    """(j, s, carr): centroid j of subspace s = seed j's subvector —
+    seeds are the md5-smallest ids (the ivf_centroids discipline)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("h", "vec_id")
+    seeds = (
+        vecs.select("vec_id", "sv", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .select((F.row_number().over(w) - 1).alias("j"), "sv")
+    )
+    width = F.size(F.col("sv")) / n_subspaces  # integral by contract
+    return seeds.select(
+        "j",
+        F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("s"),
+        "sv",
+    ).select("j", "s", _pq_sub(F.col("sv"), width, n_subspaces).alias("carr"))
+
+
+def _pq_l2(a, b):
+    """Exact int64 squared L2 between two equal-length long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(vecs: DataFrame, cents: DataFrame, n_subspaces: int) -> DataFrame:
+    """(vec_id, s, b{dd, j}): nearest centroid per (vector, subspace)."""
+    width = F.size(F.col("sv")) / n_subspaces
+    cand = vecs.crossJoin(F.broadcast(cents))
+    dist = _pq_l2(_pq_sub(F.col("sv"), width, n_subspaces), F.col("carr"))
+    return (
+        cand.select("vec_id", "s", "j", dist.alias("dd"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct(F.col("dd"), F.col("j"))).alias("b"))
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_centroids: int = PQ_CENTROIDS,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k → (qid, rank, vec_id, adc): for
+    each query, the k database vectors with the smallest ADC distance
+    Σ_s ||q_s − centroid(code_s)||² — the query stays EXACT, the
+    database is its 2-byte codes, which is how a PQ index actually
+    scans (Jégou et al., TPAMI'11). All-integer: codes, the per-query
+    lookup table, and the ADC sums are exact int64, so ranks and ties
+    (smaller vec_id) are bit-replayable and the whole scan is
+    oracle-gated — recall vs the exact-L2 baseline is quantified in
+    bench.py (`recall_pq_adc`), the compression's honest cost.
+
+    Scale shape: the LUT is |Q|·M·K rows (a broadcast — this is the
+    table a real scanner keeps in registers); the scan joins the
+    M-exploded code relation to the LUT on (s, code) + broadcast qid,
+    sums M partials per (qid, vec), and takes top-k per query — the
+    only shuffle keyed by (qid, vec_id), never a vector payload.
+    """
+    vecs = _pq_scaled(embeddings, id_col)
+    cents = _pq_codebook(vecs, n_subspaces, n_centroids)
+    codes = _pq_assign(vecs, cents, n_subspaces).select(
+        "vec_id", "s", F.col("b.j").alias("code")
+    )
+    qv = _pq_scaled(queries, id_col).select(
+        F.col("vec_id").alias("qid"), F.col("sv")
+    )
+    width = F.size(F.col("sv")) / n_subspaces
+    lut = (
+        qv.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "s",
+            F.col("j").alias("code"),
+            _pq_l2(_pq_sub(F.col("sv"), width, n_subspaces), F.col("carr")).alias("d"),
+        )
+    )
+    part = codes.join(F.broadcast(lut), ["s", "code"]).groupBy("qid", "vec_id").agg(
+        F.sum("d").cast("long").alias("adc")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "adc")
     )

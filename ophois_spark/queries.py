@@ -7487,3 +7487,74 @@ FROM agg
 
 QUERIES.update({"source_quality_mix": q_source_quality_mix})
 ORACLES.update({"source_quality_mix": SQL_SOURCE_QUALITY_MIX})
+
+
+# ---------------------------------------------------------------------------
+# round-4: PQ asymmetric-distance top-k scan
+# ---------------------------------------------------------------------------
+
+PQ_ADC_K = 10
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC scan: exact query vs 2-byte database codes, all-integer
+    distances — operators/similarity.py pq_adc_topk; recall vs the
+    exact baseline is quantified in bench.py (recall_pq_adc)."""
+    from ophois_spark.operators.similarity import pq_adc_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_adc_topk(emb, qset, PQ_ADC_K)
+
+
+def _pq_adc_sql() -> str:
+    from ophois_spark.operators.similarity import PQ_CENTROIDS, PQ_SCALE, PQ_SUBSPACES
+
+    m, k, sc = PQ_SUBSPACES, PQ_CENTROIDS, PQ_SCALE
+    return f"""
+WITH z AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+         unnest(generate_series(0, len(embedding) - 1)) AS d
+  FROM embeddings),
+si AS (
+  SELECT vec_id, d, d // (SELECT len(embedding) // {m} FROM embeddings LIMIT 1) AS s,
+         CAST(round(val * {sc}) AS BIGINT) AS sv
+  FROM z),
+seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+  FROM (SELECT vec_id FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})),
+cent AS (
+  SELECT seeds.j, si.s, si.d, si.sv AS cv
+  FROM si JOIN seeds USING (vec_id)),
+dist AS (
+  SELECT v.vec_id, v.s, c.j, SUM((v.sv - c.cv) * (v.sv - c.cv)) AS dd
+  FROM si v JOIN cent c ON c.s = v.s AND c.d = v.d
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dd, j) AS rn
+    FROM dist) WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS qid, q.s, c.j AS code,
+         SUM((q.sv - c.cv) * (q.sv - c.cv)) AS d
+  FROM si q JOIN cent c ON c.s = q.s AND c.d = q.d
+  WHERE q.vec_id % 50 = 0
+  GROUP BY 1, 2, 3),
+part AS (
+  SELECT lut.qid, codes.vec_id, CAST(SUM(lut.d) AS BIGINT) AS adc
+  FROM codes JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+  GROUP BY 1, 2),
+r AS (
+  SELECT qid, vec_id, adc,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS INT) AS rank
+  FROM part)
+SELECT qid, rank, vec_id, adc FROM r WHERE rank <= {PQ_ADC_K}
+"""
+
+
+SQL_PQ_ADC_TOPK = _pq_adc_sql()
+
+QUERIES.update({"pq_adc_topk": q_pq_adc_topk})
+ORACLES.update({"pq_adc_topk": SQL_PQ_ADC_TOPK})

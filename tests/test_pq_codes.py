@@ -8,12 +8,20 @@ import numpy as np
 from ophois_spark.operators.similarity import PQ_SCALE, pq_codes
 
 
+def _r(x):
+    """Half-away-from-zero rounding — Spark/DuckDB round(), NOT python's
+    banker's round()."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
 def _twin(vecs, m, k):
     """Pure-python PQ: same grid snap, same hash-sample codebook."""
     ids = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
     seeds = ids[:k]
     snapped = {
-        i: np.array([round(float(x) * PQ_SCALE) for x in v], dtype=np.int64)
+        i: np.array([_r(float(x) * PQ_SCALE) for x in v], dtype=np.int64)
         for i, v in vecs.items()
     }
     dim = len(next(iter(vecs.values())))
@@ -81,3 +89,60 @@ def test_plan_broadcast_codebook_no_python(spark):
     plan = pq_codes(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_adc_seed_query_finds_itself(spark):
+    from ophois_spark.operators.similarity import pq_adc_topk
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(16).astype(np.float32).tolist()) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # query with every vector that IS a codebook seed: its own code
+    # reconstructs it exactly, so its ADC to itself is 0 and rank 1
+    # (vec_id tie-break keeps it first among exact reconstructions)
+    ids = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i, _ in rows
+    )
+    seed_ids = [i for _, i in ids[:16]]
+    qset = df.filter(df.vec_id.isin(seed_ids[:3]))
+    out = pq_adc_topk(df, qset, 3).collect()
+    top1 = {r.qid: (r.vec_id, r.adc) for r in out if r.rank == 1}
+    for q in seed_ids[:3]:
+        assert top1[q] == (q, 0)
+
+
+def test_adc_matches_lut_twin(spark):
+    from ophois_spark.operators.similarity import pq_adc_topk
+
+    rng = np.random.RandomState(5)
+    vecs = {i: rng.randn(8).astype(np.float32).tolist() for i in range(15)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    m, k = 2, 4
+    codes = _twin(vecs, m, k)
+    ids = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    seeds = ids[:k]
+    snap = {
+        i: [_r(float(x) * PQ_SCALE) for x in v] for i, v in vecs.items()
+    }
+    w = len(next(iter(vecs.values()))) // m
+
+    def adc(q, v):
+        tot = 0
+        for s in range(m):
+            c = snap[seeds[codes[v][s]]][s * w : (s + 1) * w]
+            qs = snap[q][s * w : (s + 1) * w]
+            tot += sum((a - b) ** 2 for a, b in zip(qs, c))
+        return tot
+
+    qids = [0, 7]
+    qset = df.filter(df.vec_id.isin(qids))
+    got = {
+        (r.qid, r.rank): (r.vec_id, r.adc)
+        for r in pq_adc_topk(df, qset, 5, n_subspaces=m, n_centroids=k).collect()
+    }
+    for q in qids:
+        exp = sorted(((adc(q, v), v) for v in vecs), key=lambda t: (t[0], t[1]))[:5]
+        for rank, (d, v) in enumerate(exp, start=1):
+            assert got[(q, rank)] == (v, d)
