@@ -7558,3 +7558,139 @@ SQL_PQ_ADC_TOPK = _pq_adc_sql()
 
 QUERIES.update({"pq_adc_topk": q_pq_adc_topk})
 ORACLES.update({"pq_adc_topk": SQL_PQ_ADC_TOPK})
+
+
+# ---------------------------------------------------------------------------
+# round-4: directed web structure — SCC condensation + Broder bowtie
+# ---------------------------------------------------------------------------
+
+# Deterministic directed "site graph" overlay: sites are doc_id mod 257
+# (a prime, fully covered at every sf), with two arithmetic edge rules —
+# a quadratic map s → s²+1 (non-injective: rho-shaped tendrils feeding
+# cycles, the IN/tendril surface) and a sparse affine map s → 2s+5 on
+# s ≡ 0 (mod 3) (cross-links that merge cycles into a giant CORE). At
+# 257 sites this yields a 117-site CORE, one 4-cycle, 136 singleton
+# SCCs and all four bowtie classes non-empty (CORE 117 / IN 123 /
+# OUT 4 / OTHER 13) — the Broder WWW'00 shape in miniature.
+SITE_MOD = 257
+
+
+def _site_graph(spark: SparkSession, sf_dir: str):
+    d = load(spark, sf_dir, "documents")
+    s = d.select((F.col("doc_id") % SITE_MOD).cast("long").alias("id")).distinct()
+    e1 = s.select(
+        F.col("id").alias("src"),
+        ((F.col("id") * F.col("id") + 1) % SITE_MOD).cast("long").alias("dst"),
+    )
+    e2 = s.filter(F.col("id") % 3 == 0).select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 2 + 5) % SITE_MOD).cast("long").alias("dst"),
+    )
+    edges = (
+        e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+    )
+    return s, edges
+
+
+# Oracle twin: the same overlay + transitive closure. SCC membership is
+# algorithm-independent (scc = min id under mutual reachability), so
+# unlike the pinned fixpoint oracles no round count appears here — the
+# engine's FW-BW-Trim peeling and the closure must agree exactly.
+_SQL_SITE_CTES = f"""
+sites AS MATERIALIZED (SELECT DISTINCT doc_id % {SITE_MOD} AS s FROM documents),
+e AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT s AS src, (s * s + 1) % {SITE_MOD} AS dst FROM sites
+    UNION
+    SELECT s, (2 * s + 5) % {SITE_MOD} FROM sites WHERE s % 3 = 0
+  ) WHERE src <> dst),
+r(a, b) AS (
+  SELECT s, s FROM sites
+  UNION
+  SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src
+),
+scc AS MATERIALIZED (
+  SELECT r1.a AS site, MIN(r1.b) AS scc
+  FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY r1.a),
+sizes AS (SELECT scc, COUNT(*) AS scc_size FROM scc GROUP BY scc)"""
+
+
+_SCC_CACHE: dict = {}
+
+
+def _site_scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized per (session, sf_dir): the peeling loop runs once; both
+    site_scc and web_bowtie consume the labels. Single-entry cache,
+    same eviction policy as _component_labels."""
+    from ophois_spark.operators.scc import strongly_connected_components
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SCC_CACHE:
+        _SCC_CACHE.clear()
+        nodes, edges = _site_graph(spark, sf_dir)
+        _SCC_CACHE[key] = strongly_connected_components(nodes, edges).localCheckpoint(
+            eager=True
+        )
+    return _SCC_CACHE[key]
+
+
+MEMO_RESETS["site_scc"] = _SCC_CACHE.clear
+
+
+def q_site_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly-connected components of the directed site graph →
+    (site, scc, scc_size): the condensation a crawl scheduler reads
+    (mutually-reachable site clusters = link neighborhoods to budget
+    together; operators/scc.py FW-BW-Trim, labels = min site id)."""
+    labels = _site_scc_labels(spark, sf_dir)
+    sizes = labels.groupBy("scc").agg(F.count(F.lit(1)).cast("long").alias("scc_size"))
+    return labels.join(sizes, "scc").select(
+        F.col("id").cast("long").alias("site"),
+        F.col("scc").cast("long").alias("scc"),
+        "scc_size",
+    )
+
+
+SQL_SITE_SCC = f"""
+WITH RECURSIVE {_SQL_SITE_CTES}
+SELECT CAST(site AS BIGINT) AS site, CAST(scc.scc AS BIGINT) AS scc,
+       CAST(sizes.scc_size AS BIGINT) AS scc_size
+FROM scc JOIN sizes ON sizes.scc = scc.scc
+"""
+
+
+def q_web_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bowtie decomposition (WWW'00) of the site graph →
+    (site, cls) with cls in CORE / IN / OUT / OTHER — the structure
+    report a 10^12-page crawl publishes (how much of the web feeds the
+    core vs leaks out of it). CORE = largest SCC (tie → min label);
+    IN reaches it, OUT is reached from it, OTHER is tendrils + islands.
+    Reuses the memoized SCC labels; reachability is two min-label
+    flag propagations (operators/scc.py bowtie_classes)."""
+    from ophois_spark.operators.scc import bowtie_classes
+
+    nodes, edges = _site_graph(spark, sf_dir)
+    labels = _site_scc_labels(spark, sf_dir)
+    out = bowtie_classes(nodes, edges, labels)
+    return out.select(F.col("id").cast("long").alias("site"), "cls")
+
+
+SQL_WEB_BOWTIE = f"""
+WITH RECURSIVE {_SQL_SITE_CTES},
+core AS (SELECT scc FROM sizes ORDER BY scc_size DESC, scc ASC LIMIT 1),
+corenodes AS (SELECT site FROM scc WHERE scc = (SELECT scc FROM core)),
+fromcore AS (SELECT DISTINCT r.b AS site FROM r
+             WHERE r.a IN (SELECT site FROM corenodes)),
+tocore AS (SELECT DISTINCT r.a AS site FROM r
+           WHERE r.b IN (SELECT site FROM corenodes))
+SELECT CAST(s.s AS BIGINT) AS site,
+       CASE WHEN s.s IN (SELECT site FROM corenodes) THEN 'CORE'
+            WHEN s.s IN (SELECT site FROM tocore) THEN 'IN'
+            WHEN s.s IN (SELECT site FROM fromcore) THEN 'OUT'
+            ELSE 'OTHER' END AS cls
+FROM sites s
+"""
+
+QUERIES.update({"site_scc": q_site_scc, "web_bowtie": q_web_bowtie})
+ORACLES.update({"site_scc": SQL_SITE_SCC, "web_bowtie": SQL_WEB_BOWTIE})
