@@ -7694,3 +7694,76 @@ FROM sites s
 
 QUERIES.update({"site_scc": q_site_scc, "web_bowtie": q_web_bowtie})
 ORACLES.update({"site_scc": SQL_SITE_SCC, "web_bowtie": SQL_WEB_BOWTIE})
+
+
+# ---------------------------------------------------------------------------
+# round-4: Boruvka minimum spanning forest of the street graph
+# ---------------------------------------------------------------------------
+
+
+def q_mst_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the haversine-weighted street graph →
+    (src, dst, w): the generalization backbone (operators/mst.py,
+    Boruvka). Weights are floor(metres) — the same integer contract
+    length_distribution already gates — and ties break on (w, src,
+    dst), so the MSF is unique and fully SQL-restatable."""
+    from ophois_spark.operators.mst import minimum_spanning_forest
+
+    g = derived_graph(spark, sf_dir)
+    we = g.edges_with_coords().select(
+        "src", "dst", F.floor("dist_m").cast("long").alias("w")
+    )
+    out = minimum_spanning_forest(g.nodes.select("id"), we)
+    return out.select("src", "dst", F.col("w").cast("long").alias("w"))
+
+
+def _mst_sql(rounds: int = 12, jumps: int = 12) -> str:
+    """Boruvka unrolled in SQL: `rounds` merge rounds, each with a
+    pinned `jumps`-step pointer-doubling chain. Both bounds are
+    idempotent upper limits (extra rounds choose nothing; doubling a
+    rooted map is a no-op), sized for ≤4096 components — the sf0.01
+    street graph has 1500 nodes. Every stage is MATERIALIZED so DuckDB
+    evaluates the DAG, not an exponentially inlined tree."""
+    hav = _hav_sql("a.lat_d", "a.lon_d", "b.lat_d", "b.lon_d")
+    parts = [
+        f"nodes AS ({_NODES_SQL})",
+        f"edges AS ({_EDGES_SQL})",
+        f"""we AS MATERIALIZED (
+  SELECT e.src, e.dst, CAST(floor({hav}) AS BIGINT) AS w
+  FROM edges e JOIN nodes a ON e.src = a.id JOIN nodes b ON e.dst = b.id)""",
+        "c0 AS MATERIALIZED (SELECT id AS node, id AS comp FROM nodes)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f"""x{k} AS MATERIALIZED (
+  SELECT we.src, we.dst, we.w, ca.comp AS ca, cb.comp AS cb
+  FROM we JOIN c{p} ca ON ca.node = we.src JOIN c{p} cb ON cb.node = we.dst
+  WHERE ca.comp <> cb.comp)""")
+        parts.append(f"""ch{k} AS MATERIALIZED (
+  SELECT comp, src, dst, w, other FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, src, dst) AS rn
+    FROM (SELECT ca AS comp, src, dst, w, cb AS other FROM x{k}
+          UNION ALL SELECT cb, src, dst, w, ca FROM x{k}))
+  WHERE rn = 1)""")
+        parts.append(f"""s{k}j0 AS MATERIALIZED (
+  SELECT c.comp, COALESCE(br.s, c.comp) AS s
+  FROM (SELECT DISTINCT comp FROM c{p}) c LEFT JOIN (
+    SELECT a.comp,
+           CASE WHEN b.other = a.comp AND a.comp < a.other
+                THEN a.comp ELSE a.other END AS s
+    FROM ch{k} a JOIN ch{k} b ON b.comp = a.other) br USING (comp))""")
+        for j in range(1, jumps + 1):
+            parts.append(f"""s{k}j{j} AS MATERIALIZED (
+  SELECT a.comp, b.s FROM s{k}j{j - 1} a JOIN s{k}j{j - 1} b ON b.comp = a.s)""")
+        parts.append(f"""c{k} AS MATERIALIZED (
+  SELECT c.node, s.s AS comp FROM c{p} c JOIN s{k}j{jumps} s ON s.comp = c.comp)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT DISTINCT src, dst, w FROM ch{k}" for k in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+SQL_MST_EDGES = _mst_sql()
+
+QUERIES.update({"mst_edges": q_mst_edges})
+ORACLES.update({"mst_edges": SQL_MST_EDGES})
