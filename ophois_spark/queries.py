@@ -7767,3 +7767,138 @@ SQL_MST_EDGES = _mst_sql()
 
 QUERIES.update({"mst_edges": q_mst_edges})
 ORACLES.update({"mst_edges": SQL_MST_EDGES})
+
+
+# ---------------------------------------------------------------------------
+# round-4: deterministic graph random walks + time-decayed hotspots
+# ---------------------------------------------------------------------------
+
+WALK_STEPS = 8
+
+
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style corpus generation (Perozzi KDD'14): one walk per
+    site over the directed site overlay → (walk, step, node). The
+    "random" neighbor choice is the md5-argmin trick this repo uses
+    for every cross-engine sampling decision: at step t the walker at
+    v moves to the out-neighbor minimizing md5('walk:t:nbr'), which is
+    uniform-ish, deterministic, and exactly restatable in SQL. Walkers
+    at sinks stop (inner join drops them), matching the oracle.
+
+    Scale shape: walk state is ONE row per live walker keyed by its
+    current node; each step is one equi-join against the adjacency
+    relation plus one algebraic struct-min per walker. Hot nodes
+    (celebrity pages) concentrate walkers — the join is still a plain
+    shuffle join and AQE's skew split handles the hot partitions, the
+    same story bench_skew.py measures for the cell joins. Step count
+    is a static unroll (no fixpoint, no driver actions), so the whole
+    walk corpus is ONE job."""
+    sites, edges = _site_graph(spark, sf_dir)
+    frontier = sites.select(
+        F.col("id").alias("walk"), F.col("id").alias("node")
+    )
+    out = frontier.select("walk", F.lit(0).cast("int").alias("step"), "node")
+    for t in range(1, WALK_STEPS + 1):
+        stepped = frontier.join(
+            edges.withColumnRenamed("src", "node"), "node"
+        ).select(
+            "walk",
+            F.md5(
+                F.concat_ws(":", F.col("walk"), F.lit(t), F.col("dst"))
+            ).alias("rank"),
+            "dst",
+        )
+        frontier = (
+            stepped.groupBy("walk")
+            .agg(F.min(F.struct("rank", "dst")).alias("m"))
+            .select("walk", F.col("m.dst").alias("node"))
+        )
+        out = out.unionByName(
+            frontier.select("walk", F.lit(t).cast("int").alias("step"), "node")
+        )
+    return out.select(
+        F.col("walk").cast("long").alias("walk"),
+        "step",
+        F.col("node").cast("long").alias("node"),
+    )
+
+
+def _walks_sql() -> str:
+    parts = [
+        _SQL_SITE_CTES.strip(),
+        "w0 AS (SELECT s AS walk, 0 AS step, s AS node FROM sites)",
+    ]
+    for t in range(1, WALK_STEPS + 1):
+        parts.append(f"""w{t} AS MATERIALIZED (
+  SELECT walk, {t} AS step, node FROM (
+    SELECT w.walk, e.dst AS node,
+           ROW_NUMBER() OVER (
+             PARTITION BY w.walk
+             ORDER BY md5(CAST(w.walk AS VARCHAR) || ':' || '{t}' || ':'
+                          || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+    FROM w{t - 1} w JOIN e ON e.src = w.node)
+  WHERE rn = 1)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk, step, node FROM w{t}" for t in range(0, WALK_STEPS + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(walk AS BIGINT) AS walk, CAST(step AS INT) AS step,"
+        f" CAST(node AS BIGINT) AS node FROM ({union})"
+    )
+
+
+SQL_GRAPH_RANDOM_WALKS = _walks_sql()
+
+QUERIES.update({"graph_random_walks": q_graph_random_walks})
+ORACLES.update({"graph_random_walks": SQL_GRAPH_RANDOM_WALKS})
+
+
+DECAY_CELLS = 97
+DECAY_MAX_WEEKS = 12
+
+
+def q_cell_decay_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-cell activity — the emerging/
+    fading hotspot score a freshness-aware crawl scheduler reads
+    (recent activity dominates, each week of age halves the weight).
+    All-integer: age is whole weeks behind the corpus max timestamp,
+    weight = 2^(12 - min(weeks, 12)), score = Σ weight — exactly
+    replayable cross-engine, no float decay factor. One scan, one
+    broadcast 1-row max, one map-side-combinable agg."""
+    e = load(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx = e.agg(F.max(t_us).alias("mx"))
+    j = e.crossJoin(F.broadcast(mx))
+    weeks = F.floor((F.col("mx") - t_us) / F.lit(7 * 86400 * 1000000))
+    wexp = (
+        F.lit(DECAY_MAX_WEEKS) - F.least(weeks, F.lit(DECAY_MAX_WEEKS))
+    ).cast("int")
+    w = F.expr("shiftleft(CAST(1 AS BIGINT), wexp)")
+    return (
+        j.withColumn("wexp", wexp)
+        .groupBy((F.col("event_id") % DECAY_CELLS).cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(w).cast("long").alias("decay_score"),
+        )
+    )
+
+
+SQL_CELL_DECAY_HOTSPOTS = f"""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+j AS (
+  SELECT event_id % {DECAY_CELLS} AS cell,
+         (1::BIGINT << CAST({DECAY_MAX_WEEKS} - LEAST(
+            CAST(floor(((SELECT mx FROM mx) - epoch_us(ts)) / {7 * 86400 * 1000000}) AS BIGINT),
+            {DECAY_MAX_WEEKS}) AS INT)) AS w
+  FROM events)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(w) AS BIGINT) AS decay_score
+FROM j GROUP BY cell
+"""
+
+QUERIES.update({"cell_decay_hotspots": q_cell_decay_hotspots})
+ORACLES.update({"cell_decay_hotspots": SQL_CELL_DECAY_HOTSPOTS})
