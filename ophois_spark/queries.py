@@ -7902,3 +7902,199 @@ FROM j GROUP BY cell
 
 QUERIES.update({"cell_decay_hotspots": q_cell_decay_hotspots})
 ORACLES.update({"cell_decay_hotspots": SQL_CELL_DECAY_HOTSPOTS})
+
+
+# ---------------------------------------------------------------------------
+# round-4: HTML link extraction + anchor-text aggregation
+# ---------------------------------------------------------------------------
+
+
+def _synth_html_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-doc HTML payload carrying the link overlay:
+    each outlink of the overlay becomes an <a> tag whose href is the
+    target's canonical URL and whose anchor is a sanitized 10-char
+    slice of the SOURCE doc's text. The engine queries then PARSE this
+    html; the oracles restate the link relation directly from the
+    overlay — so the gate proves parse(synth(overlay)) == overlay,
+    the byte-exact extraction contract of the north rule applied to
+    html instead of OSM XML."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    _, edges = _link_overlay(spark, sf_dir)
+    j = edges.join(
+        d.select(F.col("doc_id").alias("src"), F.col("text").alias("src_text")), "src"
+    )
+    href = F.concat(
+        F.lit("http://example"),
+        (F.col("dst") % 40).cast("string"),
+        F.lit(".com/p/"),
+        F.col("dst").cast("string"),
+    )
+    anchor = F.regexp_replace(
+        F.col("src_text").substr((F.col("dst") % 20 + 1).cast("int"), F.lit(10)),
+        "[^A-Za-z0-9 ]",
+        "",
+    )
+    link = F.concat(F.lit('<a href="'), href, F.lit('">'), anchor, F.lit("</a>"))
+    return (
+        j.select(F.col("src").alias("doc_id"), F.col("dst"), link.alias("link"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat(
+                F.lit("<html><body>"),
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(struct(dst, link))),"
+                    " x -> x.link), '')"
+                ),
+                F.lit("</body></html>"),
+            ).alias("html")
+        )
+    )
+
+
+# Oracle twin of the synthesized link relation, stated directly from
+# the overlay (no html, no parsing) — identical substring + sanitize
+# semantics (1-based substr, RE2/Java-agreeing character class).
+_SQL_HTML_LINKS = f"""
+links AS MATERIALIZED (
+  SELECT e.src AS doc_id,
+         'http://example' || CAST(e.dst % 40 AS VARCHAR) || '.com/p/'
+           || CAST(e.dst AS VARCHAR) AS href,
+         regexp_replace(substr(d.text, CAST(e.dst % 20 + 1 AS INT), 10),
+                        '[^A-Za-z0-9 ]', '', 'g') AS anchor
+  FROM e JOIN documents d ON d.doc_id = e.src)"""
+
+
+def q_html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the synthesized html pages back into (doc_id, href,
+    anchor) with the codegen regexp pipeline (operators/html.py) —
+    gated against the overlay restated directly, i.e. a lossless
+    round-trip through real html text."""
+    from ophois_spark.operators.html import extract_links
+
+    pages = _synth_html_pages(spark, sf_dir)
+    return extract_links(pages).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "href", "anchor"
+    )
+
+
+SQL_HTML_OUTLINKS = f"""
+WITH {_SQL_HOST_CTES},
+{_SQL_HTML_LINKS}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, href, anchor FROM links
+"""
+
+
+def q_anchor_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation over the parsed outlinks →
+    (href, n_links, n_docs, top_anchor): the Brin & Page WWW'98
+    anchor signal, computed from html (parse → explode → two-level
+    algebraic agg)."""
+    from ophois_spark.operators.html import anchor_text_rollup, extract_links
+
+    pages = _synth_html_pages(spark, sf_dir)
+    out = anchor_text_rollup(extract_links(pages))
+    return out.select("href", "n_links", "n_docs", "top_anchor")
+
+
+SQL_ANCHOR_TEXT_ROLLUP = f"""
+WITH {_SQL_HOST_CTES},
+{_SQL_HTML_LINKS},
+pa AS (SELECT href, anchor, COUNT(*) AS cnt FROM links GROUP BY 1, 2),
+top AS (
+  SELECT href, anchor AS top_anchor FROM (
+    SELECT href, anchor,
+           ROW_NUMBER() OVER (PARTITION BY href ORDER BY cnt DESC, anchor) AS rn
+    FROM pa) WHERE rn = 1),
+agg AS (
+  SELECT href, CAST(COUNT(*) AS BIGINT) AS n_links,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM links GROUP BY href)
+SELECT agg.href, agg.n_links, agg.n_docs, top.top_anchor
+FROM agg JOIN top ON top.href = agg.href
+"""
+
+QUERIES.update(
+    {"html_outlinks": q_html_outlinks, "anchor_text_rollup": q_anchor_text_rollup}
+)
+ORACLES.update(
+    {
+        "html_outlinks": SQL_HTML_OUTLINKS,
+        "anchor_text_rollup": SQL_ANCHOR_TEXT_ROLLUP,
+    }
+)
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the walk corpus (word2vec over
+    walks = DeepWalk): co-occurring (center, context) nodes within a
+    ±2-step window, with pair counts → (center, context, n). The
+    actual artifact a graph-embedding trainer consumes; one self-join
+    on (walk) + one algebraic agg over the walk table."""
+    w = q_graph_random_walks(spark, sf_dir)
+    a, b = w.alias("a"), w.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.walk") == F.col("b.walk"))
+        & (F.col("a.step") != F.col("b.step"))
+        & (F.abs(F.col("a.step") - F.col("b.step")) <= SKIPGRAM_WINDOW),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.node").alias("center"), F.col("b.node").alias("context")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+SQL_SKIPGRAM_PAIRS = f"""
+WITH w AS ({SQL_GRAPH_RANDOM_WALKS})
+SELECT a.node AS center, b.node AS context, CAST(COUNT(*) AS BIGINT) AS n
+FROM w a JOIN w b
+  ON a.walk = b.walk AND a.step <> b.step
+ AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
+GROUP BY 1, 2
+"""
+
+
+def q_scc_dag_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the site graph → distinct (src_scc,
+    dst_scc) pairs between DIFFERENT components: the acyclic
+    site-cluster topology a crawl scheduler orders its budget over
+    (provably a DAG — any cycle of SCCs would be one SCC). Composes
+    the memoized SCC labels with two endpoint joins + distinct."""
+    labels = _site_scc_labels(spark, sf_dir)
+    _, edges = _site_graph(spark, sf_dir)
+    return (
+        edges.join(
+            labels.select(F.col("id").alias("src"), F.col("scc").alias("src_scc")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("id").alias("dst"), F.col("scc").alias("dst_scc")),
+            "dst",
+        )
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select(
+            F.col("src_scc").cast("long").alias("src_scc"),
+            F.col("dst_scc").cast("long").alias("dst_scc"),
+        )
+        .distinct()
+    )
+
+
+SQL_SCC_DAG_EDGES = f"""
+WITH RECURSIVE {_SQL_SITE_CTES}
+SELECT DISTINCT CAST(sa.scc AS BIGINT) AS src_scc, CAST(sb.scc AS BIGINT) AS dst_scc
+FROM e JOIN scc sa ON sa.site = e.src JOIN scc sb ON sb.site = e.dst
+WHERE sa.scc <> sb.scc
+"""
+
+QUERIES.update(
+    {"skipgram_pairs": q_skipgram_pairs, "scc_dag_edges": q_scc_dag_edges}
+)
+ORACLES.update(
+    {"skipgram_pairs": SQL_SKIPGRAM_PAIRS, "scc_dag_edges": SQL_SCC_DAG_EDGES}
+)
