@@ -8098,3 +8098,110 @@ QUERIES.update(
 ORACLES.update(
     {"skipgram_pairs": SQL_SKIPGRAM_PAIRS, "scc_dag_edges": SQL_SCC_DAG_EDGES}
 )
+
+
+# ---------------------------------------------------------------------------
+# round-4: Count-Min Sketch heavy hitters over the n-gram stream
+# ---------------------------------------------------------------------------
+
+CMS_HH_THRESHOLD = 6
+
+
+def _gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 3-gram OCCURRENCES (duplicates included) — the stream the
+    sketch compresses; same tokenizer as ngram_topk."""
+    from ophois_spark.operators.dedup import shingles_col
+    from ophois_spark.operators.textops import tokens_col
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.explode(shingles_col(tokens_col(F.col("text")), 3)).alias("ngram")
+    )
+
+
+_SQL_GRAM_STREAM = f"""
+  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM ({_TOKS_SQL}) WHERE len(t) >= 3)
+"""
+
+
+def _sql_cms_col(r: int) -> str:
+    from ophois_spark.operators.sketches import CMS_HEX, CMS_W
+
+    return (
+        f"(('0x' || substr(md5('{r}:' || ngram), 1, {CMS_HEX}))::BIGINT % {CMS_W})"
+    )
+
+
+def q_ngram_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d×w Count-Min Sketch itself as sparse (row, col, cnt) cells
+    — exact-integer md5 row hashes make the whole sketch matrix
+    oracle-gated (operators/sketches.py)."""
+    from ophois_spark.operators.sketches import cms_table
+
+    out = cms_table(_gram_stream(spark, sf_dir))
+    return out.select(
+        F.col("row").cast("int").alias("row"),
+        F.col("col").cast("long").alias("col"),
+        "cnt",
+    )
+
+
+def _cms_sql() -> str:
+    from ophois_spark.operators.sketches import CMS_D
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row, {_sql_cms_col(r)} AS col FROM g" for r in range(CMS_D)
+    )
+    return f"""
+WITH g AS ({_SQL_GRAM_STREAM}),
+cells AS ({arms})
+SELECT CAST(row AS INT) AS row, CAST(col AS BIGINT) AS col,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cells GROUP BY 1, 2
+"""
+
+
+SQL_NGRAM_CMS = _cms_sql()
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters BY SKETCH ESTIMATE (the scale-feasible decision)
+    with the exact count alongside → (ngram, n_true, n_est); the gate
+    pins est ≥ true and the exact false-positive surface."""
+    from ophois_spark.operators.sketches import cms_heavy_hitters
+
+    out = cms_heavy_hitters(_gram_stream(spark, sf_dir), CMS_HH_THRESHOLD)
+    return out.select("ngram", "n_true", "n_est")
+
+
+def _cms_hh_sql() -> str:
+    from ophois_spark.operators.sketches import CMS_D
+
+    addr = "\nUNION ALL\n".join(
+        f"SELECT ngram, n_true, {r} AS row, {_sql_cms_col(r)} AS col FROM cand"
+        for r in range(CMS_D)
+    )
+    return f"""
+WITH g AS ({_SQL_GRAM_STREAM}),
+cells AS ({"" + " UNION ALL ".join(f"SELECT {r} AS row, {_sql_cms_col(r)} AS col FROM g" for r in range(CMS_D))}),
+tbl AS (SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+cand AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_true FROM g GROUP BY ngram),
+addr AS ({addr}),
+est AS (
+  SELECT a.ngram, a.n_true, CAST(MIN(t.cnt) AS BIGINT) AS n_est
+  FROM addr a JOIN tbl t ON t.row = a.row AND t.col = a.col
+  GROUP BY 1, 2)
+SELECT ngram, n_true, n_est FROM est WHERE n_est >= {CMS_HH_THRESHOLD}
+"""
+
+
+SQL_CMS_HEAVY_HITTERS = _cms_hh_sql()
+
+QUERIES.update(
+    {"ngram_cms": q_ngram_cms, "cms_heavy_hitters": q_cms_heavy_hitters}
+)
+ORACLES.update(
+    {"ngram_cms": SQL_NGRAM_CMS, "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS}
+)
