@@ -75,8 +75,36 @@ def cms_heavy_hitters(
     the threshold — the decision rule available when only the sketch
     fits. n_est = min over rows of the addressed cell (≥ n_true
     always); n_true is joined in for the gated honesty column."""
-    table = cms_table(grams, gram_col)
-    cand = grams.groupBy(gram_col).agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    # One aggregation collapses the occurrence stream to the (much
+    # smaller) vocabulary relation, checkpointed so the sketch cells
+    # AND the address probes both derive from a single stream scan —
+    # cell(r,c) = Σ n_true over grams hashing there, identical to the
+    # per-occurrence build (sum is associative), measured 12.1 s →
+    # ~3 s at sf0.1.
+    cand = (
+        grams.groupBy(gram_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .localCheckpoint(eager=True)
+    )
+    cells = cand.select(
+        "n_true",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cms_col(F.col(gram_col), r).alias("col"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    )
+    table = (
+        cells.select("n_true", "rc.row", "rc.col")
+        .groupBy("row", "col")
+        .agg(F.sum("n_true").cast("long").alias("cnt"))
+    )
     addressed = cand.select(
         gram_col,
         "n_true",

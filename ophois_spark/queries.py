@@ -8113,7 +8113,9 @@ def _gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ophois_spark.operators.dedup import shingles_col
     from ophois_spark.operators.textops import tokens_col
 
-    d = load(spark, sf_dir, "documents")
+    from ophois_spark.plans.layout import fan_out
+
+    d = fan_out(load(spark, sf_dir, "documents"))
     return d.select(
         F.explode(shingles_col(tokens_col(F.col("text")), 3)).alias("ngram")
     )
