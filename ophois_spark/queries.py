@@ -7956,7 +7956,7 @@ def _synth_html_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantics (1-based substr, RE2/Java-agreeing character class).
 _SQL_HTML_LINKS = f"""
 links AS MATERIALIZED (
-  SELECT e.src AS doc_id,
+  SELECT e.src AS doc_id, e.dst AS dst,
          'http://example' || CAST(e.dst % 40 AS VARCHAR) || '.com/p/'
            || CAST(e.dst AS VARCHAR) AS href,
          regexp_replace(substr(d.text, CAST(e.dst % 20 + 1 AS INT), 10),
@@ -8207,3 +8207,29 @@ QUERIES.update(
 ORACLES.update(
     {"ngram_cms": SQL_NGRAM_CMS, "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS}
 )
+
+
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-strip text extraction from the synthesized html —
+    regexp tag removal in pure codegen → (doc_id, extracted). The
+    oracle restates the expected text DIRECTLY from the overlay
+    (anchors concatenated in dst order), so the gate is byte-identical
+    extracted text per document — the north rule's per-row invariant
+    exercised on html."""
+    pages = _synth_html_pages(spark, sf_dir)
+    return pages.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_replace("html", "<[^>]*>", "").alias("extracted"),
+    )
+
+
+SQL_HTML_TEXT_EXTRACT = f"""
+WITH {_SQL_HOST_CTES},
+{_SQL_HTML_LINKS}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       COALESCE(string_agg(anchor, '' ORDER BY dst), '') AS extracted
+FROM links GROUP BY doc_id
+"""
+
+QUERIES.update({"html_text_extract": q_html_text_extract})
+ORACLES.update({"html_text_extract": SQL_HTML_TEXT_EXTRACT})
