@@ -53,10 +53,10 @@ import sys
 import tempfile
 import time
 
-CPUS_LOW = int(os.environ.get("OPHOIS_SCALE_N", "2"))
-CPUS_HIGH = int(os.environ.get("OPHOIS_SCALE_4N", "8"))
+CPUS_LOW = int(os.environ.get("OPHOIS_SCALE_N", "1"))
+CPUS_HIGH = int(os.environ.get("OPHOIS_SCALE_4N", "4"))
 CPUS_FULL = int(os.environ.get("OPHOIS_SCALE_FULL", "32"))
-N_PAGES = int(os.environ.get("OPHOIS_SCALE_PAGES", "24000"))
+N_PAGES = int(os.environ.get("OPHOIS_SCALE_PAGES", "8000"))
 REPS = int(os.environ.get("OPHOIS_SCALE_REPS", "4"))
 GRID = 12
 INPUT_FILES = 128  # fixed file layout => identical scan splits at all levels
