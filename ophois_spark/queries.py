@@ -8233,3 +8233,126 @@ FROM links GROUP BY doc_id
 
 QUERIES.update({"html_text_extract": q_html_text_extract})
 ORACLES.update({"html_text_extract": SQL_HTML_TEXT_EXTRACT})
+
+
+# ---------------------------------------------------------------------------
+# round-4: embedding corpus statistics (whitening + domain centroids)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments of the embedding corpus on the 2^-20
+    integer grid → (dim, n, sum_sv, sumsq_sv): the normalization /
+    whitening statistics an indexing pipeline computes before PQ or
+    IVF training. Integer sums are associative-commutative exactly, so
+    the gate pins every moment bit-for-bit (the float-sum shuffle-order
+    trap this repo's integer discipline exists to avoid). One explode +
+    one map-side-combinable agg."""
+    from ophois_spark.operators.similarity import PQ_SCALE
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * PQ_SCALE).cast("long"),
+            )
+        ).alias("pos", "sv")
+    )
+    return (
+        v.groupBy((F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("sv").cast("long").alias("sum_sv"),
+            F.sum(F.col("sv") * F.col("sv")).cast("long").alias("sumsq_sv"),
+        )
+    )
+
+
+def _dim_stats_sql() -> str:
+    from ophois_spark.operators.similarity import PQ_SCALE
+
+    return f"""
+WITH v AS (
+  SELECT j, CAST(round(CAST(embedding[j] AS DOUBLE) * {PQ_SCALE}) AS BIGINT) AS sv
+  FROM (SELECT embedding, unnest(generate_series(1, len(embedding))) AS j
+        FROM embeddings))
+SELECT CAST(j AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(sv) AS BIGINT) AS sum_sv, CAST(SUM(sv * sv) AS BIGINT) AS sumsq_sv
+FROM v GROUP BY j
+"""
+
+
+SQL_EMBEDDING_DIM_STATS = _dim_stats_sql()
+
+
+def q_source_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding centroid (domain-balancing signal: how far
+    each source's content sits from the corpus mix) → (source, dim,
+    n_vecs, sum_sv, centroid_sv) with centroid_sv = floor(sum/n) on
+    the integer grid. vec_id aligns with doc_id by construction of the
+    test tables; the join is the doc→embedding lineage a real corpus
+    carries."""
+    from ophois_spark.operators.similarity import PQ_SCALE
+
+    e = load(spark, sf_dir, "embeddings")
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    v = e.join(d, "vec_id").select(
+        "source",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * PQ_SCALE).cast("long"),
+            )
+        ).alias("pos", "sv"),
+    )
+    agg = v.groupBy("source", (F.col("pos") + 1).cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("sv").cast("long").alias("sum_sv"),
+    )
+    return agg.select(
+        "source",
+        "dim",
+        "n_vecs",
+        "sum_sv",
+        F.floor(F.col("sum_sv") / F.col("n_vecs")).cast("long").alias("centroid_sv"),
+    )
+
+
+def _source_centroid_sql() -> str:
+    from ophois_spark.operators.similarity import PQ_SCALE
+
+    return f"""
+WITH v AS (
+  SELECT d.source, j,
+         CAST(round(CAST(e.embedding[j] AS DOUBLE) * {PQ_SCALE}) AS BIGINT) AS sv
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS j
+        FROM embeddings) e
+  JOIN documents d ON d.doc_id = e.vec_id),
+agg AS (
+  SELECT source, CAST(j AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(sv) AS BIGINT) AS sum_sv
+  FROM v GROUP BY 1, 2)
+SELECT source, dim, n_vecs, sum_sv,
+       CAST(floor(CAST(sum_sv AS DOUBLE) / n_vecs) AS BIGINT) AS centroid_sv
+FROM agg
+"""
+
+
+SQL_SOURCE_EMBEDDING_CENTROID = _source_centroid_sql()
+
+QUERIES.update(
+    {
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "source_embedding_centroid": q_source_embedding_centroid,
+    }
+)
+ORACLES.update(
+    {
+        "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
+        "source_embedding_centroid": SQL_SOURCE_EMBEDDING_CENTROID,
+    }
+)
