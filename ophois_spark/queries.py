@@ -8356,3 +8356,145 @@ ORACLES.update(
         "source_embedding_centroid": SQL_SOURCE_EMBEDDING_CENTROID,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round-4: co-visitation graph + crawl-budget allocation
+# ---------------------------------------------------------------------------
+
+
+def q_cell_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-visitation over the event cell overlay →
+    (cell_a, cell_b, n_users, lift_permille): cells visited by the
+    same user, with integer lift (1000·n_ab·N / (n_a·n_b), floored) —
+    the behavioral item-item graph a recommender or anomaly screen
+    reads. Shape: project to DISTINCT (user, cell) FIRST (bounds the
+    per-user basket at the cell vocabulary), then one self-join per
+    user + algebraic aggs; the quadratic blowup of raw event pairs
+    never materializes."""
+    e = load(spark, sf_dir, "events")
+    uc = e.select(
+        "user_id", (F.col("event_id") % DECAY_CELLS).cast("long").alias("cell")
+    ).distinct()
+    n_users = uc.select("user_id").distinct().count()
+    per_cell = uc.groupBy("cell").agg(F.count(F.lit(1)).alias("nc"))
+    pairs = (
+        uc.alias("a")
+        .join(uc.alias("b"), "user_id")
+        .filter(F.col("a.cell") < F.col("b.cell"))
+        .groupBy(
+            F.col("a.cell").alias("cell_a"), F.col("b.cell").alias("cell_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    return (
+        pairs.join(per_cell.select(F.col("cell").alias("cell_a"), F.col("nc").alias("na")), "cell_a")
+        .join(per_cell.select(F.col("cell").alias("cell_b"), F.col("nc").alias("nb")), "cell_b")
+        .select(
+            "cell_a",
+            "cell_b",
+            "n_users",
+            F.floor(
+                (F.lit(1000) * F.col("n_users") * F.lit(n_users))
+                / (F.col("na") * F.col("nb"))
+            )
+            .cast("long")
+            .alias("lift_permille"),
+        )
+    )
+
+
+SQL_CELL_COVISITATION = f"""
+WITH uc AS (
+  SELECT DISTINCT user_id, event_id % {DECAY_CELLS} AS cell FROM events),
+n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM uc),
+pc AS (SELECT cell, COUNT(*) AS nc FROM uc GROUP BY cell),
+p AS (
+  SELECT a.cell AS cell_a, b.cell AS cell_b, COUNT(*) AS n_users
+  FROM uc a JOIN uc b ON a.user_id = b.user_id AND a.cell < b.cell
+  GROUP BY 1, 2)
+SELECT CAST(cell_a AS BIGINT) AS cell_a, CAST(cell_b AS BIGINT) AS cell_b,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(floor((1000.0 * n_users * (SELECT nu FROM n)) / (na.nc * nb.nc))
+            AS BIGINT) AS lift_permille
+FROM p JOIN pc na ON na.cell = p.cell_a JOIN pc nb ON nb.cell = p.cell_b
+"""
+
+
+CRAWL_BUDGET = 100000
+
+
+def q_host_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer crawl-budget allocation proportional to host PageRank
+    via the largest-remainder method (exact, sums to the budget by
+    construction) → (host, rank, budget). The operational consumer of
+    the host centrality score: floor share first, then the leftover
+    units go to the largest remainders (tie → host asc) — all int64,
+    so the gate pins every allocation.
+
+    Scale note: the unpartitioned row_number runs over the HOST
+    relation (one row per host — orders of magnitude below the page
+    relation), and Spark warns it single-partitions; at 10^9 hosts
+    swap it for the integer-rank order-statistic idiom
+    (source_token_quantiles) to find the k-th remainder threshold
+    distributedly, then break ties on host id. The allocation itself
+    is unchanged."""
+    r = q_host_pagerank(spark, sf_dir)
+    tot = r.agg(F.sum("rank").alias("s"), F.count(F.lit(1)).alias("nh"))
+    j = r.crossJoin(F.broadcast(tot))
+    base = j.select(
+        "host",
+        "rank",
+        F.floor(F.lit(CRAWL_BUDGET) * F.col("rank") / F.col("s"))
+        .cast("long")
+        .alias("fl"),
+        (F.lit(CRAWL_BUDGET) * F.col("rank") % F.col("s")).alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(CRAWL_BUDGET) - F.sum("fl")).cast("long").alias("lo")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("host"))
+    return (
+        base.crossJoin(F.broadcast(leftover))
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "host",
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("fl") + (F.col("rn") <= F.col("lo")).cast("long"))
+            .cast("long")
+            .alias("budget"),
+        )
+    )
+
+
+SQL_HOST_CRAWL_BUDGET = f"""
+WITH pr AS ({SQL_HOST_PAGERANK}),
+t AS (SELECT SUM(rank) AS s FROM pr),
+base AS (
+  SELECT host, rank,
+         CAST(floor(({CRAWL_BUDGET}::BIGINT * rank) / (SELECT s FROM t)) AS BIGINT) AS fl,
+         ({CRAWL_BUDGET}::BIGINT * rank) % (SELECT s FROM t) AS rem
+  FROM pr),
+lo AS (SELECT {CRAWL_BUDGET} - SUM(fl) AS lo FROM base),
+rn AS (
+  SELECT host, rank, fl,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS rn
+  FROM base)
+SELECT host, CAST(rank AS BIGINT) AS rank,
+       CAST(fl + CASE WHEN rn <= (SELECT lo FROM lo) THEN 1 ELSE 0 END AS BIGINT)
+         AS budget
+FROM rn
+"""
+
+QUERIES.update(
+    {
+        "cell_covisitation": q_cell_covisitation,
+        "host_crawl_budget": q_host_crawl_budget,
+    }
+)
+ORACLES.update(
+    {
+        "cell_covisitation": SQL_CELL_COVISITATION,
+        "host_crawl_budget": SQL_HOST_CRAWL_BUDGET,
+    }
+)
