@@ -94,3 +94,11 @@ def test_mst_street_graph_total_weight(spark):
     assert msf.count() == n_nodes - n_comps
     extra = msf.join(g.edges.select("src", "dst"), ["src", "dst"], "left_anti")
     assert extra.count() == 0
+
+
+def test_mst_no_edges_returns_empty_forest(spark):
+    nodes = spark.createDataFrame([("a",), ("b",)], "id string")
+    e = spark.createDataFrame([], "src string, dst string, w long")
+    out = minimum_spanning_forest(nodes, e)
+    assert out.count() == 0
+    assert out.columns == ["src", "dst", "w"]

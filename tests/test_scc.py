@@ -132,3 +132,8 @@ def test_site_overlay_structure(spark):
     bt = q_web_bowtie(spark, sf_dir)
     cls = {r["cls"]: r["n"] for r in bt.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert cls == {"CORE": 117, "IN": 123, "OUT": 4, "OTHER": 13}
+
+
+def test_scc_no_edges_all_singletons(spark):
+    got = _run_scc(spark, [3, 1, 2], [])
+    assert got == {1: 1, 2: 2, 3: 3}
