@@ -48,7 +48,6 @@ def anchor_text_rollup(links: DataFrame) -> DataFrame:
     the lexicographically smallest (min of (-count, anchor))."""
     per_anchor = links.groupBy("href", "anchor").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.count_distinct("doc_id").alias("nd"),
     )
     return (
         per_anchor.groupBy("href")

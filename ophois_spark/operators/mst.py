@@ -158,9 +158,10 @@ def minimum_spanning_forest(
         raise RuntimeError(f"Boruvka did not converge in {max_rounds} rounds")
 
     if not msf_parts:
-        return nodes.select(
-            F.col("id").alias("src"), F.col("id").alias("dst"), F.lit(0).cast("long").alias("w")
-        ).limit(0)
+        # Empty forest: derive the schema from the input edge relation so
+        # the weight type matches whatever the caller supplied (long metres,
+        # double metres, ...) instead of hardcoding long.
+        return edges.select("src", "dst", "w").limit(0)
     out = msf_parts[0]
     for part in msf_parts[1:]:
         out = out.unionByName(part)

@@ -31,11 +31,17 @@ the plain checkpointed frame if the internal API is unavailable
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
+_warned_fallback = False
 
 
 def stats_barrier(df: DataFrame, eager: bool = True) -> DataFrame:
     """localCheckpoint + estimated-statistics truncation."""
+    global _warned_fallback
     df = df.localCheckpoint(eager=eager)
     try:
         jdf = df._jdf
@@ -44,5 +50,19 @@ def stats_barrier(df: DataFrame, eager: bool = True) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(new_jdf, spark)
-    except Exception:  # pragma: no cover - internal-API drift fallback
+    except Exception as exc:  # pragma: no cover - internal-API drift fallback
+        # A silent fallback here re-enters the documented Spark 4 stats
+        # cliff (compounding sizeInBytes in aggregation-free self-join
+        # chains → minutes/round, driver OOM) with no visible cause, so
+        # make the degradation loud — once.
+        if not _warned_fallback:
+            _warned_fallback = True
+            _log.warning(
+                "stats_barrier: internalCreateDataFrame unavailable (%s: %s); "
+                "falling back to plain localCheckpoint. Iterative self-join "
+                "operators (Boruvka MSF, pointer doubling) may hit the "
+                "Spark 4 statistics-compounding cliff — see module docstring.",
+                type(exc).__name__,
+                exc,
+            )
         return df

@@ -7757,10 +7757,27 @@ def _mst_sql(rounds: int = 12, jumps: int = 12) -> str:
   SELECT a.comp, b.s FROM s{k}j{j - 1} a JOIN s{k}j{j - 1} b ON b.comp = a.s)""")
         parts.append(f"""c{k} AS MATERIALIZED (
   SELECT c.node, s.s AS comp FROM c{p} c JOIN s{k}j{jumps} s ON s.comp = c.comp)""")
+    # Loud out-of-bound guard (round-4 advice): the unrolled chain is
+    # complete only while the initial component count is <= 2**rounds
+    # (4096 at the default).  If any cross-component edge survives the
+    # final round the forest would be silently incomplete and present as
+    # an engine mismatch — error() makes the ORACLE fail instead.
+    parts.append(f"""guard AS MATERIALIZED (
+  SELECT CASE WHEN EXISTS (
+    SELECT 1 FROM we
+    JOIN c{rounds} ca ON ca.node = we.src
+    JOIN c{rounds} cb ON cb.node = we.dst
+    WHERE ca.comp <> cb.comp)
+  THEN error('SQL_MST_EDGES: {rounds} unrolled rounds exhausted with cross-component edges remaining — component count exceeds {2 ** rounds}; this is an oracle bound, not an engine failure')
+  ELSE 0 END AS ok)""")
     union = "\nUNION ALL\n".join(
         f"SELECT DISTINCT src, dst, w FROM ch{k}" for k in range(1, rounds + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT src, dst, w FROM (\n" + union
+        + "\n) WHERE (SELECT ok FROM guard) = 0"
+    )
 
 
 SQL_MST_EDGES = _mst_sql()
@@ -8498,3 +8515,64 @@ ORACLES.update(
         "host_crawl_budget": SQL_HOST_CRAWL_BUDGET,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Driver-coverage rotation (round 5).
+#
+# The external correctness driver samples AT MOST the first 50 entries of
+# ``queries()`` per round.  Rounds 1-4 together hard-checked only the 54
+# names below; the remaining 105 registry rows were green only under the
+# local replica gate (tests/test_oracle_parity.py, identical contract).
+# Per the round-4 verdict ("Next round #1") we rotate the registry so the
+# first 50 slots are rows that have NEVER received a driver signal,
+# front-loaded with the round-4 flagships.  The ledger of which rows were
+# driver-checked in which round lives in DRIVER_SAMPLED.md.
+# ---------------------------------------------------------------------------
+
+DRIVER_SAMPLED_R1_R4: frozenset[str] = frozenset(
+    {
+        "component_labels", "component_size_dist", "contamination",
+        "coord_dedup", "degree2_contraction", "degree_distribution",
+        "discretize_parts", "discretize_points", "doc_exact_dedup",
+        "doc_fingerprint", "doc_lang_id", "doc_quality", "doc_simhash",
+        "doc_token_count", "doc_winnow", "edge_canonical_dedup",
+        "embedding_ivf_topk", "embedding_lsh_buckets", "embedding_near_dup",
+        "embedding_topk", "event_sessionization", "events_asof",
+        "events_rollup", "graph_show", "knn_nodes",
+        "largest_component_nodes", "latest_crawl_dedup",
+        "length_distribution", "media_features", "media_frame_sample",
+        "media_metadata", "media_resize", "minhash_lsh_pairs",
+        "near_dup_clusters", "ngram_topk", "order_size", "pip_admin_join",
+        "pip_clip", "raster_blob_edges", "raster_points", "raster_runs",
+        "render_tiles", "render_tiles_banded", "shingle_jaccard",
+        "simhash_hamming", "simplify_pipeline", "source_rollup",
+        "tile_assignment", "tile_pyramid", "under_delta_links",
+        "under_delta_nodes", "way_split", "winnow_overlap_pairs",
+        "xml_extract",
+    }
+)
+
+# Round-4 flagships and capstones the verdict called out by name — these
+# take the very first slots so a 50-row sample cannot miss them.
+_ROTATION_PRIORITY: tuple[str, ...] = (
+    "segment_crossings", "bpe_merges", "site_scc", "mst_edges",
+    "corpus_pipeline", "link_pagerank_converged", "pack_sequences_sharded",
+    "web_bowtie", "scc_dag_edges", "host_pagerank", "pq_adc_topk",
+    "hits_scores", "kcore_decomposition", "ktruss_edges",
+)
+
+
+def _rotated(order: "dict[str, object]") -> "list[str]":
+    prio = [k for k in _ROTATION_PRIORITY if k in order]
+    rest_unsampled = [
+        k for k in order
+        if k not in DRIVER_SAMPLED_R1_R4 and k not in _ROTATION_PRIORITY
+    ]
+    sampled = [k for k in order if k in DRIVER_SAMPLED_R1_R4]
+    return prio + rest_unsampled + sampled
+
+
+_ORDER = _rotated(QUERIES)
+QUERIES = {k: QUERIES[k] for k in _ORDER}
+ORACLES = {k: ORACLES[k] for k in _ORDER if k in ORACLES}
