@@ -102,7 +102,18 @@ def main() -> None:
     # pass so both passes time the query's own work — without the reset
     # pass 2 is a cache hit and best-of-2 would report ~0 s. Downstream
     # consumers of a memo (e.g. top_pages_by_rank) stay warm by design.
+    #
+    # Rows in MEMO_COLD_HEADLINE are memo consumers whose FIRST rep also
+    # pays the producer loop (their memo is cold when they run in sorted
+    # order) while the second rep is a near-total memo hit: best-of-2
+    # would headline the memo hit (r4 reps: crawl_frontier [23.2 s,
+    # 0.31 s]), which is not the operator. For these, the headline is
+    # the COLD first rep and the memo hit is disclosed separately in
+    # memo_hit_sec (round-5 protocol change, per the r4 verdict).
     from ophois_spark.queries import MEMO_RESETS
+
+    MEMO_COLD_HEADLINE = {"crawl_frontier", "scc_dag_edges", "bpe_merges"}
+    memo_hits: dict[str, float] = {}
 
     for name, fn in sorted(QUERIES.items()):
         reset = MEMO_RESETS.get(name, lambda: None)
@@ -112,6 +123,10 @@ def main() -> None:
             materialize(fn(spark, sf_dir))
 
         best_of_2(name, run_query)
+        if name in MEMO_COLD_HEADLINE:
+            cold, hit = reps[name]
+            timings[name] = cold
+            memo_hits[name] = hit
 
     # -- hot-source sequence packing: sharded flattening evidence ----------
     # one giant source (the Common-Crawl shape) forces the packing
@@ -253,6 +268,8 @@ def main() -> None:
     # (16-bit codes, 128x compression) and ~0.42 @ M=16 (64-bit, 32x) at
     # sf0.01 — the honest curve; clustered production embeddings and a
     # trained codebook (the ivf_centroids_kmeans analog) both raise it.
+    from ophois_spark.operators.similarity import pq_rerank_topk
+
     for m_sub, label in [(4, "pq_adc_m4"), (16, "pq_adc_m16")]:
         pq_top = pq_adc_topk(emb, qset, recall_k, n_subspaces=m_sub)
 
@@ -263,6 +280,22 @@ def main() -> None:
             ann_recall[label] = round(hits / n_exact_l2, 4)
 
         best_of_2(f"recall_{label}", run_pq_recall)
+
+    # -- two-stage PQ rerank recall@10 --------------------------------------
+    # ADC shortlist (k'=100) -> exact int64 L2 rerank -> top-10: the
+    # standard PQ consumer. Recall vs the same exact-L2 baseline shows
+    # the lift over the raw ADC scan (pq_adc_m4 above) at the cost of
+    # fetching 100 raw vectors per query.
+    for m_sub, label in [(4, "pq_rerank_m4"), (16, "pq_rerank_m16")]:
+        rr_top = pq_rerank_topk(emb, qset, recall_k, n_subspaces=m_sub)
+
+        def run_rr_recall(rr_top=rr_top, label=label) -> None:
+            hits = (
+                rr_top.select("qid", "vec_id").join(exact_l2, ["qid", "vec_id"]).count()
+            )
+            ann_recall[label] = round(hits / n_exact_l2, 4)
+
+        best_of_2(f"recall_{label}", run_rr_recall)
 
     total = round(sum(timings.values()), 3)
     summary = {
@@ -277,10 +310,14 @@ def main() -> None:
         "pages_per_sec": round(pages_per_sec, 1),
         "edges_per_sec": round(edges_per_sec, 1),
         "ann_recall_at_10": ann_recall,
+        "memo_hit_sec": memo_hits,
         "protocol": (
             "best-of-2 per workload (symmetric), both readings in reps; "
-            "sole exception: ivf_kmeans_train is single-pass (one-time "
-            "eager model fit, timed separately and disclosed here); "
+            "exceptions: ivf_kmeans_train is single-pass (one-time "
+            "eager model fit, timed separately and disclosed here), and "
+            "memo-consumer rows (memo_hit_sec keys) headline the COLD "
+            "first rep — their second rep is a session-memo hit, not "
+            "the operator (round-5 protocol change); "
             "queries executed via noop-write sink (full-column "
             "materialization; count() would let Catalyst prune "
             "projection/window nodes — round-4 protocol change)"

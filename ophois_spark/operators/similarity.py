@@ -670,3 +670,55 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "adc")
     )
+
+
+PQ_RERANK_SHORTLIST = 100
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    shortlist: int = PQ_RERANK_SHORTLIST,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_centroids: int = PQ_CENTROIDS,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage PQ search → (qid, rank, vec_id, d2): ADC shortlist of
+    ``shortlist`` candidates per query (pq_adc_topk, compressed-domain
+    scan), then EXACT int64 squared-L2 rerank of only those candidates
+    against the raw grid-scaled vectors, then top-k — the standard
+    consumer of a PQ index (Jégou et al., TPAMI'11 §IV-D: IVFADC +
+    reranking). Lifts the disclosed ADC recall (m=4: 0.14 @ k=10) to
+    ≈1.0 whenever the true neighbor survives the shortlist, at the cost
+    of fetching ``shortlist`` full vectors per query instead of zero.
+
+    Exactness: both stages run on the 2^-20 int64 grid (see pq_codes),
+    so shortlist membership, rerank distances, ranks, and ties (smaller
+    vec_id) are all bit-replayable — the composed query is oracle-gated
+    end to end.
+
+    Scale shape at 10^11 vectors: stage 1 touches only codes (2 bytes/
+    vector); stage 2 is an equi join of |Q|·shortlist candidate ids
+    against the vector relation (partition-pruned fetch — the only
+    stage that reads raw vectors), then a broadcast of the |Q| query
+    vectors and a per-qid top-k. No shuffle ever carries more than
+    |Q|·shortlist vector payloads.
+    """
+    from pyspark.sql import Window
+
+    short = pq_adc_topk(
+        embeddings, queries, shortlist, n_subspaces, n_centroids, id_col
+    ).select("qid", "vec_id")
+    vecs = _pq_scaled(embeddings, id_col)
+    qv = _pq_scaled(queries, id_col).select(
+        F.col("vec_id").alias("qid"), F.col("sv").alias("qsv")
+    )
+    cand = short.join(vecs, "vec_id").join(F.broadcast(qv), "qid")
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        cand.select("qid", "vec_id", _pq_l2(F.col("sv"), F.col("qsv")).alias("d2"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "d2")
+    )

@@ -8518,6 +8518,96 @@ ORACLES.update(
 
 
 # ---------------------------------------------------------------------------
+# round-5: two-stage PQ search — ADC shortlist -> exact rerank
+# ---------------------------------------------------------------------------
+
+PQ_RERANK_K = 10
+
+
+def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search: compressed-domain ADC shortlist (k'=100)
+    → exact int64 L2 rerank of the shortlist → top-10 — the standard
+    PQ-index consumer (operators/similarity.py pq_rerank_topk). The
+    recall lift over the raw ADC scan is quantified in bench.py
+    (recall_pq_adc vs recall_pq_rerank)."""
+    from ophois_spark.operators.similarity import pq_rerank_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_rerank_topk(emb, qset, PQ_RERANK_K)
+
+
+def _pq_rerank_sql() -> str:
+    from ophois_spark.operators.similarity import (
+        PQ_CENTROIDS,
+        PQ_RERANK_SHORTLIST,
+        PQ_SCALE,
+        PQ_SUBSPACES,
+    )
+
+    m, k, sc = PQ_SUBSPACES, PQ_CENTROIDS, PQ_SCALE
+    return f"""
+WITH z AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+         unnest(generate_series(0, len(embedding) - 1)) AS d
+  FROM embeddings),
+si AS MATERIALIZED (
+  SELECT vec_id, d, d // (SELECT len(embedding) // {m} FROM embeddings LIMIT 1) AS s,
+         CAST(round(val * {sc}) AS BIGINT) AS sv
+  FROM z),
+seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+  FROM (SELECT vec_id FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})),
+cent AS MATERIALIZED (
+  SELECT seeds.j, si.s, si.d, si.sv AS cv
+  FROM si JOIN seeds USING (vec_id)),
+dist AS (
+  SELECT v.vec_id, v.s, c.j, SUM((v.sv - c.cv) * (v.sv - c.cv)) AS dd
+  FROM si v JOIN cent c ON c.s = v.s AND c.d = v.d
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dd, j) AS rn
+    FROM dist) WHERE rn = 1),
+lut AS (
+  SELECT q.vec_id AS qid, q.s, c.j AS code,
+         SUM((q.sv - c.cv) * (q.sv - c.cv)) AS d
+  FROM si q JOIN cent c ON c.s = q.s AND c.d = q.d
+  WHERE q.vec_id % 50 = 0
+  GROUP BY 1, 2, 3),
+part AS (
+  SELECT lut.qid, codes.vec_id, CAST(SUM(lut.d) AS BIGINT) AS adc
+  FROM codes JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+  GROUP BY 1, 2),
+short AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+    FROM part) WHERE rn <= {PQ_RERANK_SHORTLIST}),
+ex AS (
+  SELECT s.qid, s.vec_id,
+         CAST(SUM((dv.sv - qv.sv) * (dv.sv - qv.sv)) AS BIGINT) AS d2
+  FROM short s
+  JOIN si dv ON dv.vec_id = s.vec_id
+  JOIN si qv ON qv.vec_id = s.qid AND qv.d = dv.d
+  GROUP BY 1, 2),
+rr AS (
+  SELECT qid, vec_id, d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS INT) AS rank
+  FROM ex)
+SELECT qid, rank, vec_id, d2 FROM rr WHERE rank <= {PQ_RERANK_K}
+"""
+
+
+SQL_PQ_RERANK_TOPK = _pq_rerank_sql()
+
+QUERIES.update({"pq_rerank_topk": q_pq_rerank_topk})
+ORACLES.update({"pq_rerank_topk": SQL_PQ_RERANK_TOPK})
+
+
+# ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 5).
 #
 # The external correctness driver samples AT MOST the first 50 entries of
@@ -8560,6 +8650,8 @@ _ROTATION_PRIORITY: tuple[str, ...] = (
     "corpus_pipeline", "link_pagerank_converged", "pack_sequences_sharded",
     "web_bowtie", "scc_dag_edges", "host_pagerank", "pq_adc_topk",
     "hits_scores", "kcore_decomposition", "ktruss_edges",
+    # round-5 additions — brand new, so by definition never sampled:
+    "pq_rerank_topk",
 )
 
 
