@@ -128,6 +128,34 @@ def main() -> None:
             timings[name] = cold
             memo_hits[name] = hit
 
+    # -- float PageRank production twin vs the integer gate path -----------
+    # pagerank_converged (timed above as link_pagerank_converged) runs on
+    # an exact integer lattice so a SQL oracle can replay it, but its
+    # state-recurrence stop needs ~3x the rounds of a tolerance stop.
+    # This times the production twin (double arithmetic, mean-L1 < 1e-6)
+    # on the SAME overlay and discloses both round counts — the evidence
+    # for when each path is appropriate (operators/webgraph.py
+    # pagerank_float docstring).
+    from ophois_spark.operators.webgraph import pagerank_converged, pagerank_float
+    from ophois_spark.queries import _link_overlay
+
+    pr_rounds: dict[str, int] = {}
+
+    def run_float_pr() -> None:
+        n_, e_ = _link_overlay(spark, sf_dir)
+        ranks, r = pagerank_float(n_, e_)
+        pr_rounds["float_tol1e-6"] = r
+        materialize(ranks)
+
+    best_of_2("link_pagerank_float", run_float_pr)
+
+    def run_int_pr_rounds() -> None:
+        n_, e_ = _link_overlay(spark, sf_dir)
+        _, r = pagerank_converged(n_, e_)
+        pr_rounds["integer_recurrence"] = r
+
+    run_int_pr_rounds()  # round count only; wall time is the registry row
+
     # -- hot-source sequence packing: sharded flattening evidence ----------
     # one giant source (the Common-Crawl shape) forces the packing
     # window's sort + running sum onto ONE task; the (source, doc_id
@@ -311,6 +339,7 @@ def main() -> None:
         "edges_per_sec": round(edges_per_sec, 1),
         "ann_recall_at_10": ann_recall,
         "memo_hit_sec": memo_hits,
+        "pagerank_rounds": pr_rounds,
         "protocol": (
             "best-of-2 per workload (symmetric), both readings in reps; "
             "exceptions: ivf_kmeans_train is single-pass (one-time "

@@ -156,6 +156,74 @@ def pagerank(
     return ranks
 
 
+PAGERANK_FLOAT_TOL = 1e-6
+
+
+def pagerank_float(
+    nodes: DataFrame,
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = PAGERANK_FLOAT_TOL,
+    max_rounds: int = PAGERANK_MAX_ROUNDS,
+) -> tuple[DataFrame, int]:
+    """→ (ranks, rounds): the PRODUCTION twin of ``pagerank_converged``
+    — double arithmetic, stopped at mean L1 residual < ``tol``
+    (Σ|rank_i − rank_{i−1}| / n), ranks normalized so the start is 1.0
+    per node like the integer path's ``scale``.
+
+    When to use which: ``pagerank_converged`` runs on an exact integer
+    lattice so its orbit is bit-replayable by a SQL oracle — but its
+    stopping rule (state recurrence: exact fixed point or limit-cycle
+    re-entry) keeps iterating long after the ordering has stabilized,
+    because the last integer units oscillate. Measured on the sf0.01
+    gate overlay: 62 recurrence rounds vs 40 tolerance rounds at
+    tol=1e-6 (and ~20 at 1e-4) with IDENTICAL top-20 ordering
+    (pinned in tests/test_webgraph_pack.py).
+    At 10^10 edges each round is a full edge-relation join, so the
+    integer path is a CORRECTNESS-GATING device; this float path is
+    what a production crawl/quality pipeline should run. It is not
+    oracle-gatable (double sums accumulate in shuffle order), which is
+    exactly the trade the integer twin exists to cover; bench.py times
+    both and reports the round counts (link_pagerank_float row).
+
+    Per-round cost is identical to the integer path — one src-keyed
+    equi join of the out-degree-folded edge relation with the rank
+    relation, one algebraic dst aggregation — plus an id-keyed join of
+    the (small) previous rank relation to compute the residual, read
+    off in the round's single action.
+    """
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    ranks = nodes.select("id", F.lit(1.0).alias("rank")).localCheckpoint(eager=False)
+    base = 1.0 - damping
+    for rounds in range(1, max_rounds + 1):
+        sums = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        nxt = (
+            ranks.join(sums, "id", "left")
+            .select(
+                "id",
+                F.col("rank").alias("prev"),
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        row = nxt.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        ranks = nxt.select("id", "rank")
+        if row["l1"] / max(row["n"], 1) < tol:
+            return ranks, rounds
+    raise RuntimeError(f"float pagerank did not reach tol={tol} in {max_rounds} rounds")
+
+
 def host_graph(
     pages: DataFrame, edges: DataFrame, url_col: str = "url"
 ) -> tuple[DataFrame, DataFrame]:

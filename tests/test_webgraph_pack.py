@@ -335,3 +335,24 @@ def test_resolve_redirects_cycle_stays_bounded(spark):
     assert a[1][0] in (1, 2, 3) and a[9][0] in (1, 2, 3)
     b = {r.src: (r.final, r.hops) for r in resolve_redirects(edges, 16).collect()}
     assert a == b
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"),
+    reason="driver testdata not present",
+)
+def test_pagerank_float_twin_matches_integer_ordering(spark):
+    """The production twin (double, mean-L1 < tol stop) must stop in
+    FEWER rounds than the exact-lattice recurrence rule and induce the
+    same top-k ordering on the gate overlay — the documented contract
+    for choosing between the two paths (webgraph.py pagerank_float)."""
+    from ophois_spark.operators.webgraph import pagerank_converged, pagerank_float
+    from ophois_spark.queries import _link_overlay
+
+    nodes, edges = _link_overlay(spark, "/root/testdata/sf0.001")
+    rf, rounds_f = pagerank_float(nodes, edges)
+    ri, rounds_i = pagerank_converged(nodes, edges)
+    assert rounds_f < rounds_i
+    top_f = [r.id for r in rf.orderBy(F.desc("rank"), "id").limit(20).collect()]
+    top_i = [r.id for r in ri.orderBy(F.desc("rank"), "id").limit(20).collect()]
+    assert top_f == top_i
