@@ -81,9 +81,30 @@ def parse_records(
 
         nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # Self-loop contract — INTENTIONAL divergence from the reference.
+    # The reference load keeps a self-link `a␟a` (graph.rs:91-97 dedups
+    # only on presence-of-either-direction, so the loop inserts), but
+    # its own bookkeeping is degenerate for loops: insert_link((a,a))
+    # runs twice (graph.rs:93-95), pushing TWO neighbour entries while
+    # the links map keeps ONE (a,a) key, so a later remove_node(a)
+    # iterates both neighbours and panics on the second remove_link's
+    # unwrap (graph.rs:127-136, 154). No reference fixture exercises a
+    # loop. The engine therefore DROPS self-loops at load (a street
+    # graph has no zero-length way); under strict=True their presence
+    # raises instead of being silently dropped. Pinned in
+    # tests/test_graph_load.py::test_self_loop_contract.
     lo, hi = canonical_edge(F.col("f")[0], F.col("f")[1])
+    links = parsed.filter(F.col("n") == 2)
+    if strict:
+        n_loops = links.filter(F.col("f")[0] == F.col("f")[1]).count()
+        if n_loops:
+            raise ValueError(
+                f"{n_loops} self-loop link(s) in input; the engine drops "
+                "self-loops (reference keeps them with degenerate "
+                "remove semantics — see parse_records docstring)"
+            )
     raw_edges = (
-        parsed.filter(F.col("n") == 2)
+        links
         .select(lo.alias("src"), hi.alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])

@@ -113,3 +113,26 @@ def test_show_roundtrip(spark):
     g2, _ = parse_records(df, ["seq"])
     assert sorted(map(tuple, g.nodes.collect())) == sorted(map(tuple, g2.nodes.collect()))
     assert sorted(map(tuple, g.edges.collect())) == sorted(map(tuple, g2.edges.collect()))
+
+
+def test_self_loop_contract(spark):
+    """Pinned divergence from the reference: graph.rs:91-97 KEEPS a
+    self-link `a␟a` (dedup is presence-of-either-direction only) but
+    its loop bookkeeping is degenerate — insert_link((a,a)) runs twice
+    so remove_node(a) panics on the second remove_link unwrap
+    (graph.rs:127-136). The engine drops self-loops at load; strict
+    mode raises on their presence instead of dropping silently."""
+    df = spark.createDataFrame(
+        [
+            (0, f"a{SEP}48.0{SEP}2.0"),
+            (1, f"b{SEP}48.1{SEP}2.1"),
+            (2, f"a{SEP}a"),  # self-loop only — no other defects
+            (3, f"a{SEP}b"),
+        ],
+        "seq long, line string",
+    )
+    g, _ = parse_records(df, ["seq"])
+    assert sorted(map(tuple, g.edges.collect())) == [("a", "b")]
+    assert g.nodes.count() == 2
+    with pytest.raises(ValueError, match="self-loop"):
+        parse_records(df, ["seq"], strict=True)
