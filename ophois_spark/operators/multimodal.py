@@ -4,11 +4,14 @@ Training-data-pipeline primitives for image/audio/video columns. The
 engine treats media as an opaque ``binary`` column with typed metadata,
 exactly the shape a 100 TB WARC-derived table has; everything Spark-side
 (schema, partitioning, Arrow batch transfer, ``mapInPandas`` signatures)
-is real and tested. Actual codec decode (JPEG/PNG/PCM/H264) is STUBBED —
-no imaging/audio libraries exist in the sandbox — behind
-``decode_image``/``decode_audio`` which raise ``NotImplementedError``;
-the tested path uses a deterministic fake decode over the payload bytes
-so parity against the DuckDB oracle is exact.
+is real and tested. Codec support: ``decode_image`` REALLY decodes
+uncompressed 24-bit BMP and ``decode_audio`` REALLY decodes PCM16 WAV —
+both pure numpy, no external libraries — and both are oracle-gated over
+synthesized valid payloads (registry rows media_bmp_decode /
+media_wav_decode). Compressed formats (JPEG/PNG/MP3/H264) would need
+codec libraries this sandbox lacks and raise ``ValueError``; payloads
+without a recognized magic take the deterministic fake-decode byte path
+so the original gated rows stay exact.
 
 The synthetic media payload is derived from ``documents.text`` (the
 repeated md5 hex digest, UTF-8 bytes) so every byte is reconstructible
@@ -72,17 +75,69 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real image decode — STUB (no PIL/opencv in the sandbox).
+    """REAL image decode for uncompressed 24-bit BMP (pure numpy, no
+    codec libraries) → (H, W, 3) uint8 RGB array.
 
-    A deployment with codec libs replaces this body; callers
-    (``media_features``) use ``_fake_decode`` until then.
+    Parses the BITMAPFILEHEADER (magic, pixel-data offset) and
+    BITMAPINFOHEADER (width, signed height, planes, bpp, compression),
+    honors the 4-byte row padding and bottom-up row order (negative
+    height = top-down), and swaps the stored BGR to RGB. Raises
+    ``ValueError`` on anything that is not an uncompressed 24-bit BMP —
+    compressed formats (JPEG/PNG) still need external codec libraries
+    and remain out of scope in this sandbox.
     """
-    raise NotImplementedError("image codecs unavailable in this environment")
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dims {w}x{h}")
+    height = abs(h)
+    row_size = ((3 * w + 3) // 4) * 4
+    need = pix_off + row_size * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    buf = np.frombuffer(payload, dtype=np.uint8, count=need)
+    rows = buf[pix_off:need].reshape(height, row_size)[:, : 3 * w]
+    if h > 0:  # bottom-up storage (the common case)
+        rows = rows[::-1]
+    return rows.reshape(height, w, 3)[:, :, ::-1]  # BGR -> RGB
 
 
 def decode_audio(payload: bytes) -> "np.ndarray":
-    """Real audio decode — STUB (no soundfile/ffmpeg in the sandbox)."""
-    raise NotImplementedError("audio codecs unavailable in this environment")
+    """REAL audio decode for PCM16 WAV (pure numpy, no codec libraries)
+    → int16 sample array (channels interleaved as stored).
+
+    Walks the RIFF chunk list: requires ``RIFF``/``WAVE`` magic and a
+    ``fmt `` chunk declaring format 1 (integer PCM) at 16 bits, then
+    returns the ``data`` chunk as little-endian int16. Raises
+    ``ValueError`` for anything else (MP3/AAC/float WAV still need
+    external codecs and remain out of scope in this sandbox).
+    """
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_ok, data = 12, False, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+            fmt_ok = True
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not fmt_ok or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return np.frombuffer(data, dtype="<i2")
 
 
 def _fake_decode(buf: np.ndarray) -> tuple[int, int, float]:
@@ -101,10 +156,17 @@ def media_features(media: DataFrame) -> DataFrame:
     """Per-media feature extraction over raw bytes via ``mapInPandas``.
 
     The Arrow batch carries the binary column into Python once; numpy
-    does the byte math; only the small typed feature row returns. This
-    is the exact plumbing a real decode-and-featurize stage uses — swap
-    ``_fake_decode`` for ``decode_image``/``decode_audio`` on a cluster
-    with codec libs.
+    does the byte math; only the small typed feature row returns.
+
+    Decode dispatch: payloads carrying the BMP magic are REALLY decoded
+    (``decode_image`` — header parse, row padding, BGR→RGB) and
+    featurized over the pixel array; anything else falls back to the
+    deterministic ``_fake_decode`` byte math (compressed formats would
+    need codec libraries this sandbox lacks). The md5-hex synthetic
+    payloads of ``media_from_documents`` never start with ``BM``, so
+    the original gated row's contract is unchanged; the real path is
+    gated by the ``media_bmp_decode`` registry row over synthesized
+    valid BMPs (sources/pages.py ``synth_bmp_media``).
     """
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,7 +176,12 @@ def media_features(media: DataFrame) -> DataFrame:
                 if payload is None or len(payload) < 2:
                     continue  # _fake_decode reads bytes 0 and 1
                 buf = np.frombuffer(payload, dtype=np.uint8)
-                w, h, m = _fake_decode(buf)
+                if bytes(payload[:2]) == b"BM":
+                    img = decode_image(bytes(payload))
+                    h, w = int(img.shape[0]), int(img.shape[1])
+                    m = float(img.astype(np.float64).mean())
+                else:
+                    w, h, m = _fake_decode(buf)
                 ids.append(doc_id)
                 widths.append(w)
                 heights.append(h)
@@ -221,4 +288,39 @@ def sample_frames(media: DataFrame, every: int = 3) -> DataFrame:
 
     return framed.mapInPandas(
         sig, "doc_id long, frame_idx int, byte_off int, frame_sig string"
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip features over REALLY-decoded PCM16 WAV payloads via
+    ``mapInPandas`` → (doc_id, n_samples, mean_sample, peak).
+
+    ``decode_audio`` parses the RIFF chunk list (no codec libraries);
+    features are exact integer-derived values so the row is oracle-
+    gated end to end (registry row media_wav_decode) — the audio twin
+    of the BMP real-decode path in ``media_features``.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, means, peaks = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                samples = decode_audio(bytes(payload))
+                ids.append(doc_id)
+                ns.append(len(samples))
+                means.append(float(samples.astype(np.float64).mean()))
+                peaks.append(int(np.abs(samples.astype(np.int64)).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "mean_sample": pd.Series(means, dtype="float64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        feats, "doc_id long, n_samples int, mean_sample double, peak long"
     )

@@ -8608,6 +8608,91 @@ ORACLES.update({"pq_rerank_topk": SQL_PQ_RERANK_TOPK})
 
 
 # ---------------------------------------------------------------------------
+# round-5: REAL codec decode paths — BMP (image) and PCM16 WAV (audio)
+# ---------------------------------------------------------------------------
+
+
+def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode gate: valid 24-bit BMPs are synthesized from
+    doc_id (sources/pages.py synth_bmp — closed-form pixel bytes
+    (doc_id + k) % 256, bottom-up rows, 4-byte padding), then
+    media_features parses the actual headers and pixel rows
+    (operators/multimodal.py decode_image — pure numpy, no codec libs).
+    The oracle recomputes width/height/file size/pixel mean from the
+    generative formulas, so any header-parse, padding, or row-order bug
+    in the decoder breaks the value hash."""
+    from ophois_spark.operators.multimodal import media_features
+    from ophois_spark.sources.pages import synth_bmp_media
+
+    media = synth_bmp_media(load(spark, sf_dir, "documents"))
+    return media_features(media)
+
+
+SQL_MEDIA_BMP_DECODE = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 16 AS INT) AS width,
+         CAST(1 + (doc_id * 7) % 12 AS INT) AS height
+  FROM documents),
+sz AS (
+  SELECT doc_id, width, height,
+         ((3 * width + 3) // 4) * 4 AS row_size
+  FROM dims)
+SELECT doc_id,
+       CAST(54 + row_size * height AS INT) AS n_bytes,
+       width, height,
+       list_avg(list_transform(
+         generate_series(0, 3 * width * height - 1),
+         k -> CAST((doc_id + k) % 256 AS DOUBLE))) AS mean_val
+FROM sz
+"""
+
+
+def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode gate: valid PCM16 mono WAVs synthesized from
+    doc_id (sources/pages.py synth_wav — sample k = ((doc_id*31 +
+    k*997) % 65536) - 32768), decoded by walking the actual RIFF chunk
+    list (operators/multimodal.py decode_audio), featurized to exact
+    integer-derived values."""
+    from ophois_spark.operators.multimodal import audio_features
+    from ophois_spark.sources.pages import synth_wav_media
+
+    media = synth_wav_media(load(spark, sf_dir, "documents"))
+    return audio_features(media)
+
+
+SQL_MEDIA_WAV_DECODE = """
+WITH n AS (
+  SELECT doc_id, CAST(8 + doc_id % 57 AS INT) AS n_samples
+  FROM documents)
+SELECT doc_id, n_samples,
+       list_avg(list_transform(
+         generate_series(0, n_samples - 1),
+         k -> CAST((doc_id * 31 + k * 997) % 65536 - 32768 AS DOUBLE)))
+         AS mean_sample,
+       CAST(list_max(list_transform(
+         generate_series(0, n_samples - 1),
+         k -> abs((doc_id * 31 + k * 997) % 65536 - 32768))) AS BIGINT)
+         AS peak
+FROM n
+"""
+
+
+QUERIES.update(
+    {
+        "media_bmp_decode": q_media_bmp_decode,
+        "media_wav_decode": q_media_wav_decode,
+    }
+)
+ORACLES.update(
+    {
+        "media_bmp_decode": SQL_MEDIA_BMP_DECODE,
+        "media_wav_decode": SQL_MEDIA_WAV_DECODE,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 5).
 #
 # The external correctness driver samples AT MOST the first 50 entries of
@@ -8651,7 +8736,7 @@ _ROTATION_PRIORITY: tuple[str, ...] = (
     "web_bowtie", "scc_dag_edges", "host_pagerank", "pq_adc_topk",
     "hits_scores", "kcore_decomposition", "ktruss_edges",
     # round-5 additions — brand new, so by definition never sampled:
-    "pq_rerank_topk",
+    "pq_rerank_topk", "media_bmp_decode", "media_wav_decode",
 )
 
 

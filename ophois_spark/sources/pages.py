@@ -101,3 +101,118 @@ def synth_pages(spark: SparkSession, n_pages: int, grid: int = 12) -> DataFrame:
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return spark.range(n_pages).mapInPandas(gen, PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Valid media payloads for the REAL decode paths (round 5).
+#
+# Deterministic, closed-form content so a DuckDB oracle can recompute
+# every decoded feature from doc_id arithmetic without parsing bytes:
+#   BMP  (24-bit, bottom-up, padded rows):
+#     width  = 1 + doc_id % 16,  height = 1 + (doc_id * 7) % 12
+#     pixel byte k (row-major top-down, BGR in-file) = (doc_id + k) % 256
+#   WAV  (PCM16 mono, 8000 Hz):
+#     n_samples = 8 + doc_id % 57
+#     sample k = ((doc_id * 31 + k * 997) % 65536) - 32768
+# ---------------------------------------------------------------------------
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """One valid uncompressed 24-bit BMP, bottom-up row order."""
+    w = 1 + doc_id % 16
+    h = 1 + (doc_id * 7) % 12
+    row_size = ((3 * w + 3) // 4) * 4
+    pix_bytes = row_size * h
+    # pixel byte stream in row-major TOP-DOWN order
+    stream = bytes((doc_id + k) % 256 for k in range(3 * w * h))
+    rows = [
+        stream[y * 3 * w : (y + 1) * 3 * w] + b"\x00" * (row_size - 3 * w)
+        for y in range(h)
+    ]
+    pixel_data = b"".join(reversed(rows))  # stored bottom-up
+    header = (
+        b"BM"
+        + (54 + pix_bytes).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+        + pix_bytes.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 dpi
+        + (0).to_bytes(4, "little") * 2  # palette
+    )
+    return header + pixel_data
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """One valid PCM16 mono WAV."""
+    n = 8 + doc_id % 57
+    samples = b"".join(
+        (((doc_id * 31 + k * 997) % 65536) - 32768).to_bytes(
+            2, "little", signed=True
+        )
+        for k in range(n)
+    )
+    data_size = len(samples)
+    rate, block, bits = 8000, 2, 16
+    return (
+        b"RIFF"
+        + (36 + data_size).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+        + b"data"
+        + data_size.to_bytes(4, "little")
+        + samples
+    )
+
+
+def synth_bmp_media(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, media_type='image', payload=valid BMP).
+
+    Arrow-batched builder; payload bytes are minted executor-side and
+    never touch the driver — the same plumbing shape as reading real
+    WARC media bytes.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": "image",
+                    "payload": [synth_bmp(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, media_type string, payload binary"
+    )
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, media_type='audio', payload=valid WAV)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": "audio",
+                    "payload": [synth_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "doc_id long, media_type string, payload binary"
+    )

@@ -81,11 +81,14 @@ def test_sample_frames(media):
             assert r.frame_sig == hashlib.md5(frame).hexdigest()
 
 
-def test_real_decoders_are_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF")
+def test_compressed_formats_still_rejected():
+    # decode_image/decode_audio are REAL for uncompressed BMP/PCM16 WAV
+    # (round 5); compressed formats need codec libs the sandbox lacks
+    # and must fail loudly, not silently mis-decode.
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFF" + b"\x00" * 64)
 
 
 def test_resize_media_dims_and_signature(spark):
@@ -105,3 +108,95 @@ def test_resize_media_dims_and_signature(spark):
         assert r["resized_w"] == max(1, r["width"] // 2)
         assert r["resized_h"] == max(1, r["height"] // 2)
         assert r["resized_sig"] == hashlib.md5(payload[::2]).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# REAL codec decode (round 5): BMP + PCM16 WAV, pure numpy
+# ---------------------------------------------------------------------------
+
+
+def test_decode_bmp_roundtrip_known_pixels():
+    from ophois_spark.operators.multimodal import decode_image
+    from ophois_spark.sources.pages import synth_bmp
+
+    for doc_id in (0, 1, 5, 17, 123, 9999):
+        img = decode_image(synth_bmp(doc_id))
+        w = 1 + doc_id % 16
+        h = 1 + (doc_id * 7) % 12
+        assert img.shape == (h, w, 3)
+        # pixel byte k (row-major top-down, BGR in-file) = (doc_id+k)%256;
+        # decode returns RGB, so channel order within a pixel reverses
+        stream = np.array(
+            [(doc_id + k) % 256 for k in range(3 * w * h)], dtype=np.uint8
+        ).reshape(h, w, 3)[:, :, ::-1]
+        assert (img == stream).all()
+
+
+def test_decode_bmp_top_down_negative_height():
+    from ophois_spark.operators.multimodal import decode_image
+
+    # 2x2, top-down (height = -2), row padding 4 - 6%4 = 2 bytes
+    w, h = 2, 2
+    row = [10, 20, 30, 40, 50, 60]  # two BGR pixels
+    rows = bytes(row) + b"\x00\x00" + bytes(v + 100 for v in row) + b"\x00\x00"
+    header = (
+        b"BM" + (54 + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + (-h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(rows).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    img = decode_image(header + rows)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [30, 20, 10]  # first stored row IS row 0
+    assert img[1, 1].tolist() == [160, 150, 140]
+
+
+def test_decode_bmp_rejects_non_bmp():
+    from ophois_spark.operators.multimodal import decode_image
+
+    with pytest.raises(ValueError):
+        decode_image(b"abcdef" * 20)
+    with pytest.raises(ValueError):
+        decode_image(b"BM" + b"\x00" * 10)  # truncated header
+
+
+def test_decode_wav_roundtrip_known_samples():
+    from ophois_spark.operators.multimodal import decode_audio
+    from ophois_spark.sources.pages import synth_wav
+
+    for doc_id in (0, 3, 42, 777):
+        samples = decode_audio(synth_wav(doc_id))
+        n = 8 + doc_id % 57
+        want = np.array(
+            [((doc_id * 31 + k * 997) % 65536) - 32768 for k in range(n)],
+            dtype=np.int16,
+        )
+        assert (samples == want).all()
+
+
+def test_decode_wav_rejects_bad_payloads():
+    from ophois_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFFxxxxNOPE" + b"\x00" * 40)
+    with pytest.raises(ValueError):
+        decode_audio(b"\x00" * 100)
+
+
+def test_media_features_dispatches_real_bmp_decode(spark):
+    """A BMP payload must take the REAL decode path (pixel-array mean),
+    not the fake byte math."""
+    from ophois_spark.operators.multimodal import media_features
+    from ophois_spark.sources.pages import synth_bmp_media
+
+    docs = spark.createDataFrame([(7,), (20,)], "doc_id long")
+    rows = {r["doc_id"]: r for r in media_features(synth_bmp_media(docs)).collect()}
+    for doc_id in (7, 20):
+        w = 1 + doc_id % 16
+        h = 1 + (doc_id * 7) % 12
+        r = rows[doc_id]
+        assert (r["width"], r["height"]) == (w, h)
+        mean = np.mean([(doc_id + k) % 256 for k in range(3 * w * h)])
+        assert r["mean_val"] == pytest.approx(mean, abs=0)
