@@ -128,6 +128,27 @@ def main() -> None:
             timings[name] = cold
             memo_hits[name] = hit
 
+    # -- BPE at production merge count --------------------------------------
+    # the 12-merge registry row gates correctness; this times what a real
+    # tokenizer trainer pays: 256 sequential pair-count rounds (the corpus
+    # may exhaust earlier — merges_learned discloses it). Single-pass (a
+    # ~256-round driver loop; a second rep would double bench wall for a
+    # number that is already round-dominated, not noise-dominated).
+    from ophois_spark.operators.bpe import bpe_train
+
+    bpe_meta: dict[str, int] = {}
+
+    def run_bpe256() -> None:
+        docs_b = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        merges = bpe_train(docs_b, n_merges=256)
+        bpe_meta["merges_requested"] = 256
+        bpe_meta["merges_learned"] = len(merges)
+
+    t0 = time.perf_counter()
+    run_bpe256()
+    timings["bpe_merges_256"] = round(time.perf_counter() - t0, 3)
+    reps["bpe_merges_256"] = [timings["bpe_merges_256"]]
+
     # -- float PageRank production twin vs the integer gate path -----------
     # pagerank_converged (timed above as link_pagerank_converged) runs on
     # an exact integer lattice so a SQL oracle can replay it, but its
@@ -340,6 +361,7 @@ def main() -> None:
         "ann_recall_at_10": ann_recall,
         "memo_hit_sec": memo_hits,
         "pagerank_rounds": pr_rounds,
+        "bpe_256": bpe_meta,
         "protocol": (
             "best-of-2 per workload (symmetric), both readings in reps; "
             "exceptions: ivf_kmeans_train is single-pass (one-time "
