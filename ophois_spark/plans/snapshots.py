@@ -74,6 +74,8 @@ class SnapshotLog:
         self, stage: str, tables: dict[str, DataFrame], metrics: dict | None = None
     ) -> dict:
         """Write all tables as parquet, then atomically publish metadata."""
+        from ophois_spark.plans.iceberg_meta import IcebergTableMeta
+
         prev = self.latest()
         sid = (prev["id"] + 1) if prev else 1
         table_meta: dict[str, dict] = {}
@@ -82,10 +84,20 @@ class SnapshotLog:
             df.write.mode("overwrite").parquet(path)
             written = df.sparkSession.read.parquet(path)
             pc = _partition_counts(written)
+            # also publish the public Iceberg-v2-shaped metadata tree for
+            # this table (append snapshot over the files just written) —
+            # see plans/iceberg_meta.py for the conformance contract
+            ice = IcebergTableMeta(
+                os.path.join(self.root, "iceberg", name), name
+            ).append_snapshot(sid, path, written.schema)
             table_meta[name] = {
                 "path": path,
                 "row_count": int(sum(pc)),
                 "partition_row_counts": pc,
+                "iceberg_metadata": os.path.join(
+                    self.root, "iceberg", name, "metadata"
+                ),
+                "iceberg_snapshot_id": ice["current-snapshot-id"],
             }
         meta = {
             "id": sid,
