@@ -722,3 +722,91 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "d2")
     )
+
+
+def ivfadc_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    shortlist: int = PQ_RERANK_SHORTLIST,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_pq_centroids: int = PQ_CENTROIDS,
+    n_coarse: int = N_CENTROIDS,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC with reranking → (qid, rank, vec_id, d2): the LITERAL
+    production PQ-index composition (Jégou et al., TPAMI'11 §V —
+    IVFADC): a coarse quantizer restricts the search to ``nprobe``
+    inverted lists, the ADC scan runs over ONLY those lists' 2-byte
+    codes, and the top-``shortlist`` candidates get an exact int64
+    squared-L2 rerank. The three stages reuse the gated building
+    blocks verbatim: ivf_centroids/ivf_assign (coarse, rounded-cosine
+    argmax), _pq_codebook/_pq_assign (codes, exact integer grid),
+    _pq_l2 rerank — so the whole composition is oracle-gated.
+
+    Scale shape at 10^11 vectors: the coarse probe is a broadcast of
+    √N-ish centroids; the ADC scan's join is candidate-list-sized
+    (nprobe/n_coarse of the corpus) against a broadcast |Q|·M·K LUT;
+    only the |Q|·shortlist rerank rows ever touch raw vectors. This is
+    the index layout a 100 TB embedding store actually serves from —
+    codes partitioned BY coarse cell, so the probe prunes partitions.
+    """
+    from pyspark.sql import Window
+
+    # stage 1: coarse probe (same discipline as ivf_topk)
+    cents = ivf_centroids(embeddings, n_coarse, id_col)
+    assign = ivf_assign(embeddings, cents, id_col)
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col("embedding")).alias("qv")
+    )
+    qsims = q.crossJoin(F.broadcast(cents)).select(
+        "qid", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("csim")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        qsims.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cid")
+    )
+    cand = probes.join(assign, "cid").select("qid", "vec_id")
+
+    # stage 2: ADC scan restricted to the probed lists
+    vecs = _pq_scaled(embeddings, id_col)
+    pq_cents = _pq_codebook(vecs, n_subspaces, n_pq_centroids)
+    codes = _pq_assign(vecs, pq_cents, n_subspaces).select(
+        "vec_id", "s", F.col("b.j").alias("code")
+    )
+    qsv = _pq_scaled(queries, id_col).select(
+        F.col("vec_id").alias("qid"), F.col("sv")
+    )
+    width = F.size(F.col("sv")) / n_subspaces
+    lut = qsv.crossJoin(F.broadcast(pq_cents)).select(
+        "qid",
+        "s",
+        F.col("j").alias("code"),
+        _pq_l2(_pq_sub(F.col("sv"), width, n_subspaces), F.col("carr")).alias("d"),
+    )
+    part = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["qid", "s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adc"))
+    )
+    ws = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    short = (
+        part.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("qid", "vec_id")
+    )
+
+    # stage 3: exact integer rerank of the shortlist
+    qex = qsv.select("qid", F.col("sv").alias("qsv"))
+    cand2 = short.join(vecs, "vec_id").join(F.broadcast(qex), "qid")
+    wr = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        cand2.select("qid", "vec_id", _pq_l2(F.col("sv"), F.col("qsv")).alias("d2"))
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "d2")
+    )

@@ -8693,6 +8693,118 @@ ORACLES.update(
 
 
 # ---------------------------------------------------------------------------
+# round-5: IVFADC with reranking — the composed production ANN index
+# ---------------------------------------------------------------------------
+
+IVFADC_NPROBE = 4
+IVFADC_K = 10
+
+
+def q_ivfadc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + rerank (Jégou TPAMI'11 §V): coarse IVF probe (nprobe=4
+    of 32 lists) → ADC scan over only the probed lists' codes → exact
+    int64 rerank of the top-100 → top-10. Composition of the gated
+    building blocks — operators/similarity.py ivfadc_rerank_topk."""
+    from ophois_spark.operators.similarity import ivfadc_rerank_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivfadc_rerank_topk(emb, qset, IVFADC_K, nprobe=IVFADC_NPROBE)
+
+
+def _ivfadc_sql() -> str:
+    from ophois_spark.operators.similarity import (
+        N_CENTROIDS,
+        PQ_CENTROIDS,
+        PQ_RERANK_SHORTLIST,
+        PQ_SCALE,
+        PQ_SUBSPACES,
+    )
+
+    m, kc, sc = PQ_SUBSPACES, PQ_CENTROIDS, PQ_SCALE
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CENTROIDS}),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1
+),
+qf AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT qf.qid, c.cid,
+           row_number() OVER (PARTITION BY qf.qid
+             ORDER BY round(list_cosine_similarity(qf.qv, c.cv), 6) DESC, c.cid) AS rn
+    FROM qf CROSS JOIN c) WHERE rn <= {IVFADC_NPROBE}
+),
+cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a ON p.cid = a.cid),
+z AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+         unnest(generate_series(0, len(embedding) - 1)) AS d
+  FROM embeddings),
+si AS MATERIALIZED (
+  SELECT vec_id, d, d // (SELECT len(embedding) // {m} FROM embeddings LIMIT 1) AS s,
+         CAST(round(val * {sc}) AS BIGINT) AS sv
+  FROM z),
+seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+  FROM (SELECT vec_id FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {kc})),
+cent AS MATERIALIZED (
+  SELECT seeds.j, si.s, si.d, si.sv AS cv
+  FROM si JOIN seeds USING (vec_id)),
+dist AS (
+  SELECT v.vec_id, v.s, c2.j, SUM((v.sv - c2.cv) * (v.sv - c2.cv)) AS dd
+  FROM si v JOIN cent c2 ON c2.s = v.s AND c2.d = v.d
+  GROUP BY 1, 2, 3),
+codes AS MATERIALIZED (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dd, j) AS rn
+    FROM dist) WHERE rn = 1),
+lut AS (
+  SELECT q2.vec_id AS qid, q2.s, c2.j AS code,
+         SUM((q2.sv - c2.cv) * (q2.sv - c2.cv)) AS d
+  FROM si q2 JOIN cent c2 ON c2.s = q2.s AND c2.d = q2.d
+  WHERE q2.vec_id % 50 = 0
+  GROUP BY 1, 2, 3),
+part AS (
+  SELECT cand.qid, cand.vec_id, CAST(SUM(lut.d) AS BIGINT) AS adc
+  FROM cand
+  JOIN codes ON codes.vec_id = cand.vec_id
+  JOIN lut ON lut.qid = cand.qid AND lut.s = codes.s AND lut.code = codes.code
+  GROUP BY 1, 2),
+short AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+    FROM part) WHERE rn <= {PQ_RERANK_SHORTLIST}),
+ex AS (
+  SELECT s2.qid, s2.vec_id,
+         CAST(SUM((dv.sv - qv.sv) * (dv.sv - qv.sv)) AS BIGINT) AS d2
+  FROM short s2
+  JOIN si dv ON dv.vec_id = s2.vec_id
+  JOIN si qv ON qv.vec_id = s2.qid AND qv.d = dv.d
+  GROUP BY 1, 2),
+rr AS (
+  SELECT qid, vec_id, d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS INT) AS rank
+  FROM ex)
+SELECT qid, rank, vec_id, d2 FROM rr WHERE rank <= {IVFADC_K}
+"""
+
+
+SQL_IVFADC_RERANK_TOPK = _ivfadc_sql()
+
+QUERIES.update({"ivfadc_rerank_topk": q_ivfadc_rerank_topk})
+ORACLES.update({"ivfadc_rerank_topk": SQL_IVFADC_RERANK_TOPK})
+
+
+# ---------------------------------------------------------------------------
 # Driver-coverage rotation (round 5).
 #
 # The external correctness driver samples AT MOST the first 50 entries of
@@ -8737,6 +8849,7 @@ _ROTATION_PRIORITY: tuple[str, ...] = (
     "hits_scores", "kcore_decomposition", "ktruss_edges",
     # round-5 additions — brand new, so by definition never sampled:
     "pq_rerank_topk", "media_bmp_decode", "media_wav_decode",
+    "ivfadc_rerank_topk",
 )
 
 
