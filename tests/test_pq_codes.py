@@ -146,3 +146,40 @@ def test_adc_matches_lut_twin(spark):
         exp = sorted(((adc(q, v), v) for v in vecs), key=lambda t: (t[0], t[1]))[:5]
         for rank, (d, v) in enumerate(exp, start=1):
             assert got[(q, rank)] == (v, d)
+
+
+def test_rerank_beats_adc_and_is_exact_on_shortlist_hits(spark):
+    """Two-stage rerank (round 5): any true neighbor that survives the
+    ADC shortlist must rank by EXACT integer L2 — the seed query's
+    nearest neighbor is itself (d2 = 0, rank 1) for every query."""
+    import numpy as np
+    from ophois_spark.operators.similarity import pq_rerank_topk
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).astype(np.float32).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter("vec_id % 10 = 0")
+    got = pq_rerank_topk(df, qs, k=3).collect()
+    top1 = {r["qid"]: (r["vec_id"], r["d2"]) for r in got if r["rank"] == 1}
+    for qid, (vid, d2) in top1.items():
+        assert vid == qid and d2 == 0  # exact self-match survives rerank
+
+
+def test_plan_ivfadc_broadcasts_and_no_python(spark):
+    """The composed IVFADC plan must broadcast the small sides (coarse
+    centroids, PQ codebook, LUT, query vectors) and stay JVM-side."""
+    import numpy as np
+    from ophois_spark.operators.similarity import ivfadc_rerank_topk
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(16).astype(np.float32).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter("vec_id % 20 = 0")
+    plan = (
+        ivfadc_rerank_topk(df, qs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
