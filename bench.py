@@ -346,6 +346,23 @@ def main() -> None:
 
         best_of_2(f"recall_{label}", run_rr_recall)
 
+    # the composed IVFADC+rerank index: recall additionally bounded by the
+    # coarse probe (nprobe/32 of the lists scanned) — the full production
+    # trade (compression + list pruning) against the same exact-L2 baseline
+    from ophois_spark.operators.similarity import ivfadc_rerank_topk
+
+    ivfadc_top = ivfadc_rerank_topk(emb, qset, recall_k)
+
+    def run_ivfadc_recall() -> None:
+        hits = (
+            ivfadc_top.select("qid", "vec_id")
+            .join(exact_l2, ["qid", "vec_id"])
+            .count()
+        )
+        ann_recall["ivfadc_nprobe4_m4"] = round(hits / n_exact_l2, 4)
+
+    best_of_2("recall_ivfadc_nprobe4_m4", run_ivfadc_recall)
+
     total = round(sum(timings.values()), 3)
     summary = {
         "metric": "graph-construction throughput + operator suite",
